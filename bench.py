@@ -1,0 +1,59 @@
+"""Headline benchmark: GPT-L c2i 384px (24x24 grid) CFG sampling throughput.
+
+Mirrors the reference serve benchmark (batch of 8 images + 8 CFG-null
+requests of 576 tokens each; `/root/reference/autoregressive/serve/README.md`).
+Baseline: A100 + vLLM GPT-L = 3.48 s for 8 images = 2.299 images/sec.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+BASELINE_IMG_PER_SEC = 8.0 / 3.48  # A100 vLLM GPT-L 384 (serve/README.md:13)
+
+
+def main():
+    from llamagen_tpu.config import gpt_config
+    from llamagen_tpu.models import gpt
+    from llamagen_tpu.ops.generate import generate
+
+    cfg = gpt_config("GPT-L", block_size=576, cls_token_num=1)
+    params = gpt.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+
+    batch = 8
+    labels = jnp.asarray(np.arange(batch) * 100 % 1000)
+
+    def run(seed):
+        seq = generate(params, jax.random.PRNGKey(seed), labels, cfg=cfg,
+                       max_new_tokens=cfg.block_size, cfg_scale=2.0,
+                       temperature=1.0, top_k=0, top_p=1.0)
+        seq.block_until_ready()
+        return seq
+
+    run(0)  # compile
+    times = []
+    for i in range(3):
+        t0 = time.time()
+        run(i + 1)
+        times.append(time.time() - t0)
+    best = min(times)
+    img_per_sec = batch / best
+
+    print(json.dumps({
+        "metric": "images_per_sec_gpt_l_c2i_384_cfg_batch8",
+        "value": round(img_per_sec, 3),
+        "unit": "images/sec",
+        "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

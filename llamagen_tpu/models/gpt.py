@@ -1,0 +1,410 @@
+"""TPU-native Llama-style autoregressive transformer over VQ code grids.
+
+Re-implements the behavior of the reference Transformer
+(`/root/reference/autoregressive/models/gpt.py`) as pure JAX functions:
+
+  - fused wqkv projection, GQA via kv-head repeat       (gpt.py:188-241)
+  - RMSNorm with f32 internals                          (gpt.py:137-148)
+  - SwiGLU FFN, hidden = multiple_of-rounded 2/3*4d     (gpt.py:151-167)
+  - 2D rotary embeddings, zero freqs on condition rows  (gpt.py:404-417)
+  - class-label / caption conditioning with CFG dropout (gpt.py:56-115)
+  - three forward modes: full (train), prefill, decode  (gpt.py:332-364)
+
+TPU-first design choices (not in the reference):
+  - per-layer weights stacked [L, ...] and executed with lax.scan
+    (one compiled block body instead of L unrolled layers)
+  - KV cache is an explicit pytree {'k','v': [L,B,Smax,Hkv,hd]} threaded
+    through the scan — functional state instead of mutable buffers
+  - everything static-shaped so prefill/decode jit once per geometry
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llamagen_tpu.config import GPTConfig
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Rotary embeddings
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=32)
+def _freqs_cis_2d_np(grid_size: int, head_dim: int, base: float,
+                     cls_token_num: int) -> np.ndarray:
+    """2D RoPE table [cls_token_num + grid**2, head_dim//2, 2] (f32).
+
+    Half the head dim rotates with the x coordinate, half with y; the
+    condition positions get zero frequencies (ref: gpt.py:404-417).
+    """
+    half_dim = head_dim // 2
+    freqs = 1.0 / (base ** (np.arange(0, half_dim, 2)[: half_dim // 2] / half_dim))
+    t = np.arange(grid_size)
+    freqs = np.outer(t, freqs)  # [grid, head_dim//4]
+    fx = np.broadcast_to(freqs[:, None, :], (grid_size, grid_size, freqs.shape[1]))
+    fy = np.broadcast_to(freqs[None, :, :], (grid_size, grid_size, freqs.shape[1]))
+    grid = np.concatenate([fx, fy], axis=-1)  # [g, g, head_dim//2]
+    cache = np.stack([np.cos(grid), np.sin(grid)], axis=-1)
+    cache = cache.reshape(grid_size * grid_size, half_dim, 2)
+    cond = np.zeros((cls_token_num, half_dim, 2), dtype=np.float32)
+    return np.concatenate([cond, cache]).astype(np.float32)
+
+
+def freqs_cis_2d(cfg: GPTConfig) -> jnp.ndarray:
+    return jnp.asarray(_freqs_cis_2d_np(
+        cfg.grid_size, cfg.head_dim, cfg.rope_base, cfg.cls_token_num))
+
+
+def apply_rope(x: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
+    """Interleaved-pair rotation in f32 (ref: gpt.py:420-430).
+
+    x: [B, S, H, D]; freqs: [S, D//2, 2].
+    """
+    xf = x.astype(jnp.float32).reshape(*x.shape[:-1], -1, 2)
+    cos = freqs[None, :, None, :, 0]
+    sin = freqs[None, :, None, :, 1]
+    real = xf[..., 0] * cos - xf[..., 1] * sin
+    imag = xf[..., 1] * cos + xf[..., 0] * sin
+    out = jnp.stack([real, imag], axis=-1).reshape(x.shape)
+    return out.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Core layers
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """RMSNorm with f32 internals (ref: gpt.py:137-148)."""
+    xf = x.astype(jnp.float32)
+    normed = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (normed.astype(x.dtype) * weight.astype(x.dtype))
+
+
+class KVCache(NamedTuple):
+    """Preallocated KV cache: k/v are [L, B, Smax, Hkv, head_dim]."""
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+
+    @property
+    def max_seq_len(self) -> int:
+        return self.k.shape[2]
+
+
+def init_cache(cfg: GPTConfig, batch: int, max_seq_len: int,
+               dtype=jnp.bfloat16) -> KVCache:
+    shape = (cfg.n_layer, batch, max_seq_len, cfg.kv_heads, cfg.head_dim)
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+def _split_qkv(p: Params, x: jnp.ndarray, cfg: GPTConfig):
+    b, s, _ = x.shape
+    qkv = x @ p["wqkv"].astype(x.dtype)
+    q_size = cfg.n_head * cfg.head_dim
+    kv_size = cfg.kv_heads * cfg.head_dim
+    q = qkv[..., :q_size].reshape(b, s, cfg.n_head, cfg.head_dim)
+    k = qkv[..., q_size:q_size + kv_size].reshape(b, s, cfg.kv_heads, cfg.head_dim)
+    v = qkv[..., q_size + kv_size:].reshape(b, s, cfg.kv_heads, cfg.head_dim)
+    return q, k, v
+
+
+def _sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+          mask: Optional[jnp.ndarray], cfg: GPTConfig) -> jnp.ndarray:
+    """Masked multi-head attention. q: [B,Sq,H,D], k/v: [B,Sk,Hkv,D]."""
+    if cfg.kv_heads != cfg.n_head:
+        rep = cfg.n_head // cfg.kv_heads
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    scale = cfg.head_dim ** -0.5
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.float32(-1e30))
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+    return out.reshape(*q.shape[:2], cfg.n_head * cfg.head_dim)
+
+
+def _attention(p: Params, x: jnp.ndarray, freqs: jnp.ndarray,
+               mask: Optional[jnp.ndarray], cfg: GPTConfig,
+               cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+               pos: Optional[jnp.ndarray] = None):
+    """One attention layer. Returns (out, new_cache_kv or None)."""
+    q, k, v = _split_qkv(p, x, cfg)
+    q = apply_rope(q, freqs)
+    k = apply_rope(k, freqs)
+
+    new_cache = None
+    if cache_kv is not None:
+        ck, cv = cache_kv  # [B, Smax, Hkv, D]
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, pos, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, pos, 0, 0))
+        new_cache = (ck, cv)
+        k, v = ck.astype(q.dtype), cv.astype(q.dtype)
+
+    out = _sdpa(q, k, v, mask, cfg)
+    out = out @ p["wo"].astype(x.dtype)
+    return out, new_cache
+
+
+def _ffn(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """SwiGLU (ref: gpt.py:151-167)."""
+    h = jax.nn.silu(x @ p["w1"].astype(x.dtype)) * (x @ p["w3"].astype(x.dtype))
+    return h @ p["w2"].astype(x.dtype)
+
+
+def _dropout(rng, x, p: float):
+    keep = jax.random.bernoulli(rng, 1.0 - p, x.shape)
+    return jnp.where(keep, x / (1.0 - p), 0.0).astype(x.dtype)
+
+
+def _block(p: Params, h: jnp.ndarray, freqs: jnp.ndarray,
+           mask: Optional[jnp.ndarray], cfg: GPTConfig,
+           cache_kv=None, pos=None, dropout_rng=None):
+    attn_in = rms_norm(h, p["attention_norm"], cfg.norm_eps)
+    attn_out, new_cache = _attention(p, attn_in, freqs, mask, cfg, cache_kv, pos)
+    if dropout_rng is not None and cfg.resid_dropout_p > 0:
+        r1, r2, dropout_rng = jax.random.split(dropout_rng, 3)
+        attn_out = _dropout(r1, attn_out, cfg.resid_dropout_p)
+    h = h + attn_out
+    ffn_out = _ffn(p, rms_norm(h, p["ffn_norm"], cfg.norm_eps))
+    if dropout_rng is not None and cfg.ffn_dropout_p > 0:
+        ffn_out = _dropout(r2, ffn_out, cfg.ffn_dropout_p)
+    return h + ffn_out, new_cache
+
+
+def _run_layers(params: Params, h: jnp.ndarray, freqs: jnp.ndarray,
+                mask: Optional[jnp.ndarray], cfg: GPTConfig,
+                cache: Optional[KVCache] = None, pos=None,
+                dropout_rng=None, remat: bool = False):
+    """Scan a single compiled block over the stacked layer weights."""
+    layers = params["layers"]
+    n_layer = cfg.n_layer
+
+    if dropout_rng is not None:
+        layer_rngs = jax.random.split(dropout_rng, n_layer)
+    else:
+        layer_rngs = None
+
+    if cache is None:
+        def scan_fn(carry, xs):
+            if layer_rngs is not None:
+                p_l, rng_l = xs
+            else:
+                p_l, rng_l = xs, None
+            out, _ = _block(p_l, carry, freqs, mask, cfg, dropout_rng=rng_l)
+            return out, None
+
+        if remat:
+            scan_fn = jax.checkpoint(scan_fn)
+        xs = (layers, layer_rngs) if layer_rngs is not None else layers
+        h, _ = jax.lax.scan(scan_fn, h, xs)
+        return h, None
+
+    def scan_fn(carry, xs):
+        p_l, ck, cv = xs
+        out, new_kv = _block(p_l, carry, freqs, mask, cfg, cache_kv=(ck, cv), pos=pos)
+        return out, new_kv
+
+    h, (new_k, new_v) = jax.lax.scan(scan_fn, h, (layers, cache.k, cache.v))
+    return h, KVCache(k=new_k, v=new_v)
+
+
+# ---------------------------------------------------------------------------
+# Conditioning
+# ---------------------------------------------------------------------------
+
+
+def embed_condition(params: Params, cfg: GPTConfig, cond: jnp.ndarray,
+                    *, train: bool = False, rng=None) -> jnp.ndarray:
+    """Class labels [B] (c2i) or caption features [B,T,caption_dim] (t2i)
+    -> condition embeddings [B, cls_token_num, dim]. Ref: gpt.py:56-115."""
+    p = params["cls_embedding"]
+    if cfg.model_type == "c2i":
+        labels = cond
+        if train and cfg.class_dropout_prob > 0:
+            drop = jax.random.uniform(rng, labels.shape) < cfg.class_dropout_prob
+            labels = jnp.where(drop, cfg.num_classes, labels)
+        emb = p["embedding_table"][labels]
+        return emb[:, None, :]
+    # t2i: MLP-project T5 features (GELU-tanh, ref: gpt.py:118-131)
+    cap = cond
+    if train and cfg.class_dropout_prob > 0:
+        drop = jax.random.uniform(rng, (cap.shape[0],)) < cfg.class_dropout_prob
+        cap = jnp.where(drop[:, None, None],
+                        p["uncond_embedding"].astype(cap.dtype), cap)
+    h = jax.nn.gelu(cap @ p["fc1"]["kernel"].astype(cap.dtype), approximate=True)
+    h = h @ p["fc2"]["kernel"].astype(cap.dtype)
+    return h[:, :cfg.cls_token_num]
+
+
+# ---------------------------------------------------------------------------
+# Forward modes
+# ---------------------------------------------------------------------------
+
+
+def _logits(params: Params, h: jnp.ndarray, cfg: GPTConfig) -> jnp.ndarray:
+    h = rms_norm(h, params["norm"], cfg.norm_eps)
+    return (h @ params["output"].astype(h.dtype)).astype(jnp.float32)
+
+
+def forward_train(params: Params, cfg: GPTConfig, cond: jnp.ndarray,
+                  idx: jnp.ndarray, targets: Optional[jnp.ndarray] = None,
+                  valid: Optional[jnp.ndarray] = None,
+                  rng=None, train: bool = True,
+                  compute_dtype=jnp.float32, remat: bool = False):
+    """Full-sequence teacher-forced forward (ref: gpt.py:341-346,358-381).
+
+    cond: [B] labels or [B,T,caption_dim]; idx: [B, block_size-?] token ids
+    (callers pass z[:, :-1]); targets: [B, block_size] labels for CE loss.
+    Returns (logits [B, 1+len(idx) - (cls_token_num-1), vocab], loss).
+    """
+    if rng is not None:
+        r_cond, r_tok, r_layers = jax.random.split(rng, 3)
+    else:
+        r_cond = r_tok = r_layers = None
+
+    cond_emb = embed_condition(params, cfg, cond, train=train, rng=r_cond)
+    tok_emb = params["tok_embeddings"][idx]
+    h = jnp.concatenate([cond_emb, tok_emb], axis=1).astype(compute_dtype)
+    if train and cfg.token_dropout_p > 0 and r_tok is not None:
+        h = _dropout(r_tok, h, cfg.token_dropout_p)
+
+    seq_len = h.shape[1]
+    freqs = freqs_cis_2d(cfg)[:seq_len]
+    causal = jnp.tril(jnp.ones((seq_len, seq_len), bool))[None, None]
+    h, _ = _run_layers(params, h, freqs, causal, cfg,
+                       dropout_rng=r_layers if train else None, remat=remat)
+    logits = _logits(params, h, cfg)
+    # predictions for grid tokens start at the last condition position
+    logits = logits[:, cfg.cls_token_num - 1:]
+
+    loss = None
+    if targets is not None:
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+        if valid is not None:
+            w = jnp.broadcast_to(valid[:, None].astype(jnp.float32), nll.shape)
+            loss = jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
+        else:
+            loss = jnp.mean(nll)
+    return logits, loss
+
+
+def prefill(params: Params, cfg: GPTConfig, cond: jnp.ndarray,
+            cache: KVCache, prefix_mask: Optional[jnp.ndarray] = None,
+            compute_dtype=jnp.bfloat16):
+    """Prefill the condition tokens (ref: gpt.py:348-354 prefill branch).
+
+    cond: [B] labels (c2i) or [B,T,caption_dim] caption features (t2i).
+    prefix_mask: optional [B, T] bool validity mask for t2i left-padding
+    (folded into attention exactly like ref generate.py:154-163).
+    Returns (logits at last position [B, vocab], updated cache).
+    """
+    t = cfg.cls_token_num
+    h = embed_condition(params, cfg, cond, train=False).astype(compute_dtype)
+    b = h.shape[0]
+    freqs = freqs_cis_2d(cfg)[:t]
+
+    causal = jnp.tril(jnp.ones((t, t), bool))[None, None]  # [1,1,T,T]
+    if prefix_mask is not None:
+        allow = prefix_mask[:, None, None, :]  # [B,1,1,T]
+        eye = jnp.eye(t, dtype=bool)[None, None]
+        mask = causal & (allow | eye)
+    else:
+        mask = jnp.broadcast_to(causal, (b, 1, t, t))
+
+    # during prefill only the first T cache slots are populated; attend there
+    smax = cache.max_seq_len
+    pad_cols = jnp.arange(smax) < t
+    full_mask = jnp.zeros((b, 1, t, smax), bool)
+    full_mask = full_mask.at[:, :, :, :t].set(mask)
+    del pad_cols
+
+    h, cache = _run_layers(params, h, freqs, full_mask, cfg, cache=cache, pos=0)
+    logits = _logits(params, h[:, -1:, :], cfg)[:, 0]
+    return logits, cache
+
+
+def decode_step(params: Params, cfg: GPTConfig, token: jnp.ndarray,
+                pos: jnp.ndarray, cache: KVCache,
+                prefix_allow: Optional[jnp.ndarray] = None,
+                compute_dtype=jnp.bfloat16):
+    """Single-token decode with KV cache (ref: gpt.py:350-356 decode branch).
+
+    token: [B] int32; pos: scalar int32 absolute position.
+    prefix_allow: optional [B, Smax] bool — columns always allowed outside
+    the condition prefix, emb-mask inside it (t2i).
+    Returns (logits [B, vocab], new cache).
+    """
+    b = token.shape[0]
+    smax = cache.max_seq_len
+    h = params["tok_embeddings"][token][:, None, :].astype(compute_dtype)
+    freqs = jax.lax.dynamic_slice_in_dim(freqs_cis_2d(cfg), pos, 1, axis=0)
+
+    cols = jnp.arange(smax)[None, None, None, :]
+    mask = cols <= pos  # causal over populated slots
+    mask = jnp.broadcast_to(mask, (b, 1, 1, smax))
+    if prefix_allow is not None:
+        mask = mask & prefix_allow[:, None, None, :]
+
+    h, cache = _run_layers(params, h, freqs, mask, cfg, cache=cache, pos=pos)
+    logits = _logits(params, h, cfg)[:, 0]
+    return logits, cache
+
+
+# ---------------------------------------------------------------------------
+# Initialization (ref: gpt.py:300-314 — normal(0.02), zeroed output head)
+# ---------------------------------------------------------------------------
+
+
+def init_params(key, cfg: GPTConfig, dtype=jnp.float32) -> Params:
+    std = cfg.initializer_range
+    keys = jax.random.split(key, 16)
+
+    def normal(k, shape):
+        return (jax.random.normal(k, shape) * std).astype(dtype)
+
+    qkv_out = (cfg.n_head + 2 * cfg.kv_heads) * cfg.head_dim
+    lk = jax.random.split(keys[0], 7)
+    L, D, F = cfg.n_layer, cfg.dim, cfg.ffn_hidden_dim
+    layers = {
+        "attention_norm": jnp.ones((L, D), dtype),
+        "ffn_norm": jnp.ones((L, D), dtype),
+        "wqkv": normal(lk[0], (L, D, qkv_out)),
+        "wo": normal(lk[1], (L, D, D)),
+        "w1": normal(lk[2], (L, D, F)),
+        "w2": normal(lk[3], (L, F, D)),
+        "w3": normal(lk[4], (L, D, F)),
+    }
+    params: Params = {
+        "tok_embeddings": normal(keys[1], (cfg.vocab_size, D)),
+        "layers": layers,
+        "norm": jnp.ones((D,), dtype),
+        "output": jnp.zeros((D, cfg.vocab_size), dtype),
+    }
+    if cfg.model_type == "c2i":
+        n_rows = cfg.num_classes + (1 if cfg.class_dropout_prob > 0 else 0)
+        params["cls_embedding"] = {"embedding_table": normal(keys[2], (n_rows, D))}
+    else:
+        params["cls_embedding"] = {
+            "fc1": {"kernel": normal(keys[3], (cfg.caption_dim, D))},
+            "fc2": {"kernel": normal(keys[4], (D, D))},
+            "uncond_embedding": (
+                jax.random.normal(keys[5], (cfg.cls_token_num, cfg.caption_dim))
+                / cfg.caption_dim ** 0.5).astype(dtype),
+        }
+    return params
+
+
+def param_count(params: Params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))

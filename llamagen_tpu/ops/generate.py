@@ -1,0 +1,108 @@
+"""Fully-jitted autoregressive sampling loop with classifier-free guidance.
+
+Functional equivalent of the reference decode path
+(`/root/reference/autoregressive/models/generate.py:77-176`) with the
+python-level token loop replaced by a single compiled `lax.scan`:
+
+  prefill(cond ‖ null-cond) -> sample -> scan of (decode_step -> CFG mix ->
+  sample) with the KV cache threaded as scan carry. One XLA program per
+  (model, batch, grid) geometry; zero host round-trips during generation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from llamagen_tpu.config import GPTConfig, find_multiple
+from llamagen_tpu.models import gpt
+from llamagen_tpu.ops import sampling
+
+
+def build_cfg_batch(params, cfg: GPTConfig, cond: jnp.ndarray,
+                    use_cfg: bool) -> jnp.ndarray:
+    """[cond ‖ null-cond] double batch (ref: generate.py:128-141)."""
+    if not use_cfg:
+        return cond
+    if cfg.model_type == "c2i":
+        null = jnp.full_like(cond, cfg.num_classes)
+    else:
+        uncond = params["cls_embedding"]["uncond_embedding"].astype(cond.dtype)
+        null = jnp.broadcast_to(uncond[None], cond.shape)
+    return jnp.concatenate([cond, null], axis=0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "cfg_scale", "cfg_interval",
+                     "temperature", "top_k", "top_p", "sample_logits",
+                     "compute_dtype", "cache_dtype"))
+def generate(params, rng: jax.Array, cond: jnp.ndarray, *,
+             cfg: GPTConfig, max_new_tokens: int,
+             emb_masks: Optional[jnp.ndarray] = None,
+             cfg_scale: float = 1.0, cfg_interval: int = -1,
+             temperature: float = 1.0, top_k: int = 0, top_p: float = 1.0,
+             sample_logits: bool = True,
+             compute_dtype=jnp.bfloat16, cache_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Sample `max_new_tokens` code-grid tokens.
+
+    cond: [B] class labels (c2i) or [B, T, caption_dim] T5 features (t2i).
+    emb_masks: optional [B, T] bool caption validity (t2i left-padding).
+    Returns token ids [B, max_new_tokens]. Ref: generate.py:126-176.
+    """
+    use_cfg = cfg_scale > 1.0
+    t = cfg.cls_token_num
+    batch = cond.shape[0]
+    max_seq = find_multiple(t + max_new_tokens, 8)
+    batch_cfg = batch * 2 if use_cfg else batch
+
+    cond_combined = build_cfg_batch(params, cfg, cond, use_cfg)
+    cache = gpt.init_cache(cfg, batch_cfg, max_seq, dtype=cache_dtype)
+
+    # t2i caption-validity mask folded into attention (ref: generate.py:154-163)
+    prefix_mask = prefix_allow = None
+    if emb_masks is not None:
+        m = emb_masks.astype(bool)
+        if use_cfg:
+            m = jnp.concatenate([m, m], axis=0)
+        prefix_mask = m  # [Bc, T]
+        prefix_allow = jnp.concatenate(
+            [m, jnp.ones((batch_cfg, max_seq - t), bool)], axis=1)
+
+    sample_kw = dict(temperature=temperature, top_k=top_k, top_p=top_p,
+                     sample_logits=sample_logits)
+
+    # ---- prefill (ref: generate.py:77-86) ----
+    logits, cache = gpt.prefill(params, cfg, cond_combined, cache,
+                                prefix_mask=prefix_mask,
+                                compute_dtype=compute_dtype)
+    if use_cfg:
+        logits = sampling.cfg_mix(logits, cfg_scale)
+    rng, step_rng = jax.random.split(rng)
+    first_token = sampling.sample(step_rng, logits, **sample_kw)  # [B]
+
+    # ---- decode loop (ref: generate.py:105-123) ----
+    def step(carry, i):
+        cache, cur, rng = carry
+        tok = jnp.concatenate([cur, cur], axis=0) if use_cfg else cur
+        pos = t + i
+        logits, cache = gpt.decode_step(params, cfg, tok, pos, cache,
+                                        prefix_allow=prefix_allow,
+                                        compute_dtype=compute_dtype)
+        if use_cfg:
+            if cfg_interval > -1:
+                enabled = i <= cfg_interval  # ref: cfg off when i > interval
+            else:
+                enabled = True
+            logits = sampling.cfg_mix(logits, cfg_scale, enabled=enabled)
+        rng, step_rng = jax.random.split(rng)
+        nxt = sampling.sample(step_rng, logits, **sample_kw)
+        return (cache, nxt, rng), nxt
+
+    (_, _, _), rest = jax.lax.scan(
+        step, (cache, first_token, rng), jnp.arange(max_new_tokens - 1))
+
+    return jnp.concatenate([first_token[:, None], rest.T], axis=1)

@@ -1,0 +1,83 @@
+"""On-device token sampling: temperature, top-k, top-p, categorical.
+
+Matches the semantics of the reference sampler
+(`/root/reference/autoregressive/models/generate.py:16-66`) but runs fully
+inside jit: top-k via lax.top_k thresholding, top-p via sort + cumulative
+softmax, draw via Gumbel-max (jax.random.categorical) instead of torch
+multinomial — same distribution, different RNG stream.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = jnp.float32(-1e30)
+
+
+def top_k_filter(logits: jnp.ndarray, top_k: int) -> jnp.ndarray:
+    """Keep the top_k largest logits per row (ref: generate.py:32-36).
+
+    top_k is static. Ties at the threshold are kept (same as the reference's
+    `logits < kth_value` mask).
+    """
+    if top_k <= 0:
+        return logits
+    k = min(max(top_k, 1), logits.shape[-1])
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits < kth, NEG_INF, logits)
+
+
+def top_p_filter(logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
+    """Nucleus filtering (ref: generate.py:38-53).
+
+    Keeps the smallest prefix of descending-probability tokens whose
+    cumulative probability exceeds top_p (the first token crossing the
+    threshold is kept, as in the reference's shift-right).
+    """
+    if top_p >= 1.0:
+        return logits
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # token i is removed iff the cumulative prob *before* it already > top_p
+    exclusive = cum - probs
+    keep_sorted = exclusive <= top_p
+    # threshold = smallest kept logit in sorted order
+    thresholds = jnp.min(
+        jnp.where(keep_sorted, sorted_logits, jnp.float32(jnp.inf)), axis=-1,
+        keepdims=True)
+    return jnp.where(logits < thresholds, NEG_INF, logits)
+
+
+def filter_logits(logits: jnp.ndarray, top_k: int = 0,
+                  top_p: float = 1.0) -> jnp.ndarray:
+    logits = top_k_filter(logits, top_k)
+    logits = top_p_filter(logits, top_p)
+    return logits
+
+
+def sample(rng: jax.Array, logits: jnp.ndarray, *, temperature: float = 1.0,
+           top_k: int = 0, top_p: float = 1.0,
+           sample_logits: bool = True) -> jnp.ndarray:
+    """logits [B, V] -> token ids [B] (ref: generate.py:57-66)."""
+    logits = logits.astype(jnp.float32) / max(temperature, 1e-5)
+    logits = filter_logits(logits, top_k=top_k, top_p=top_p)
+    if sample_logits:
+        return jax.random.categorical(rng, logits, axis=-1)
+    return jnp.argmax(logits, axis=-1)
+
+
+def cfg_mix(logits: jnp.ndarray, cfg_scale,
+            enabled=True) -> jnp.ndarray:
+    """Classifier-free-guidance combine on a [cond ‖ uncond] double batch.
+
+    logits: [2B, V] -> [B, V] = uncond + (cond - uncond) * scale
+    (ref: generate.py:82,96-99). `enabled` may be a traced bool
+    (cfg_interval support): when False, returns the cond half unchanged.
+    """
+    cond, uncond = jnp.split(logits, 2, axis=0)
+    scale = jnp.where(enabled, jnp.float32(cfg_scale), jnp.float32(1.0))
+    return uncond + (cond - uncond) * scale

@@ -1,0 +1,212 @@
+"""PyTorch checkpoint -> llamagen_tpu params conversion.
+
+Converts the released LlamaGen `.pt` state dicts (layouts documented at
+`/root/reference/autoregressive/sample/sample_c2i.py:48-58`: raw fsdp dict,
+{"model"}, {"module"}, {"state_dict"}) into this framework's param pytrees.
+
+Layout transforms:
+  - Conv2d weight  [O, I, kh, kw]  -> HWIO [kh, kw, I, O]
+  - 1x1 convs used as pointwise layers (attn q/k/v/proj, nin_shortcut)
+                                    -> dense kernel [I, O]
+  - Linear weight  [O, I]          -> dense kernel [I, O]
+  - per-layer GPT tensors          -> stacked [L, ...] for scan-over-layers
+
+torch is only imported lazily; conversion also accepts a plain
+{name: np.ndarray} mapping.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+from llamagen_tpu.config import GPTConfig, VQConfig
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a .pt checkpoint into numpy arrays, unwrapping trainer dicts."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    for key in ("model", "module", "state_dict", "ema"):
+        if isinstance(ckpt, dict) and key in ckpt and isinstance(ckpt[key], dict):
+            ckpt = ckpt[key]
+            break
+    out = {}
+    for k, v in ckpt.items():
+        if hasattr(v, "detach"):
+            out[k] = v.detach().to(torch.float32).cpu().numpy()
+    return out
+
+
+def _strip_prefixes(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in sd.items():
+        for prefix in ("module.", "_orig_mod."):
+            if k.startswith(prefix):
+                k = k[len(prefix):]
+        out[k] = np.asarray(v)
+    return out
+
+
+def _conv(sd, name) -> Dict[str, np.ndarray]:
+    w = sd[f"{name}.weight"]  # [O, I, kh, kw]
+    return {"kernel": np.transpose(w, (2, 3, 1, 0)), "bias": sd[f"{name}.bias"]}
+
+
+def _pointwise(sd, name) -> Dict[str, np.ndarray]:
+    """1x1 conv -> dense [I, O]."""
+    w = sd[f"{name}.weight"]
+    if w.ndim == 4:
+        w = w[:, :, 0, 0]
+    p = {"kernel": np.transpose(w, (1, 0))}
+    if f"{name}.bias" in sd:
+        p["bias"] = sd[f"{name}.bias"]
+    return p
+
+
+def _linear(sd, name) -> Dict[str, np.ndarray]:
+    p = {"kernel": np.transpose(sd[f"{name}.weight"], (1, 0))}
+    if f"{name}.bias" in sd:
+        p["bias"] = sd[f"{name}.bias"]
+    return p
+
+
+def _gn(sd, name) -> Dict[str, np.ndarray]:
+    return {"scale": sd[f"{name}.weight"], "bias": sd[f"{name}.bias"]}
+
+
+def _res(sd, name) -> Dict[str, np.ndarray]:
+    p = {
+        "norm1": _gn(sd, f"{name}.norm1"),
+        "conv1": _conv(sd, f"{name}.conv1"),
+        "norm2": _gn(sd, f"{name}.norm2"),
+        "conv2": _conv(sd, f"{name}.conv2"),
+    }
+    if f"{name}.nin_shortcut.weight" in sd:
+        p["nin_shortcut"] = _pointwise(sd, f"{name}.nin_shortcut")
+    return p
+
+
+def _attn(sd, name) -> Dict[str, np.ndarray]:
+    return {
+        "norm": _gn(sd, f"{name}.norm"),
+        "q": _pointwise(sd, f"{name}.q"),
+        "k": _pointwise(sd, f"{name}.k"),
+        "v": _pointwise(sd, f"{name}.v"),
+        "proj_out": _pointwise(sd, f"{name}.proj_out"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# VQ-VAE
+# ---------------------------------------------------------------------------
+
+
+def convert_vq(sd: Mapping[str, np.ndarray], cfg: VQConfig) -> Dict[str, Any]:
+    """Reference VQModel state dict -> llamagen_tpu.models.vq params."""
+    sd = _strip_prefixes(sd)
+    num_res_e = len(cfg.encoder_ch_mult)
+    num_res_d = len(cfg.decoder_ch_mult)
+
+    enc: Dict[str, Any] = {"conv_in": _conv(sd, "encoder.conv_in"), "down": []}
+    for i in range(num_res_e):
+        base = f"encoder.conv_blocks.{i}"
+        level: Dict[str, Any] = {"res": [], "attn": []}
+        for j in range(cfg.num_res_blocks):
+            level["res"].append(_res(sd, f"{base}.res.{j}"))
+            if i == num_res_e - 1:
+                level["attn"].append(_attn(sd, f"{base}.attn.{j}"))
+        if i != num_res_e - 1:
+            level["downsample"] = {"conv": _conv(sd, f"{base}.downsample.conv")}
+        enc["down"].append(level)
+    enc["mid"] = [_res(sd, "encoder.mid.0"), _attn(sd, "encoder.mid.1"),
+                  _res(sd, "encoder.mid.2")]
+    enc["norm_out"] = _gn(sd, "encoder.norm_out")
+    enc["conv_out"] = _conv(sd, "encoder.conv_out")
+
+    dec: Dict[str, Any] = {"conv_in": _conv(sd, "decoder.conv_in")}
+    dec["mid"] = [_res(sd, "decoder.mid.0"), _attn(sd, "decoder.mid.1"),
+                  _res(sd, "decoder.mid.2")]
+    dec["up"] = []
+    # decoder conv_blocks are built for reversed(range(num_res)) and applied
+    # in list order (ref: vq_model.py:146-163,182-188) — list index i is the
+    # i-th applied level, which is what our decoder_apply expects.
+    for i in range(num_res_d):
+        base = f"decoder.conv_blocks.{i}"
+        level: Dict[str, Any] = {"res": [], "attn": []}
+        for j in range(cfg.num_res_blocks + 1):
+            level["res"].append(_res(sd, f"{base}.res.{j}"))
+            if i == 0:
+                level["attn"].append(_attn(sd, f"{base}.attn.{j}"))
+        if i != num_res_d - 1:
+            level["upsample"] = {"conv": _conv(sd, f"{base}.upsample.conv")}
+        dec["up"].append(level)
+    dec["norm_out"] = _gn(sd, "decoder.norm_out")
+    dec["conv_out"] = _conv(sd, "decoder.conv_out")
+
+    return {
+        "encoder": enc,
+        "decoder": dec,
+        "quant_conv": _conv(sd, "quant_conv"),
+        "post_quant_conv": _conv(sd, "post_quant_conv"),
+        "quantize": {"codebook": sd["quantize.embedding.weight"]},
+    }
+
+
+# ---------------------------------------------------------------------------
+# GPT
+# ---------------------------------------------------------------------------
+
+
+def convert_gpt(sd: Mapping[str, np.ndarray], cfg: GPTConfig) -> Dict[str, Any]:
+    """Reference Transformer state dict -> llamagen_tpu.models.gpt params.
+
+    Per-layer weights are stacked along a leading layer axis for
+    lax.scan-over-layers. Linear kernels transposed to [in, out].
+    """
+    sd = _strip_prefixes(sd)
+    L = cfg.n_layer
+
+    def stack_linear(fmt: str) -> np.ndarray:
+        return np.stack([np.transpose(sd[fmt.format(i)], (1, 0)) for i in range(L)])
+
+    def stack_raw(fmt: str) -> np.ndarray:
+        return np.stack([sd[fmt.format(i)] for i in range(L)])
+
+    layers = {
+        "attention_norm": stack_raw("layers.{}.attention_norm.weight"),
+        "ffn_norm": stack_raw("layers.{}.ffn_norm.weight"),
+        "wqkv": stack_linear("layers.{}.attention.wqkv.weight"),
+        "wo": stack_linear("layers.{}.attention.wo.weight"),
+        "w1": stack_linear("layers.{}.feed_forward.w1.weight"),
+        "w2": stack_linear("layers.{}.feed_forward.w2.weight"),
+        "w3": stack_linear("layers.{}.feed_forward.w3.weight"),
+    }
+
+    params: Dict[str, Any] = {
+        "tok_embeddings": sd["tok_embeddings.weight"],
+        "layers": layers,
+        "norm": sd["norm.weight"],
+        "output": np.transpose(sd["output.weight"], (1, 0)),
+    }
+
+    if cfg.model_type == "c2i":
+        params["cls_embedding"] = {
+            "embedding_table": sd["cls_embedding.embedding_table.weight"]}
+    else:  # t2i
+        params["cls_embedding"] = {
+            "fc1": {"kernel": np.transpose(sd["cls_embedding.cap_proj.fc1.weight"], (1, 0))},
+            "fc2": {"kernel": np.transpose(sd["cls_embedding.cap_proj.fc2.weight"], (1, 0))},
+            "uncond_embedding": sd["cls_embedding.uncond_embedding"],
+        }
+    return params
+
+
+def convert_vq_file(path: str, cfg: VQConfig) -> Dict[str, Any]:
+    return convert_vq(load_torch_state_dict(path), cfg)
+
+
+def convert_gpt_file(path: str, cfg: GPTConfig) -> Dict[str, Any]:
+    return convert_gpt(load_torch_state_dict(path), cfg)

@@ -1,0 +1,89 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401  (forces cpu + 8 virtual devices)
+
+import jax
+import jax.numpy as jnp
+
+from llamagen_tpu.config import GPTConfig
+from llamagen_tpu.models import gpt
+from llamagen_tpu.parallel.mesh import make_mesh
+from llamagen_tpu.train import c2i
+from llamagen_tpu.train.train_state import decay_mask
+
+CFG = GPTConfig(dim=64, n_layer=2, n_head=4, block_size=16, num_classes=10,
+                vocab_size=256, cls_token_num=1)
+
+
+def _batch(b=8):
+    rng = np.random.RandomState(0)
+    return c2i.Batch(
+        labels=jnp.asarray(rng.randint(0, 10, size=(b,))),
+        tokens=jnp.asarray(rng.randint(0, 256, size=(b, CFG.block_size))))
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1, 1), (2, 2, 2), (1, 4, 2), (1, 1, 8)])
+def test_train_step_runs_on_mesh(mesh_shape):
+    dp, fsdp, tp = mesh_shape
+    mesh = make_mesh(dp, fsdp, tp)
+    state, step_fn = c2i.build_trainer(
+        CFG, mesh, use_ema=True, compute_dtype=jnp.float32)
+    batch = c2i.shard_batch(_batch(), mesh)
+    state, metrics = step_fn(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
+    state, metrics2 = step_fn(state, batch, jax.random.PRNGKey(0))
+    assert int(state.step) == 2
+    assert np.isfinite(float(metrics2["loss"]))
+
+
+def test_fsdp_matches_single_device_loss():
+    """Same init seed => same first-step loss regardless of sharding."""
+    mesh1 = make_mesh(1, 1, 1, devices=jax.devices()[:1])
+    mesh8 = make_mesh(1, 4, 2)
+    losses = []
+    for mesh in (mesh1, mesh8):
+        state, step_fn = c2i.build_trainer(
+            CFG, mesh, use_ema=False, compute_dtype=jnp.float32, seed=7)
+        batch = c2i.shard_batch(_batch(), mesh)
+        _, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+        losses.append(float(metrics["loss"]))
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+
+
+def test_decay_mask_excludes_norms():
+    params = gpt.init_params(jax.random.PRNGKey(0), CFG)
+    mask = decay_mask(params)
+    assert mask["layers"]["attention_norm"] is False
+    assert mask["layers"]["ffn_norm"] is False
+    assert mask["norm"] is False
+    assert mask["layers"]["wqkv"] is True
+    assert mask["output"] is True
+    assert mask["tok_embeddings"] is True
+
+
+def test_generate_under_mesh_tp():
+    """CFG sampling works with params sharded over tp."""
+    from jax.sharding import NamedSharding
+    from llamagen_tpu.ops.generate import generate
+    from llamagen_tpu.parallel import partition
+
+    mesh = make_mesh(1, 1, 8)
+    params = gpt.init_params(jax.random.PRNGKey(0), CFG)
+    pspecs = partition.gpt_param_specs(CFG)
+    params = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, pspecs,
+        is_leaf=lambda x: x is None)
+    labels = jnp.asarray(np.array([1, 2]))
+    seq = generate(params, jax.random.PRNGKey(0), labels, cfg=CFG,
+                   max_new_tokens=CFG.block_size, cfg_scale=2.0,
+                   compute_dtype=jnp.float32, cache_dtype=jnp.float32)
+    assert seq.shape == (2, CFG.block_size)
+    assert (np.asarray(seq) >= 0).all() and (np.asarray(seq) < 256).all()
