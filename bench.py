@@ -35,10 +35,12 @@ def main():
         seq = generate(params, jax.random.PRNGKey(seed), labels, cfg=cfg,
                        max_new_tokens=cfg.block_size, cfg_scale=2.0,
                        temperature=1.0, top_k=0, top_p=1.0)
-        seq.block_until_ready()
-        return seq
+        # materialize on host: block_until_ready does not reliably block on
+        # the axon tunnel backend, a host transfer does
+        return np.asarray(seq)
 
-    run(0)  # compile
+    run(0)  # compile + first-exec warmup
+    run(0)
     times = []
     for i in range(3):
         t0 = time.time()

@@ -1,0 +1,120 @@
+"""Datasets of pre-extracted VQ codes for GPT training.
+
+The reference trains from 1.28M per-sample `.npy` micro-files
+(`/root/reference/dataset/imagenet.py:8-50`: `{i}.npy` code arrays of shape
+[1, num_aug, L] + label files). That layout is hostile to TPU-VM IO, so this
+module supports both:
+
+  - `NpyCodeDataset`: reference-layout reader (drop-in for converted dumps)
+  - packed single-file shards (`pack_shards` / `PackedCodeDataset`):
+    [N, num_aug, L] int16 memmap + [N] labels — sequential reads, no
+    per-sample open() syscalls, trivially shardable across hosts.
+
+Batches are host-side numpy; device placement happens in the train loop
+(`llamagen_tpu.train.c2i.shard_batch`).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+
+class NpyCodeDataset:
+    """Reference-layout reader: dir with {i}.npy codes and labels.
+
+    Ref: dataset/imagenet.py — feature dir `{code_path}/imagenet{size}_codes`,
+    label dir `{code_path}/imagenet{size}_labels`.
+    """
+
+    def __init__(self, feature_dir: str, label_dir: str):
+        self.feature_dir = feature_dir
+        self.label_dir = label_dir
+        self.num = len([f for f in os.listdir(feature_dir) if f.endswith(".npy")])
+
+    def __len__(self) -> int:
+        return self.num
+
+    def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        codes = np.load(os.path.join(self.feature_dir, f"{idx}.npy"))
+        labels = np.load(os.path.join(self.label_dir, f"{idx}.npy"))
+        # pick one augmentation (ref: dataset/imagenet.py random aug choice)
+        aug = np.random.randint(codes.shape[1]) if codes.ndim == 3 else 0
+        code = codes[0, aug] if codes.ndim == 3 else codes.reshape(-1)
+        return code.astype(np.int32), labels.reshape(-1)[0].astype(np.int32)
+
+
+def pack_shards(dataset, out_dir: str, shard_size: int = 100_000,
+                seq_len: Optional[int] = None) -> int:
+    """Repack any (codes, label) dataset into flat memmap shards."""
+    os.makedirs(out_dir, exist_ok=True)
+    n = len(dataset)
+    num_shards = 0
+    for start in range(0, n, shard_size):
+        end = min(start + shard_size, n)
+        first_code, _ = dataset[start]
+        L = seq_len or first_code.shape[-1]
+        codes = np.zeros((end - start, L), np.int16)
+        labels = np.zeros((end - start,), np.int16)
+        for i in range(start, end):
+            c, lab = dataset[i]
+            codes[i - start] = c.reshape(-1)[:L]
+            labels[i - start] = lab
+        np.savez(os.path.join(out_dir, f"shard_{num_shards:05d}.npz"),
+                 codes=codes, labels=labels)
+        num_shards += 1
+    return num_shards
+
+
+class PackedCodeDataset:
+    """Reads packed shards into memory-mapped flat arrays."""
+
+    def __init__(self, shard_dir: str):
+        files = sorted(f for f in os.listdir(shard_dir) if f.endswith(".npz"))
+        assert files, f"no shards in {shard_dir}"
+        codes, labels = [], []
+        for f in files:
+            z = np.load(os.path.join(shard_dir, f), mmap_mode="r")
+            codes.append(z["codes"])
+            labels.append(z["labels"])
+        self.codes = np.concatenate(codes)
+        self.labels = np.concatenate(labels)
+
+    def __len__(self) -> int:
+        return self.codes.shape[0]
+
+    def batches(self, batch_size: int, *, seed: int = 0, epochs: int = -1,
+                drop_remainder: bool = True) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Infinite (or epochs-bounded) shuffled batch iterator."""
+        n = len(self)
+        epoch = 0
+        while epochs < 0 or epoch < epochs:
+            order = np.random.RandomState(seed + epoch).permutation(n)
+            for start in range(0, n - (batch_size - 1 if drop_remainder else 0),
+                               batch_size):
+                sel = order[start:start + batch_size]
+                if len(sel) < batch_size and drop_remainder:
+                    break
+                yield (self.codes[sel].astype(np.int32),
+                       self.labels[sel].astype(np.int32))
+            epoch += 1
+
+
+class SyntheticCodeDataset:
+    """Random codes/labels for smoke tests and benchmarks."""
+
+    def __init__(self, num: int, seq_len: int, vocab_size: int = 16384,
+                 num_classes: int = 1000, seed: int = 0):
+        rng = np.random.RandomState(seed)
+        self.codes = rng.randint(0, vocab_size, size=(num, seq_len)).astype(np.int16)
+        self.labels = rng.randint(0, num_classes, size=(num,)).astype(np.int16)
+
+    def __len__(self):
+        return self.codes.shape[0]
+
+    def __getitem__(self, idx):
+        return self.codes[idx].astype(np.int32), self.labels[idx].astype(np.int32)
+
+    batches = PackedCodeDataset.batches

@@ -335,11 +335,26 @@ def prefill(params: Params, cfg: GPTConfig, cond: jnp.ndarray,
     return logits, cache
 
 
+def _rope_single(x: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
+    """RoPE for a single position. x: [B, H, D]; freqs: [D//2, 2]."""
+    xf = x.astype(jnp.float32).reshape(*x.shape[:-1], -1, 2)
+    cos = freqs[None, None, :, 0]
+    sin = freqs[None, None, :, 1]
+    real = xf[..., 0] * cos - xf[..., 1] * sin
+    imag = xf[..., 1] * cos + xf[..., 0] * sin
+    return jnp.stack([real, imag], axis=-1).reshape(x.shape).astype(x.dtype)
+
+
 def decode_step(params: Params, cfg: GPTConfig, token: jnp.ndarray,
                 pos: jnp.ndarray, cache: KVCache,
                 prefix_allow: Optional[jnp.ndarray] = None,
                 compute_dtype=jnp.bfloat16):
     """Single-token decode with KV cache (ref: gpt.py:350-356 decode branch).
+
+    TPU-tuned: 2D activations [B, D] (no degenerate seq dim), fori_loop over
+    layers with in-place dynamic_update_slice on the full [L,B,S,H,D] cache
+    (aliases through the while loop — no per-layer cache staging copies),
+    per-layer weights read via dynamic_index_in_dim.
 
     token: [B] int32; pos: scalar int32 absolute position.
     prefix_allow: optional [B, Smax] bool — columns always allowed outside
@@ -348,18 +363,59 @@ def decode_step(params: Params, cfg: GPTConfig, token: jnp.ndarray,
     """
     b = token.shape[0]
     smax = cache.max_seq_len
-    h = params["tok_embeddings"][token][:, None, :].astype(compute_dtype)
-    freqs = jax.lax.dynamic_slice_in_dim(freqs_cis_2d(cfg), pos, 1, axis=0)
+    h = params["tok_embeddings"][token].astype(compute_dtype)  # [B, D]
+    freqs = jax.lax.dynamic_slice_in_dim(
+        freqs_cis_2d(cfg), pos, 1, axis=0)[0]  # [D//2, 2]
 
-    cols = jnp.arange(smax)[None, None, None, :]
-    mask = cols <= pos  # causal over populated slots
-    mask = jnp.broadcast_to(mask, (b, 1, 1, smax))
+    mask = (jnp.arange(smax) <= pos)[None, None, :]  # [1, 1, S]
     if prefix_allow is not None:
-        mask = mask & prefix_allow[:, None, None, :]
+        mask = mask & prefix_allow[:, None, :]  # [B, 1, S]
+    scale = cfg.head_dim ** -0.5
+    rep = cfg.n_head // cfg.kv_heads
+    layers = params["layers"]
 
-    h, cache = _run_layers(params, h, freqs, mask, cfg, cache=cache, pos=pos)
-    logits = _logits(params, h, cfg)[:, 0]
-    return logits, cache
+    def body(l, carry):
+        h, ck, cv = carry
+        p = jax.tree.map(
+            lambda x: jax.lax.dynamic_index_in_dim(x, l, 0, keepdims=False),
+            layers)
+        x = rms_norm(h, p["attention_norm"], cfg.norm_eps)
+        qkv = x @ p["wqkv"].astype(x.dtype)
+        q_size = cfg.n_head * cfg.head_dim
+        kv_size = cfg.kv_heads * cfg.head_dim
+        q = qkv[:, :q_size].reshape(b, cfg.n_head, cfg.head_dim)
+        k = qkv[:, q_size:q_size + kv_size].reshape(b, cfg.kv_heads, cfg.head_dim)
+        v = qkv[:, q_size + kv_size:].reshape(b, cfg.kv_heads, cfg.head_dim)
+        q = _rope_single(q, freqs)
+        k = _rope_single(k, freqs)
+
+        ck = jax.lax.dynamic_update_slice(
+            ck, k.astype(ck.dtype)[None, :, None], (l, 0, pos, 0, 0))
+        cv = jax.lax.dynamic_update_slice(
+            cv, v.astype(cv.dtype)[None, :, None], (l, 0, pos, 0, 0))
+        keys = jax.lax.dynamic_index_in_dim(ck, l, 0, keepdims=False)
+        vals = jax.lax.dynamic_index_in_dim(cv, l, 0, keepdims=False)
+        if rep != 1:
+            keys = jnp.repeat(keys, rep, axis=2)
+            vals = jnp.repeat(vals, rep, axis=2)
+
+        scores = jnp.einsum("bhd,bshd->bhs", q, keys.astype(q.dtype),
+                            preferred_element_type=jnp.float32) * scale
+        scores = jnp.where(mask, scores, jnp.float32(-1e30))
+        probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        attn = jnp.einsum("bhs,bshd->bhd", probs, vals.astype(q.dtype))
+        h = h + attn.reshape(b, cfg.dim) @ p["wo"].astype(x.dtype)
+
+        x = rms_norm(h, p["ffn_norm"], cfg.norm_eps)
+        ffn = jax.nn.silu(x @ p["w1"].astype(x.dtype)) * (x @ p["w3"].astype(x.dtype))
+        h = h + ffn @ p["w2"].astype(x.dtype)
+        return (h, ck, cv)
+
+    h, new_k, new_v = jax.lax.fori_loop(0, cfg.n_layer, body,
+                                        (h, cache.k, cache.v))
+    h = rms_norm(h, params["norm"], cfg.norm_eps)
+    logits = (h @ params["output"].astype(h.dtype)).astype(jnp.float32)
+    return logits, KVCache(k=new_k, v=new_v)
 
 
 # ---------------------------------------------------------------------------

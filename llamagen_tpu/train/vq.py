@@ -1,0 +1,203 @@
+"""VQ-VAE GAN training: alternating generator/discriminator steps.
+
+Functional port of the reference two-optimizer loop
+(`/root/reference/tokenizer/tokenizer_image/vq_train.py:187-216`) and loss
+(`vq_loss.py:117-168`): generator loss = rec (l1/l2) + LPIPS + adversarial +
+codebook terms with a disc warm-start gate; discriminator loss =
+hinge/vanilla/non-saturating on (real, stopped-fake).
+
+Both optimizer updates are fused into ONE jitted step (the reference issues
+two backward passes per iteration anyway; here XLA shares the generator
+forward between them where possible).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from llamagen_tpu.config import VQConfig
+from llamagen_tpu.models import discriminator as disc_lib
+from llamagen_tpu.models import lpips as lpips_lib
+from llamagen_tpu.models import vq
+from llamagen_tpu.train.train_state import ema_update
+
+
+@dataclass(frozen=True)
+class VQLossConfig:
+    """Mirrors VQLoss.__init__ defaults (ref: vq_loss.py:50-54)."""
+    disc_start: int = 20000
+    disc_weight: float = 0.5
+    disc_type: str = "patchgan"           # or 'stylegan'
+    disc_loss: str = "hinge"              # 'hinge' | 'vanilla' | 'non-saturating'
+    gen_adv_loss: str = "hinge"           # 'hinge' | 'non-saturating'
+    reconstruction_loss: str = "l2"       # 'l1' | 'l2'
+    reconstruction_weight: float = 1.0
+    codebook_weight: float = 1.0
+    perceptual_weight: float = 1.0
+    disc_adaptive_weight: bool = False
+    image_size: int = 256
+
+
+# --- adversarial losses (ref: vq_loss.py:14-40) ---
+
+def hinge_d_loss(real, fake):
+    return 0.5 * (jnp.mean(jax.nn.relu(1.0 - real))
+                  + jnp.mean(jax.nn.relu(1.0 + fake)))
+
+
+def vanilla_d_loss(real, fake):
+    return 0.5 * (jnp.mean(jax.nn.softplus(-real))
+                  + jnp.mean(jax.nn.softplus(fake)))
+
+
+def non_saturating_d_loss(real, fake):
+    # BCE-with-logits: real vs 1, fake vs 0
+    return 0.5 * (jnp.mean(jax.nn.softplus(-real))
+                  + jnp.mean(jax.nn.softplus(fake)))
+
+
+def hinge_gen_loss(fake):
+    return -jnp.mean(fake)
+
+
+def non_saturating_gen_loss(fake):
+    return jnp.mean(jax.nn.softplus(-fake))
+
+
+D_LOSSES = {"hinge": hinge_d_loss, "vanilla": vanilla_d_loss,
+            "non-saturating": non_saturating_d_loss}
+G_LOSSES = {"hinge": hinge_gen_loss, "non-saturating": non_saturating_gen_loss}
+
+
+def rec_loss_fn(kind: str, x, y):
+    if kind == "l1":
+        return jnp.mean(jnp.abs(x - y))
+    return jnp.mean((x - y) ** 2)
+
+
+class VQTrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any            # VQ-VAE params
+    opt_state: Any
+    disc_params: Any
+    disc_opt_state: Any
+    ema_params: Optional[Any] = None
+
+
+def init_vq_train_state(key, cfg: VQConfig, loss_cfg: VQLossConfig,
+                        tx_gen, tx_disc, use_ema: bool = False,
+                        dtype=jnp.float32) -> VQTrainState:
+    k1, k2 = jax.random.split(key)
+    params = vq.init_params(k1, cfg, dtype)
+    disc_params = disc_lib.init_discriminator(
+        k2, loss_cfg.disc_type, loss_cfg.image_size, dtype=dtype)
+    return VQTrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params, opt_state=tx_gen.init(params),
+        disc_params=disc_params, disc_opt_state=tx_disc.init(disc_params),
+        ema_params=jax.tree.map(jnp.copy, params) if use_ema else None)
+
+
+def make_vq_train_step(cfg: VQConfig, loss_cfg: VQLossConfig, tx_gen, tx_disc,
+                       lpips_params=None, ema_decay: Optional[float] = None,
+                       compute_dtype=jnp.float32):
+    """Build the jitted combined generator+discriminator step.
+
+    lpips_params: frozen LPIPS weights (closure constant — donated to device
+    once); None disables the perceptual term (perceptual_weight*0).
+    """
+    disc_apply = disc_lib.DISC_APPLY[loss_cfg.disc_type]
+    d_loss = D_LOSSES[loss_cfg.disc_loss]
+    g_adv = G_LOSSES[loss_cfg.gen_adv_loss]
+
+    def disc_gate(step):
+        """adopt_weight: 0 before disc_start (ref: vq_loss.py:43-46)."""
+        return jnp.where(step >= loss_cfg.disc_start,
+                         jnp.float32(loss_cfg.disc_weight), 0.0)
+
+    def gen_loss(params, disc_params, imgs, step):
+        recons, cb, indices = vq.forward(
+            params, imgs.astype(compute_dtype), cfg, train=True)
+        recons_f = recons.astype(jnp.float32)
+        imgs_f = imgs.astype(jnp.float32)
+        rec = rec_loss_fn(loss_cfg.reconstruction_loss, imgs_f, recons_f)
+        if lpips_params is not None and loss_cfg.perceptual_weight > 0:
+            p = lpips_lib.lpips_mean(lpips_params, imgs_f, recons_f)
+        else:
+            p = jnp.float32(0.0)
+        logits_fake = disc_apply(disc_params, recons)
+        adv = g_adv(logits_fake.astype(jnp.float32))
+        dw = disc_gate(step)
+        codebook_total = cb["vq"] + cb["commit"] + cb["entropy"]
+        loss = (loss_cfg.reconstruction_weight * rec
+                + loss_cfg.perceptual_weight * p
+                + dw * adv
+                + loss_cfg.codebook_weight * codebook_total)
+        usage = codebook_usage(indices, cfg.codebook_size)
+        metrics = {"rec_loss": rec, "perceptual_loss": p,
+                   "gen_adv_loss": adv, "vq_loss": cb["vq"],
+                   "commit_loss": cb["commit"], "entropy_loss": cb["entropy"],
+                   "codebook_usage": usage}
+        return loss, (recons, metrics)
+
+    def disc_loss(disc_params, imgs, recons, step):
+        logits_real = disc_apply(disc_params, imgs.astype(compute_dtype))
+        logits_fake = disc_apply(disc_params,
+                                 jax.lax.stop_gradient(recons))
+        dw = disc_gate(step)
+        loss = dw * d_loss(logits_real.astype(jnp.float32),
+                           logits_fake.astype(jnp.float32))
+        return loss, {"disc_loss": loss,
+                      "logits_real": jnp.mean(logits_real),
+                      "logits_fake": jnp.mean(logits_fake)}
+
+    def train_step(state: VQTrainState, imgs):
+        # generator update (ref: vq_train.py:187-204)
+        (g_total, (recons, g_metrics)), grads = jax.value_and_grad(
+            gen_loss, has_aux=True)(state.params, state.disc_params, imgs,
+                                    state.step)
+        updates, opt_state = tx_gen.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        # discriminator update (ref: vq_train.py:206-216)
+        (d_total, d_metrics), d_grads = jax.value_and_grad(
+            disc_loss, has_aux=True)(state.disc_params, imgs, recons,
+                                     state.step)
+        d_updates, disc_opt_state = tx_disc.update(
+            d_grads, state.disc_opt_state, state.disc_params)
+        disc_params = optax.apply_updates(state.disc_params, d_updates)
+
+        ema = state.ema_params
+        if ema is not None and ema_decay is not None:
+            ema = ema_update(ema, params, ema_decay)
+
+        metrics = {"gen_loss": g_total, **g_metrics, **d_metrics}
+        return VQTrainState(step=state.step + 1, params=params,
+                            opt_state=opt_state, disc_params=disc_params,
+                            disc_opt_state=disc_opt_state,
+                            ema_params=ema), metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def codebook_usage(indices: jnp.ndarray, codebook_size: int) -> jnp.ndarray:
+    """Fraction of codebook entries hit in this batch.
+
+    (The reference tracks a rolling 65536-token window across steps,
+    vq_model.py:241-245; per-batch usage is the jit-friendly equivalent.)
+    """
+    hist = jnp.zeros((codebook_size,), jnp.int32).at[indices.reshape(-1)].add(1)
+    return jnp.sum(hist > 0) / codebook_size
+
+
+def make_vq_optimizer(lr: float = 1e-4, beta1: float = 0.9,
+                      beta2: float = 0.95, max_grad_norm: float = 1.0):
+    """Adam (no weight decay), as vq_train.py:110-111."""
+    return optax.chain(optax.clip_by_global_norm(max_grad_norm),
+                       optax.adam(lr, b1=beta1, b2=beta2))

@@ -204,6 +204,50 @@ def convert_gpt(sd: Mapping[str, np.ndarray], cfg: GPTConfig) -> Dict[str, Any]:
     return params
 
 
+# ---------------------------------------------------------------------------
+# Discriminators (for VQ-GAN checkpoint resume)
+# ---------------------------------------------------------------------------
+
+
+def convert_patchgan(sd: Mapping[str, np.ndarray], n_layers: int = 3) -> Dict[str, Any]:
+    """Reference NLayerDiscriminator state dict -> our patchgan params.
+
+    Sequential layout (ref discriminator_patchgan.py:30-54): conv@0, then
+    (conv, norm, leaky) triplets, final 1-channel conv at the end.
+    """
+    sd = _strip_prefixes(sd)
+    convs = [_conv(sd, "main.0")]
+    norms = []
+    for i in range(n_layers):
+        conv_idx = 2 + 3 * i
+        name = f"main.{conv_idx}"
+        w = sd[f"{name}.weight"]
+        convs.append({"kernel": np.transpose(w, (2, 3, 1, 0))})
+        norms.append({"scale": sd[f"main.{conv_idx + 1}.weight"],
+                      "bias": sd[f"main.{conv_idx + 1}.bias"]})
+    convs.append(_conv(sd, f"main.{2 + 3 * n_layers}"))
+    return {"convs": convs, "norms": norms}
+
+
+def convert_stylegan(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """Reference StyleGAN Discriminator state dict -> our params."""
+    sd = _strip_prefixes(sd)
+    params: Dict[str, Any] = {"conv_in": _conv(sd, "blocks.0"), "blocks": []}
+    i = 2
+    while f"blocks.{i}.conv_res.weight" in sd:
+        params["blocks"].append({
+            "conv_res": _conv(sd, f"blocks.{i}.conv_res"),
+            "conv1": _conv(sd, f"blocks.{i}.net.0"),
+            "conv2": _conv(sd, f"blocks.{i}.net.2"),
+            "down": _conv(sd, f"blocks.{i}.downsample.1"),
+        })
+        i += 1
+    params["final_conv"] = _conv(sd, "final_conv.0")
+    params["fc1"] = _linear(sd, "final_linear.0")
+    params["fc2"] = _linear(sd, "final_linear.2")
+    return params
+
+
 def convert_vq_file(path: str, cfg: VQConfig) -> Dict[str, Any]:
     return convert_vq(load_torch_state_dict(path), cfg)
 

@@ -1,0 +1,173 @@
+"""VQ-GAN loss stack tests: discriminator parity, LPIPS math, train step."""
+
+import numpy as np
+import pytest
+
+import conftest
+
+torch = pytest.importorskip("torch")
+conftest.add_reference_to_path()
+
+import jax
+import jax.numpy as jnp
+
+from llamagen_tpu.config import vq_config
+from llamagen_tpu.models import discriminator as disc_lib
+from llamagen_tpu.models import lpips as lpips_lib
+from llamagen_tpu.train import vq as vq_train
+from llamagen_tpu.utils.convert import convert_patchgan
+
+
+def test_patchgan_parity():
+    from tokenizer.tokenizer_image.discriminator_patchgan import NLayerDiscriminator
+
+    torch.manual_seed(0)
+    ref = NLayerDiscriminator(input_nc=3, ndf=64, n_layers=3)
+    ref.train()  # batch-stat BN, matching our functional BN
+    params = convert_patchgan(
+        {k: v.detach().numpy() for k, v in ref.state_dict().items()})
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x).permute(0, 3, 1, 2))
+    ours = disc_lib.patchgan_apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(ours)[..., 0], ref_out.numpy()[:, 0], atol=2e-4, rtol=1e-3)
+
+
+def test_stylegan_shapes():
+    params = disc_lib.init_stylegan(jax.random.PRNGKey(0), image_size=64)
+    x = jnp.zeros((2, 64, 64, 3))
+    out = disc_lib.stylegan_apply(params, x)
+    assert out.shape == (2, 1)
+
+
+def test_lpips_math_vs_torch_oracle():
+    """Validate LPIPS computation against a hand-built torch equivalent."""
+    torch.manual_seed(1)
+    # build torch VGG16.features-equivalent with random weights
+    cfg = lpips_lib._VGG16_CFG
+    layers, cin = [], 3
+    for item in cfg:
+        if item == "M":
+            layers.append(torch.nn.MaxPool2d(2, 2))
+        else:
+            layers.append(torch.nn.Conv2d(cin, item, 3, padding=1))
+            layers.append(torch.nn.ReLU())
+            cin = item
+    net = torch.nn.Sequential(*layers).eval()
+
+    # convert to our param layout
+    convs = []
+    for m in net:
+        if isinstance(m, torch.nn.Conv2d):
+            convs.append({
+                "kernel": m.weight.detach().numpy().transpose(2, 3, 1, 0),
+                "bias": m.bias.detach().numpy()})
+    lin_w = [np.abs(np.random.RandomState(k).randn(c, 1)).astype(np.float32)
+             for k, c in enumerate(lpips_lib.LPIPS_CHANNELS)]
+    params = {"vgg": {"convs": convs}, "lins": [{"kernel": w} for w in lin_w]}
+
+    rng = np.random.RandomState(2)
+    x = rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)
+    y = rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)
+
+    # torch oracle implementing lpips.py:83-96 semantics
+    def torch_lpips(a, b):
+        shift = torch.tensor([-.030, -.088, -.188])[None, :, None, None]
+        scale = torch.tensor([.458, .448, .450])[None, :, None, None]
+        slice_ends = lpips_lib._SLICE_ENDS
+
+        def feats(img):
+            h = (img - shift) / scale
+            out, conv_i = [], 0
+            for m in net:
+                h = m(h)
+                if isinstance(m, torch.nn.ReLU):
+                    conv_i += 1
+                    if conv_i in slice_ends:
+                        out.append(h)
+            return out
+
+        fa, fb = feats(a), feats(b)
+        total = 0
+        for k in range(5):
+            na = fa[k] / (fa[k].pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+            nb = fb[k] / (fb[k].pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+            diff = (na - nb) ** 2
+            w = torch.from_numpy(lin_w[k])[:, 0]  # [C]
+            val = (diff * w[None, :, None, None]).sum(1, keepdim=True)
+            total = total + val.mean([2, 3], keepdim=True)
+        return total
+
+    with torch.no_grad():
+        ref_val = torch_lpips(torch.from_numpy(x).permute(0, 3, 1, 2),
+                              torch.from_numpy(y).permute(0, 3, 1, 2))
+    ours = lpips_lib.lpips(params, jnp.asarray(x), jnp.asarray(y))
+    np.testing.assert_allclose(float(ours.sum()), float(ref_val.sum()),
+                               rtol=1e-4)
+
+
+def test_lpips_lins_convert():
+    sd = torch.load(
+        "/root/reference/tokenizer/tokenizer_image/cache/vgg.pth",
+        map_location="cpu")
+    lins = lpips_lib.convert_lpips_lins(
+        {k: v.numpy() for k, v in sd.items()})
+    assert len(lins) == 5
+    assert lins[0]["kernel"].shape == (64, 1)
+    assert lins[4]["kernel"].shape == (512, 1)
+
+
+def test_gan_losses_match_reference():
+    # torch oracles inlined (the reference vq_loss module imports torchvision,
+    # unavailable here); formulas from vq_loss.py:14-40
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(0)
+    real = rng.randn(8, 30, 30, 1).astype(np.float32)
+    fake = rng.randn(8, 30, 30, 1).astype(np.float32)
+    tr, tf = torch.from_numpy(real), torch.from_numpy(fake)
+    ref_hinge_d = 0.5 * (torch.mean(F.relu(1. - tr)) + torch.mean(F.relu(1. + tf)))
+    ref_vanilla_d = 0.5 * (torch.mean(F.softplus(-tr)) + torch.mean(F.softplus(tf)))
+    ref_hinge_g = -torch.mean(tf)
+    np.testing.assert_allclose(
+        float(vq_train.hinge_d_loss(jnp.asarray(real), jnp.asarray(fake))),
+        float(ref_hinge_d), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(vq_train.vanilla_d_loss(jnp.asarray(real), jnp.asarray(fake))),
+        float(ref_vanilla_d), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(vq_train.hinge_gen_loss(jnp.asarray(fake))),
+        float(ref_hinge_g), rtol=1e-5)
+
+
+def test_vq_gan_train_step_runs_and_improves():
+    cfg = vq_config("VQ-8", codebook_size=64, codebook_embed_dim=4)
+    import dataclasses
+    cfg = dataclasses.replace(cfg, ch=32, z_channels=32)
+    loss_cfg = vq_train.VQLossConfig(disc_start=2, image_size=32,
+                                     perceptual_weight=0.0)
+    tx_g = vq_train.make_vq_optimizer(lr=1e-3)
+    tx_d = vq_train.make_vq_optimizer(lr=1e-3)
+    state = vq_train.init_vq_train_state(
+        jax.random.PRNGKey(0), cfg, loss_cfg, tx_g, tx_d, use_ema=True)
+    step_fn = vq_train.make_vq_train_step(cfg, loss_cfg, tx_g, tx_d,
+                                          ema_decay=0.99)
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.uniform(-1, 1, (4, 32, 32, 3)).astype(np.float32))
+    losses = []
+    for _ in range(5):
+        state, metrics = step_fn(state, imgs)
+        losses.append(float(metrics["rec_loss"]))
+        assert np.isfinite(losses[-1])
+    assert int(state.step) == 5
+    assert losses[-1] < losses[0], f"rec loss did not improve: {losses}"
+    # disc becomes active after disc_start
+    assert float(metrics["disc_loss"]) != 0.0
+
+
+def test_codebook_usage():
+    idx = jnp.asarray(np.array([[0, 1], [1, 2]]))
+    usage = vq_train.codebook_usage(idx, 8)
+    np.testing.assert_allclose(float(usage), 3 / 8)
