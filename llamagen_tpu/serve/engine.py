@@ -1,0 +1,306 @@
+"""Slot-based continuous-batching serving engine for c2i generation.
+
+TPU-idiomatic replacement for the reference's vLLM integration
+(`/root/reference/autoregressive/serve/`): instead of paged KV blocks +
+CUDA-graph capture + a scheduler/executor/worker stack, a single compiled
+step function decodes ALL slots every iteration over a dense preallocated
+KV cache; admission of new requests into free slots happens at chunk
+boundaries (continuous batching without paging — on TPU, dense static-shape
+caches + XLA beat paged gather).
+
+Design mapping to the reference:
+  - CFG request duplication (serve/sample_c2i.py:35-37) -> paired slot
+    halves [cond ‖ uncond], mixed at the sampler (serve/sampler.py:54-58);
+    both halves carry the same sampled token (sampler.py:106-108).
+  - prefill/decode branchless embedding select (serve/gpt_model.py:284-286)
+    -> jnp.where(is_new_slot, class_embedding, token_embedding); for c2i the
+    condition is a single position so admission costs one ordinary step.
+  - CUDA-graph capture per batch bucket (model_runner.py:981-1081) -> one
+    jit-compiled chunk program (compilation IS graph capture on TPU).
+  - per-slot positions via scatter updates into the dense cache.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llamagen_tpu.config import GPTConfig, find_multiple
+from llamagen_tpu.models import gpt
+from llamagen_tpu.ops import sampling
+
+
+class EngineState(NamedTuple):
+    cache: gpt.KVCache          # [L, 2P, Smax, Hkv, D]
+    pos: jnp.ndarray            # [P] next write position (pair-shared)
+    active: jnp.ndarray         # [P] bool
+    cur_token: jnp.ndarray      # [P] last sampled token
+    labels: jnp.ndarray         # [P] class label of the running request
+    n_generated: jnp.ndarray    # [P] tokens produced so far
+    tokens_out: jnp.ndarray     # [P, max_new] output buffer
+    rng: jax.Array
+
+
+@dataclass
+class SamplingParams:
+    """Per-engine sampling configuration (ref: serve/sampler.py + CLI flags)."""
+    cfg_scale: float = 2.0
+    temperature: float = 1.0
+    top_k: int = 0
+    top_p: float = 1.0
+
+
+def init_engine_state(cfg: GPTConfig, num_pairs: int, max_new_tokens: int,
+                      rng: jax.Array, cache_dtype=jnp.bfloat16) -> EngineState:
+    smax = find_multiple(cfg.cls_token_num + max_new_tokens, 8)
+    return EngineState(
+        cache=gpt.init_cache(cfg, 2 * num_pairs, smax, dtype=cache_dtype),
+        pos=jnp.zeros((num_pairs,), jnp.int32),
+        active=jnp.zeros((num_pairs,), bool),
+        cur_token=jnp.zeros((num_pairs,), jnp.int32),
+        labels=jnp.zeros((num_pairs,), jnp.int32),
+        n_generated=jnp.zeros((num_pairs,), jnp.int32),
+        tokens_out=jnp.zeros((num_pairs, max_new_tokens), jnp.int32),
+        rng=rng,
+    )
+
+
+def _decode_step_slots(params, cfg: GPTConfig, emb: jnp.ndarray,
+                       pos: jnp.ndarray, cache: gpt.KVCache,
+                       compute_dtype=jnp.bfloat16):
+    """One decode step with per-slot positions.
+
+    emb: [B, D] input embeddings (token or condition); pos: [B] positions.
+    Returns (logits [B, vocab], new cache). Same layer loop as
+    gpt.decode_step but cache writes are batched scatters at (b, pos[b]).
+    """
+    b = emb.shape[0]
+    smax = cache.max_seq_len
+    h = emb.astype(compute_dtype)
+    freqs = gpt.freqs_cis_2d(cfg)[pos]  # [B, D//2, 2]
+    batch_ids = jnp.arange(b)
+
+    mask = jnp.arange(smax)[None, None, :] <= pos[:, None, None]  # [B,1,S]
+    scale = cfg.head_dim ** -0.5
+    rep = cfg.n_head // cfg.kv_heads
+    layers = params["layers"]
+
+    def rope(x):
+        # x: [B, H, D]; freqs: [B, D//2, 2]
+        xf = x.astype(jnp.float32).reshape(*x.shape[:-1], -1, 2)
+        cos = freqs[:, None, :, 0]
+        sin = freqs[:, None, :, 1]
+        real = xf[..., 0] * cos - xf[..., 1] * sin
+        imag = xf[..., 1] * cos + xf[..., 0] * sin
+        return jnp.stack([real, imag], -1).reshape(x.shape).astype(x.dtype)
+
+    def body(l, carry):
+        h, ck, cv = carry
+        p = jax.tree.map(
+            lambda x: jax.lax.dynamic_index_in_dim(x, l, 0, keepdims=False),
+            layers)
+        x = gpt.rms_norm(h, p["attention_norm"], cfg.norm_eps)
+        qkv = x @ p["wqkv"].astype(x.dtype)
+        q_size = cfg.n_head * cfg.head_dim
+        kv_size = cfg.kv_heads * cfg.head_dim
+        q = rope(qkv[:, :q_size].reshape(b, cfg.n_head, cfg.head_dim))
+        k = rope(qkv[:, q_size:q_size + kv_size].reshape(b, cfg.kv_heads,
+                                                         cfg.head_dim))
+        v = qkv[:, q_size + kv_size:].reshape(b, cfg.kv_heads, cfg.head_dim)
+
+        ck = ck.at[l, batch_ids, pos].set(k.astype(ck.dtype))
+        cv = cv.at[l, batch_ids, pos].set(v.astype(cv.dtype))
+        keys = jax.lax.dynamic_index_in_dim(ck, l, 0, keepdims=False)
+        vals = jax.lax.dynamic_index_in_dim(cv, l, 0, keepdims=False)
+        if rep != 1:
+            keys = jnp.repeat(keys, rep, axis=2)
+            vals = jnp.repeat(vals, rep, axis=2)
+        scores = jnp.einsum("bhd,bshd->bhs", q, keys.astype(q.dtype),
+                            preferred_element_type=jnp.float32) * scale
+        scores = jnp.where(mask, scores, jnp.float32(-1e30))
+        probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        attn = jnp.einsum("bhs,bshd->bhd", probs, vals.astype(q.dtype))
+        h = h + attn.reshape(b, cfg.dim) @ p["wo"].astype(x.dtype)
+        x = gpt.rms_norm(h, p["ffn_norm"], cfg.norm_eps)
+        ffn = jax.nn.silu(x @ p["w1"].astype(x.dtype)) * \
+            (x @ p["w3"].astype(x.dtype))
+        h = h + ffn @ p["w2"].astype(x.dtype)
+        return (h, ck, cv)
+
+    h, new_k, new_v = jax.lax.fori_loop(0, cfg.n_layer, body,
+                                        (h, cache.k, cache.v))
+    h = gpt.rms_norm(h, params["norm"], cfg.norm_eps)
+    logits = (h @ params["output"].astype(h.dtype)).astype(jnp.float32)
+    return logits, gpt.KVCache(k=new_k, v=new_v)
+
+
+def make_engine_step(params, cfg: GPTConfig, sp: SamplingParams,
+                     max_new_tokens: int, chunk: int = 64,
+                     compute_dtype=jnp.bfloat16):
+    """Compile the chunked engine step.
+
+    engine_step(state, admit_mask [P] bool, admit_labels [P]) runs `chunk`
+    decode iterations; newly admitted slots go through their condition
+    prefill (one step for c2i) and then decode along with everyone else.
+    """
+    assert cfg.model_type == "c2i", "serving engine currently targets c2i"
+    table = None  # class embedding table read inside step
+
+    def one_step(state: EngineState) -> EngineState:
+        p = state.pos  # [P]
+        is_prefill = state.active & (p == 0)
+        pair_tok = state.cur_token
+
+        # build per-slot input embeddings: cond half + uncond half
+        emb_table = params["cls_embedding"]["embedding_table"]
+        cond_emb = emb_table[state.labels].astype(compute_dtype)
+        null_emb = emb_table[jnp.full_like(state.labels, cfg.num_classes)
+                             ].astype(compute_dtype)
+        tok_emb = params["tok_embeddings"][pair_tok].astype(compute_dtype)
+        emb_cond = jnp.where(is_prefill[:, None], cond_emb, tok_emb)
+        emb_uncond = jnp.where(is_prefill[:, None], null_emb, tok_emb)
+        emb = jnp.concatenate([emb_cond, emb_uncond], axis=0)  # [2P, D]
+
+        pos2 = jnp.concatenate([p, p], axis=0)
+        logits, cache = _decode_step_slots(params, cfg, emb, pos2,
+                                           state.cache, compute_dtype)
+        mixed = sampling.cfg_mix(logits, sp.cfg_scale) \
+            if sp.cfg_scale > 1.0 else jnp.split(logits, 2, axis=0)[0]
+
+        rng, step_rng = jax.random.split(state.rng)
+        nxt = sampling.sample(step_rng, mixed, temperature=sp.temperature,
+                              top_k=sp.top_k, top_p=sp.top_p)  # [P]
+
+        # write sampled token for active unfinished slots
+        still_going = state.active & (state.n_generated < max_new_tokens)
+        write_idx = jnp.clip(state.n_generated, 0, max_new_tokens - 1)
+        tokens_out = jnp.where(
+            still_going[:, None]
+            & (jnp.arange(max_new_tokens)[None, :] == write_idx[:, None]),
+            nxt[:, None], state.tokens_out)
+        n_generated = jnp.where(still_going, state.n_generated + 1,
+                                state.n_generated)
+        cur_token = jnp.where(still_going, nxt, state.cur_token)
+        pos = jnp.where(state.active, p + 1, p)
+        active = state.active & (n_generated < max_new_tokens)
+
+        return EngineState(cache=cache, pos=pos, active=active,
+                           cur_token=cur_token, labels=state.labels,
+                           n_generated=n_generated, tokens_out=tokens_out,
+                           rng=rng)
+
+    def engine_chunk(state: EngineState, admit_mask, admit_labels
+                     ) -> EngineState:
+        # admission: reset slot bookkeeping (cache slots get overwritten)
+        pos = jnp.where(admit_mask, 0, state.pos)
+        active = state.active | admit_mask
+        labels = jnp.where(admit_mask, admit_labels, state.labels)
+        n_generated = jnp.where(admit_mask, 0, state.n_generated)
+        state = state._replace(pos=pos, active=active, labels=labels,
+                               n_generated=n_generated)
+        state = jax.lax.fori_loop(0, chunk, lambda i, s: one_step(s), state)
+        return state
+
+    return jax.jit(engine_chunk, donate_argnums=(0,))
+
+
+@dataclass
+class Request:
+    label: int
+    request_id: int
+    result: Optional[np.ndarray] = None
+    submitted_at: float = field(default_factory=time.time)
+    finished_at: Optional[float] = None
+
+
+class ServeEngine:
+    """Host-side request loop over the compiled chunk step.
+
+    Equivalent surface to the reference's `LLM.generate` offline-batch API
+    (serve/llm.py:138-219) plus incremental submit/poll for online serving.
+    """
+
+    def __init__(self, params, cfg: GPTConfig, *, num_pairs: int = 16,
+                 max_new_tokens: int = 576,
+                 sampling_params: Optional[SamplingParams] = None,
+                 chunk: int = 64, seed: int = 0,
+                 compute_dtype=jnp.bfloat16):
+        self.cfg = cfg
+        self.num_pairs = num_pairs
+        self.max_new_tokens = max_new_tokens
+        self.sp = sampling_params or SamplingParams()
+        self.chunk = chunk
+        self.step_fn = make_engine_step(params, cfg, self.sp, max_new_tokens,
+                                        chunk, compute_dtype)
+        self.state = init_engine_state(cfg, num_pairs, max_new_tokens,
+                                       jax.random.PRNGKey(seed))
+        self.slot_request: List[Optional[Request]] = [None] * num_pairs
+        self.pending: "queue.Queue[Request]" = queue.Queue()
+        self._next_id = 0
+
+    def submit(self, label: int) -> Request:
+        req = Request(label=int(label), request_id=self._next_id)
+        self._next_id += 1
+        self.pending.put(req)
+        return req
+
+    def _admit_and_step(self):
+        admit_mask = np.zeros((self.num_pairs,), bool)
+        admit_labels = np.zeros((self.num_pairs,), np.int32)
+        for i in range(self.num_pairs):
+            if self.slot_request[i] is None and not self.pending.empty():
+                req = self.pending.get()
+                self.slot_request[i] = req
+                admit_mask[i] = True
+                admit_labels[i] = req.label
+        self.state = self.step_fn(self.state, jnp.asarray(admit_mask),
+                                  jnp.asarray(admit_labels))
+
+    def _harvest(self):
+        n_gen = np.asarray(self.state.n_generated)
+        active = np.asarray(self.state.active)
+        done_slots = [i for i in range(self.num_pairs)
+                      if self.slot_request[i] is not None and not active[i]
+                      and n_gen[i] >= self.max_new_tokens]
+        if done_slots:
+            tokens = np.asarray(self.state.tokens_out)
+            for i in done_slots:
+                req = self.slot_request[i]
+                req.result = tokens[i].copy()
+                req.finished_at = time.time()
+                self.slot_request[i] = None
+
+    def run_until_idle(self) -> None:
+        """Process everything in the queue to completion."""
+        while (not self.pending.empty()
+               or any(r is not None for r in self.slot_request)):
+            self._admit_and_step()
+            self._harvest()
+
+    def generate(self, labels) -> np.ndarray:
+        """Offline batch API: labels [N] -> token grids [N, max_new_tokens].
+
+        Mirrors serve/sample_c2i.py: submit all, run to completion, return
+        results in submission order.
+        """
+        reqs = [self.submit(l) for l in labels]
+        self.run_until_idle()
+        return np.stack([r.result for r in reqs])
+
+    def stats(self) -> Dict[str, Any]:
+        """Engine gauges (the reference reuses vLLM's StatLogger,
+        llm_engine.py:588-659)."""
+        active = np.asarray(self.state.active)
+        return {
+            "running": int(active.sum()),
+            "waiting": self.pending.qsize(),
+            "slots": self.num_pairs,
+            "slot_occupancy": float(active.mean()),
+        }
