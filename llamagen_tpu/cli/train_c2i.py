@@ -1,0 +1,137 @@
+"""Class-conditional GPT training CLI (DP/FSDP over a TPU mesh).
+
+Equivalent of `/root/reference/autoregressive/train/train_c2i.py` and
+`train_c2i_fsdp.py` — one driver covers both: set --fsdp > 1 for
+parameter sharding (FULL_SHARD semantics) and/or --dp for data parallel.
+
+  python -m llamagen_tpu.cli.train_c2i --code-path /data/codes \
+      --gpt-model GPT-B --image-size 256 --epochs 300
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llamagen_tpu.cli.common import load_gpt
+from llamagen_tpu.config import gpt_config
+from llamagen_tpu.data.codes import (NpyCodeDataset, PackedCodeDataset,
+                                     SyntheticCodeDataset)
+from llamagen_tpu.parallel.mesh import make_mesh
+from llamagen_tpu.train import c2i
+from llamagen_tpu.utils import checkpoint
+from llamagen_tpu.utils.logger import create_logger
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--code-path", default=None,
+                   help="packed shard dir, or reference-layout code dir")
+    p.add_argument("--label-path", default=None,
+                   help="labels dir for reference npy layout")
+    p.add_argument("--synthetic-steps", type=int, default=0,
+                   help="train on synthetic data for N steps (smoke mode)")
+    p.add_argument("--gpt-model", default="GPT-B")
+    p.add_argument("--image-size", type=int, default=256)
+    p.add_argument("--downsample-size", type=int, default=16)
+    p.add_argument("--class-dropout-prob", type=float, default=0.1)
+    p.add_argument("--global-batch-size", type=int, default=256)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--weight-decay", type=float, default=5e-2)
+    p.add_argument("--beta1", type=float, default=0.9)
+    p.add_argument("--beta2", type=float, default=0.95)
+    p.add_argument("--max-grad-norm", type=float, default=1.0)
+    p.add_argument("--warmup-steps", type=int, default=0)
+    p.add_argument("--epochs", type=int, default=300)
+    p.add_argument("--max-steps", type=int, default=-1)
+    p.add_argument("--no-ema", action="store_true")
+    p.add_argument("--dp", type=int, default=1)
+    p.add_argument("--fsdp", type=int, default=-1)
+    p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log-every", type=int, default=100)
+    p.add_argument("--ckpt-every", type=int, default=5000)
+    p.add_argument("--results-dir", default="results")
+    p.add_argument("--resume", default=None)
+    args = p.parse_args(argv)
+
+    latent = args.image_size // args.downsample_size
+    cfg = gpt_config(args.gpt_model, block_size=latent * latent,
+                     cls_token_num=1,
+                     class_dropout_prob=args.class_dropout_prob)
+
+    mesh = make_mesh(args.dp, args.fsdp, args.tp)
+    os.makedirs(args.results_dir, exist_ok=True)
+    logger = create_logger(args.results_dir)
+    logger.info(f"mesh: {mesh}; model {args.gpt_model} "
+                f"({latent}x{latent} tokens)")
+
+    state, step_fn = c2i.build_trainer(
+        cfg, mesh, lr=args.lr, weight_decay=args.weight_decay,
+        beta1=args.beta1, beta2=args.beta2,
+        max_grad_norm=args.max_grad_norm, warmup_steps=args.warmup_steps,
+        use_ema=not args.no_ema, seed=args.seed)
+
+    start_step = 0
+    if args.resume:
+        step, restored = checkpoint.restore_latest(
+            args.resume, checkpoint.as_abstract(state))
+        if restored is not None:
+            state, start_step = restored, step
+            logger.info(f"resumed from step {start_step}")
+
+    if args.synthetic_steps > 0:
+        ds = SyntheticCodeDataset(args.global_batch_size * 4,
+                                  cfg.block_size, cfg.vocab_size,
+                                  cfg.num_classes, seed=args.seed)
+        max_steps = args.synthetic_steps
+    elif args.code_path and os.path.isdir(args.code_path) and any(
+            f.endswith(".npz") for f in os.listdir(args.code_path)):
+        ds = PackedCodeDataset(args.code_path)
+        max_steps = args.max_steps
+    elif args.code_path:
+        ds = NpyCodeDataset(args.code_path, args.label_path or args.code_path)
+        raise SystemExit("npy layout: repack with data.codes.pack_shards "
+                         "first for efficient TPU input")
+    else:
+        raise SystemExit("need --code-path or --synthetic-steps")
+
+    it = ds.batches(args.global_batch_size, seed=args.seed,
+                    epochs=args.epochs)
+    rng = jax.random.PRNGKey(args.seed)
+    t0, last_log = time.time(), start_step
+    running_loss = 0.0
+    step = start_step
+    for codes, labels in it:
+        if max_steps > 0 and step >= max_steps:
+            break
+        batch = c2i.shard_batch(
+            c2i.Batch(labels=jnp.asarray(labels), tokens=jnp.asarray(codes)),
+            mesh)
+        state, metrics = step_fn(state, batch, rng)
+        step += 1
+        running_loss += float(metrics["loss"])
+        if step % args.log_every == 0:
+            dt = time.time() - t0
+            sps = (step - last_log) / dt
+            logger.info(f"step {step}: loss {running_loss / (step - last_log):.4f} "
+                        f"({sps:.2f} steps/s, "
+                        f"{sps * args.global_batch_size:.0f} samples/s)")
+            running_loss, t0, last_log = 0.0, time.time(), step
+        if step % args.ckpt_every == 0:
+            path = checkpoint.save_step(
+                os.path.join(args.results_dir, "checkpoints"), step, state)
+            logger.info(f"saved checkpoint {path}")
+
+    path = checkpoint.save_step(
+        os.path.join(args.results_dir, "checkpoints"), step, state)
+    logger.info(f"done at step {step}; final checkpoint {path}")
+
+
+if __name__ == "__main__":
+    main()

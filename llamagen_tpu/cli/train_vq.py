@@ -1,0 +1,162 @@
+"""VQ-VAE GAN training CLI.
+
+Equivalent of `/root/reference/tokenizer/tokenizer_image/vq_train.py`:
+alternating generator/discriminator optimization with LPIPS + adversarial
+losses, EMA, checkpointing. Data: an ImageFolder directory (random-crop +
+hflip, ref vq_train.py:114-119) or synthetic smoke mode.
+
+  python -m llamagen_tpu.cli.train_vq --data-path /data/imagenet/train \
+      --image-size 256 --vq-model VQ-16
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llamagen_tpu.config import vq_config
+from llamagen_tpu.train import vq as vq_train
+from llamagen_tpu.utils import checkpoint
+from llamagen_tpu.utils.logger import create_logger
+
+
+def image_batches(root, image_size, batch_size, seed=0):
+    """Random-crop(1.25x resize) + hflip ImageFolder stream."""
+    from PIL import Image
+
+    paths = []
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if f.lower().endswith((".jpg", ".jpeg", ".png", ".webp")):
+                paths.append(os.path.join(dirpath, f))
+    rng = np.random.RandomState(seed)
+    while True:
+        sel = rng.choice(len(paths), size=batch_size)
+        imgs = []
+        for i in sel:
+            try:
+                img = Image.open(paths[i]).convert("RGB")
+            except OSError:
+                continue
+            r = int(image_size * 1.25)
+            img = img.resize((r, r), Image.BICUBIC)
+            y, x = rng.randint(0, r - image_size + 1, size=2)
+            arr = np.array(img)[y:y + image_size, x:x + image_size]
+            if rng.rand() < 0.5:
+                arr = arr[:, ::-1]
+            imgs.append(arr)
+        if len(imgs) == batch_size:
+            yield np.stack(imgs).astype(np.float32) / 127.5 - 1.0
+
+
+def synthetic_batches(image_size, batch_size, seed=0):
+    rng = np.random.RandomState(seed)
+    while True:
+        yield rng.uniform(-1, 1, (batch_size, image_size, image_size, 3)
+                          ).astype(np.float32)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data-path", default=None)
+    p.add_argument("--synthetic-steps", type=int, default=0)
+    p.add_argument("--vq-model", default="VQ-16")
+    p.add_argument("--codebook-size", type=int, default=16384)
+    p.add_argument("--codebook-embed-dim", type=int, default=8)
+    p.add_argument("--image-size", type=int, default=256)
+    p.add_argument("--global-batch-size", type=int, default=128)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--max-steps", type=int, default=-1)
+    p.add_argument("--disc-start", type=int, default=20000)
+    p.add_argument("--disc-weight", type=float, default=0.5)
+    p.add_argument("--disc-type", default="patchgan",
+                   choices=["patchgan", "stylegan"])
+    p.add_argument("--disc-loss", default="hinge",
+                   choices=["hinge", "vanilla", "non-saturating"])
+    p.add_argument("--gen-loss", default="hinge",
+                   choices=["hinge", "non-saturating"])
+    p.add_argument("--rec-loss", default="l2", choices=["l1", "l2"])
+    p.add_argument("--perceptual-weight", type=float, default=1.0)
+    p.add_argument("--vgg-weights", default=None,
+                   help="torchvision vgg16 state dict (.pt) for LPIPS")
+    p.add_argument("--lpips-lins", default=
+                   "/root/reference/tokenizer/tokenizer_image/cache/vgg.pth")
+    p.add_argument("--ema", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log-every", type=int, default=100)
+    p.add_argument("--ckpt-every", type=int, default=5000)
+    p.add_argument("--results-dir", default="results_vq")
+    args = p.parse_args(argv)
+
+    cfg = vq_config(args.vq_model, codebook_size=args.codebook_size,
+                    codebook_embed_dim=args.codebook_embed_dim)
+    loss_cfg = vq_train.VQLossConfig(
+        disc_start=args.disc_start, disc_weight=args.disc_weight,
+        disc_type=args.disc_type, disc_loss=args.disc_loss,
+        gen_adv_loss=args.gen_loss, reconstruction_loss=args.rec_loss,
+        perceptual_weight=args.perceptual_weight if args.vgg_weights else 0.0,
+        image_size=args.image_size)
+
+    lpips_params = None
+    if args.vgg_weights:
+        import torch
+        from llamagen_tpu.models import lpips as lpips_lib
+        vgg_sd = {k: v.numpy() for k, v in
+                  torch.load(args.vgg_weights, map_location="cpu").items()}
+        lin_sd = {k: v.numpy() for k, v in
+                  torch.load(args.lpips_lins, map_location="cpu").items()}
+        lpips_params = lpips_lib.load_params(vgg_sd, lin_sd)
+
+    logger = create_logger(args.results_dir)
+    tx_g = vq_train.make_vq_optimizer(args.lr)
+    tx_d = vq_train.make_vq_optimizer(args.lr)
+    state = vq_train.init_vq_train_state(
+        jax.random.PRNGKey(args.seed), cfg, loss_cfg, tx_g, tx_d,
+        use_ema=args.ema)
+    step_fn = vq_train.make_vq_train_step(
+        cfg, loss_cfg, tx_g, tx_d, lpips_params=lpips_params,
+        ema_decay=0.999 if args.ema else None)
+
+    if args.synthetic_steps > 0:
+        batches = synthetic_batches(args.image_size, args.global_batch_size,
+                                    args.seed)
+        max_steps = args.synthetic_steps
+    elif args.data_path:
+        batches = image_batches(args.data_path, args.image_size,
+                                args.global_batch_size, args.seed)
+        max_steps = args.max_steps
+    else:
+        raise SystemExit("need --data-path or --synthetic-steps")
+
+    t0, last = time.time(), 0
+    for step, imgs in enumerate(batches, 1):
+        if max_steps > 0 and step > max_steps:
+            break
+        state, metrics = step_fn(state, jnp.asarray(imgs))
+        if step % args.log_every == 0:
+            sps = (step - last) / (time.time() - t0)
+            logger.info(
+                f"step {step}: rec {float(metrics['rec_loss']):.4f} "
+                f"perc {float(metrics['perceptual_loss']):.4f} "
+                f"vq {float(metrics['vq_loss']):.4f} "
+                f"commit {float(metrics['commit_loss']):.4f} "
+                f"usage {float(metrics['codebook_usage']):.3f} "
+                f"d {float(metrics['disc_loss']):.4f} ({sps:.2f} steps/s)")
+            t0, last = time.time(), step
+        if step % args.ckpt_every == 0:
+            path = checkpoint.save_step(
+                os.path.join(args.results_dir, "checkpoints"), step, state)
+            logger.info(f"saved {path}")
+
+    checkpoint.save_step(os.path.join(args.results_dir, "checkpoints"),
+                         step, state)
+    logger.info(f"done at step {step}")
+
+
+if __name__ == "__main__":
+    main()

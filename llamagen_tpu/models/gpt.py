@@ -90,20 +90,38 @@ def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
 
 
 class KVCache(NamedTuple):
-    """Preallocated KV cache: k/v are [L, B, Smax, Hkv, head_dim]."""
+    """Preallocated KV cache.
 
-    k: jnp.ndarray
-    v: jnp.ndarray
+    k/v are tuples of per-layer [B, Smax, Hkv, head_dim] buffers — separate
+    buffers (not one stacked [L, ...] array) so the decode loop's
+    dynamic_update_slice aliases in place through the sampling scan and the
+    attention einsums read the carried buffer directly, with no per-step
+    layer-slice materialization.
+    """
+
+    k: tuple
+    v: tuple
 
     @property
     def max_seq_len(self) -> int:
-        return self.k.shape[2]
+        return self.k[0].shape[1]
+
+    @property
+    def num_layers(self) -> int:
+        return len(self.k)
 
 
 def init_cache(cfg: GPTConfig, batch: int, max_seq_len: int,
                dtype=jnp.bfloat16) -> KVCache:
-    shape = (cfg.n_layer, batch, max_seq_len, cfg.kv_heads, cfg.head_dim)
-    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+    shape = (batch, max_seq_len, cfg.kv_heads, cfg.head_dim)
+    return KVCache(
+        k=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.n_layer)),
+        v=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.n_layer)))
+
+
+def layer_params(params: Params, l: int) -> Params:
+    """Static per-layer view of the stacked [L, ...] layer weights."""
+    return jax.tree.map(lambda x: x[l], params["layers"])
 
 
 def _split_qkv(p: Params, x: jnp.ndarray, cfg: GPTConfig):
@@ -210,13 +228,15 @@ def _run_layers(params: Params, h: jnp.ndarray, freqs: jnp.ndarray,
         h, _ = jax.lax.scan(scan_fn, h, xs)
         return h, None
 
-    def scan_fn(carry, xs):
-        p_l, ck, cv = xs
-        out, new_kv = _block(p_l, carry, freqs, mask, cfg, cache_kv=(ck, cv), pos=pos)
-        return out, new_kv
-
-    h, (new_k, new_v) = jax.lax.scan(scan_fn, h, (layers, cache.k, cache.v))
-    return h, KVCache(k=new_k, v=new_v)
+    # inference with cache: unrolled python loop over per-layer buffers so
+    # updates alias in place (see KVCache docstring)
+    new_k, new_v = [], []
+    for l in range(cfg.n_layer):
+        h, kv = _block(layer_params(params, l), h, freqs, mask, cfg,
+                       cache_kv=(cache.k[l], cache.v[l]), pos=pos)
+        new_k.append(kv[0])
+        new_v.append(kv[1])
+    return h, KVCache(k=tuple(new_k), v=tuple(new_v))
 
 
 # ---------------------------------------------------------------------------
@@ -348,13 +368,22 @@ def _rope_single(x: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
 def decode_step(params: Params, cfg: GPTConfig, token: jnp.ndarray,
                 pos: jnp.ndarray, cache: KVCache,
                 prefix_allow: Optional[jnp.ndarray] = None,
-                compute_dtype=jnp.bfloat16):
+                compute_dtype=jnp.bfloat16,
+                read_extent: Optional[int] = None):
     """Single-token decode with KV cache (ref: gpt.py:350-356 decode branch).
 
-    TPU-tuned: 2D activations [B, D] (no degenerate seq dim), fori_loop over
-    layers with in-place dynamic_update_slice on the full [L,B,S,H,D] cache
-    (aliases through the while loop — no per-layer cache staging copies),
-    per-layer weights read via dynamic_index_in_dim.
+    TPU-tuned:
+      - 2D activations [B, D] (no degenerate seq dim), unrolled layer loop
+        over per-layer cache buffers
+      - the cache is READ before it is written: history slots [0, pos) come
+        from the carried buffer, the current position's k/v contribute a
+        separate diagonal term from registers. No read-after-write on the
+        cache inside a step, so XLA does not decompose the attention dot
+        into padded dual contributions, and the dynamic_update_slice output
+        is only consumed by the next loop iteration (in-place friendly).
+      - `read_extent` (static) bounds how many history slots the attention
+        reads — the sampling loop passes a bucketed bound that grows with
+        pos, cutting average KV traffic roughly in half.
 
     token: [B] int32; pos: scalar int32 absolute position.
     prefix_allow: optional [B, Smax] bool — columns always allowed outside
@@ -363,59 +392,69 @@ def decode_step(params: Params, cfg: GPTConfig, token: jnp.ndarray,
     """
     b = token.shape[0]
     smax = cache.max_seq_len
+    extent = smax if read_extent is None else min(read_extent, smax)
     h = params["tok_embeddings"][token].astype(compute_dtype)  # [B, D]
     freqs = jax.lax.dynamic_slice_in_dim(
         freqs_cis_2d(cfg), pos, 1, axis=0)[0]  # [D//2, 2]
 
-    mask = (jnp.arange(smax) <= pos)[None, None, :]  # [1, 1, S]
+    hist_mask = (jnp.arange(extent) < pos)[None, None, :]  # [1, 1, E]
     if prefix_allow is not None:
-        mask = mask & prefix_allow[:, None, :]  # [B, 1, S]
+        hist_mask = hist_mask & prefix_allow[:, None, :extent]  # [B, 1, E]
     scale = cfg.head_dim ** -0.5
     rep = cfg.n_head // cfg.kv_heads
-    layers = params["layers"]
+    q_size = cfg.n_head * cfg.head_dim
+    kv_size = cfg.kv_heads * cfg.head_dim
 
-    def body(l, carry):
-        h, ck, cv = carry
-        p = jax.tree.map(
-            lambda x: jax.lax.dynamic_index_in_dim(x, l, 0, keepdims=False),
-            layers)
+    new_k, new_v = [], []
+    for l in range(cfg.n_layer):
+        p = layer_params(params, l)
         x = rms_norm(h, p["attention_norm"], cfg.norm_eps)
         qkv = x @ p["wqkv"].astype(x.dtype)
-        q_size = cfg.n_head * cfg.head_dim
-        kv_size = cfg.kv_heads * cfg.head_dim
         q = qkv[:, :q_size].reshape(b, cfg.n_head, cfg.head_dim)
-        k = qkv[:, q_size:q_size + kv_size].reshape(b, cfg.kv_heads, cfg.head_dim)
+        k = qkv[:, q_size:q_size + kv_size].reshape(b, cfg.kv_heads,
+                                                    cfg.head_dim)
         v = qkv[:, q_size + kv_size:].reshape(b, cfg.kv_heads, cfg.head_dim)
         q = _rope_single(q, freqs)
         k = _rope_single(k, freqs)
 
-        ck = jax.lax.dynamic_update_slice(
-            ck, k.astype(ck.dtype)[None, :, None], (l, 0, pos, 0, 0))
-        cv = jax.lax.dynamic_update_slice(
-            cv, v.astype(cv.dtype)[None, :, None], (l, 0, pos, 0, 0))
-        keys = jax.lax.dynamic_index_in_dim(ck, l, 0, keepdims=False)
-        vals = jax.lax.dynamic_index_in_dim(cv, l, 0, keepdims=False)
+        # history attention over the pre-update cache (slots [0, pos))
+        keys = cache.k[l][:, :extent]
+        vals = cache.v[l][:, :extent]
         if rep != 1:
             keys = jnp.repeat(keys, rep, axis=2)
             vals = jnp.repeat(vals, rep, axis=2)
+            k_full = jnp.repeat(k, rep, axis=1)
+            v_full = jnp.repeat(v, rep, axis=1)
+        else:
+            k_full, v_full = k, v
 
         scores = jnp.einsum("bhd,bshd->bhs", q, keys.astype(q.dtype),
                             preferred_element_type=jnp.float32) * scale
-        scores = jnp.where(mask, scores, jnp.float32(-1e30))
-        probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-        attn = jnp.einsum("bhs,bshd->bhd", probs, vals.astype(q.dtype))
+        scores = jnp.where(hist_mask, scores, jnp.float32(-1e30))
+        # current position: diagonal term straight from registers
+        s_cur = jnp.einsum("bhd,bhd->bh", q, k_full.astype(q.dtype),
+                           preferred_element_type=jnp.float32)[..., None] * scale
+        all_scores = jnp.concatenate([scores, s_cur], axis=-1)
+        probs = jax.nn.softmax(all_scores, axis=-1).astype(q.dtype)
+        attn = jnp.einsum("bhs,bshd->bhd", probs[..., :extent],
+                          vals.astype(q.dtype))
+        attn = attn + probs[..., extent] [..., None] * v_full.astype(q.dtype)
         h = h + attn.reshape(b, cfg.dim) @ p["wo"].astype(x.dtype)
 
-        x = rms_norm(h, p["ffn_norm"], cfg.norm_eps)
-        ffn = jax.nn.silu(x @ p["w1"].astype(x.dtype)) * (x @ p["w3"].astype(x.dtype))
-        h = h + ffn @ p["w2"].astype(x.dtype)
-        return (h, ck, cv)
+        # write AFTER the read — output only feeds the next iteration
+        new_k.append(jax.lax.dynamic_update_slice(
+            cache.k[l], k.astype(cache.k[l].dtype)[:, None], (0, pos, 0, 0)))
+        new_v.append(jax.lax.dynamic_update_slice(
+            cache.v[l], v.astype(cache.v[l].dtype)[:, None], (0, pos, 0, 0)))
 
-    h, new_k, new_v = jax.lax.fori_loop(0, cfg.n_layer, body,
-                                        (h, cache.k, cache.v))
+        x = rms_norm(h, p["ffn_norm"], cfg.norm_eps)
+        ffn = jax.nn.silu(x @ p["w1"].astype(x.dtype)) * \
+            (x @ p["w3"].astype(x.dtype))
+        h = h + ffn @ p["w2"].astype(x.dtype)
+
     h = rms_norm(h, params["norm"], cfg.norm_eps)
     logits = (h @ params["output"].astype(h.dtype)).astype(jnp.float32)
-    return logits, KVCache(k=new_k, v=new_v)
+    return logits, KVCache(k=tuple(new_k), v=tuple(new_v))
 
 
 # ---------------------------------------------------------------------------

@@ -85,24 +85,45 @@ def generate(params, rng: jax.Array, cond: jnp.ndarray, *,
     first_token = sampling.sample(step_rng, logits, **sample_kw)  # [B]
 
     # ---- decode loop (ref: generate.py:105-123) ----
-    def step(carry, i):
-        cache, cur, rng = carry
-        tok = jnp.concatenate([cur, cur], axis=0) if use_cfg else cur
-        pos = t + i
-        logits, cache = gpt.decode_step(params, cfg, tok, pos, cache,
-                                        prefix_allow=prefix_allow,
-                                        compute_dtype=compute_dtype)
-        if use_cfg:
-            if cfg_interval > -1:
-                enabled = i <= cfg_interval  # ref: cfg off when i > interval
-            else:
-                enabled = True
-            logits = sampling.cfg_mix(logits, cfg_scale, enabled=enabled)
-        rng, step_rng = jax.random.split(rng)
-        nxt = sampling.sample(step_rng, logits, **sample_kw)
-        return (cache, nxt, rng), nxt
+    # Segmented scan: within each segment, attention history reads are
+    # statically bounded to a 128-aligned extent that covers the largest
+    # position in the segment — average KV traffic drops by ~2x vs always
+    # reading the full cache.
+    def make_step(extent):
+        def step(carry, i):
+            cache, cur, rng = carry
+            tok = jnp.concatenate([cur, cur], axis=0) if use_cfg else cur
+            pos = t + i
+            logits, cache = gpt.decode_step(params, cfg, tok, pos, cache,
+                                            prefix_allow=prefix_allow,
+                                            compute_dtype=compute_dtype,
+                                            read_extent=extent)
+            if use_cfg:
+                if cfg_interval > -1:
+                    enabled = i <= cfg_interval  # ref: cfg off past interval
+                else:
+                    enabled = True
+                logits = sampling.cfg_mix(logits, cfg_scale, enabled=enabled)
+            rng, step_rng = jax.random.split(rng)
+            nxt = sampling.sample(step_rng, logits, **sample_kw)
+            return (cache, nxt, rng), nxt
 
-    (_, _, _), rest = jax.lax.scan(
-        step, (cache, first_token, rng), jnp.arange(max_new_tokens - 1))
+        return step
 
-    return jnp.concatenate([first_token[:, None], rest.T], axis=1)
+    seg = 128
+    steps_total = max_new_tokens - 1
+    carry = (cache, first_token, rng)
+    chunks = []
+    i0 = 0
+    while i0 < steps_total:
+        n = min(seg, steps_total - i0)
+        extent = min(find_multiple(t + i0 + n - 1, seg), max_seq)
+        carry, toks = jax.lax.scan(make_step(extent), carry,
+                                   jnp.arange(i0, i0 + n))
+        chunks.append(toks)
+        i0 += n
+
+    if chunks:
+        rest = jnp.concatenate(chunks, axis=0)
+        return jnp.concatenate([first_token[:, None], rest.T], axis=1)
+    return first_token[:, None]

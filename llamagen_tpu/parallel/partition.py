@@ -55,8 +55,9 @@ def vq_param_specs(params):
     return jax.tree.map(lambda _: P(), params)
 
 
-def cache_specs() -> "P":
-    """KV cache [L, B, S, H, D]: batch over dp/fsdp, heads over tp."""
-    kv = P(None, ("dp", "fsdp"), None, "tp", None)
+def cache_specs(n_layer: int):
+    """KV cache (per-layer [B, S, H, D]): batch over dp/fsdp, heads over tp."""
+    kv = P(("dp", "fsdp"), None, "tp", None)
     from llamagen_tpu.models.gpt import KVCache
-    return KVCache(k=kv, v=kv)
+    return KVCache(k=tuple(kv for _ in range(n_layer)),
+                   v=tuple(kv for _ in range(n_layer)))

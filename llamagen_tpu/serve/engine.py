@@ -90,7 +90,8 @@ def _decode_step_slots(params, cfg: GPTConfig, emb: jnp.ndarray,
     mask = jnp.arange(smax)[None, None, :] <= pos[:, None, None]  # [B,1,S]
     scale = cfg.head_dim ** -0.5
     rep = cfg.n_head // cfg.kv_heads
-    layers = params["layers"]
+    q_size = cfg.n_head * cfg.head_dim
+    kv_size = cfg.kv_heads * cfg.head_dim
 
     def rope(x):
         # x: [B, H, D]; freqs: [B, D//2, 2]
@@ -101,24 +102,21 @@ def _decode_step_slots(params, cfg: GPTConfig, emb: jnp.ndarray,
         imag = xf[..., 1] * cos + xf[..., 0] * sin
         return jnp.stack([real, imag], -1).reshape(x.shape).astype(x.dtype)
 
-    def body(l, carry):
-        h, ck, cv = carry
-        p = jax.tree.map(
-            lambda x: jax.lax.dynamic_index_in_dim(x, l, 0, keepdims=False),
-            layers)
+    new_k, new_v = [], []
+    for l in range(cfg.n_layer):
+        p = gpt.layer_params(params, l)
         x = gpt.rms_norm(h, p["attention_norm"], cfg.norm_eps)
         qkv = x @ p["wqkv"].astype(x.dtype)
-        q_size = cfg.n_head * cfg.head_dim
-        kv_size = cfg.kv_heads * cfg.head_dim
         q = rope(qkv[:, :q_size].reshape(b, cfg.n_head, cfg.head_dim))
         k = rope(qkv[:, q_size:q_size + kv_size].reshape(b, cfg.kv_heads,
                                                          cfg.head_dim))
         v = qkv[:, q_size + kv_size:].reshape(b, cfg.kv_heads, cfg.head_dim)
 
-        ck = ck.at[l, batch_ids, pos].set(k.astype(ck.dtype))
-        cv = cv.at[l, batch_ids, pos].set(v.astype(cv.dtype))
-        keys = jax.lax.dynamic_index_in_dim(ck, l, 0, keepdims=False)
-        vals = jax.lax.dynamic_index_in_dim(cv, l, 0, keepdims=False)
+        ck = cache.k[l].at[batch_ids, pos].set(k.astype(cache.k[l].dtype))
+        cv = cache.v[l].at[batch_ids, pos].set(v.astype(cache.v[l].dtype))
+        new_k.append(ck)
+        new_v.append(cv)
+        keys, vals = ck, cv
         if rep != 1:
             keys = jnp.repeat(keys, rep, axis=2)
             vals = jnp.repeat(vals, rep, axis=2)
@@ -132,13 +130,10 @@ def _decode_step_slots(params, cfg: GPTConfig, emb: jnp.ndarray,
         ffn = jax.nn.silu(x @ p["w1"].astype(x.dtype)) * \
             (x @ p["w3"].astype(x.dtype))
         h = h + ffn @ p["w2"].astype(x.dtype)
-        return (h, ck, cv)
 
-    h, new_k, new_v = jax.lax.fori_loop(0, cfg.n_layer, body,
-                                        (h, cache.k, cache.v))
     h = gpt.rms_norm(h, params["norm"], cfg.norm_eps)
     logits = (h @ params["output"].astype(h.dtype)).astype(jnp.float32)
-    return logits, gpt.KVCache(k=new_k, v=new_v)
+    return logits, gpt.KVCache(k=tuple(new_k), v=tuple(new_v))
 
 
 def make_engine_step(params, cfg: GPTConfig, sp: SamplingParams,
