@@ -92,11 +92,10 @@ def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
 class KVCache(NamedTuple):
     """Preallocated KV cache.
 
-    k/v are tuples of per-layer [B, Smax, Hkv, head_dim] buffers — separate
-    buffers (not one stacked [L, ...] array) so the decode loop's
-    dynamic_update_slice aliases in place through the sampling scan and the
-    attention einsums read the carried buffer directly, with no per-step
-    layer-slice materialization.
+    k/v are tuples of per-layer [B, Smax, F] buffers (F = kv_heads*head_dim,
+    flattened so the Pallas decode kernel sees 128-aligned features).
+    Separate per-layer buffers (not one stacked [L, ...] array) keep the
+    XLA fallback path free of per-step layer-slice materialization.
     """
 
     k: tuple
@@ -113,10 +112,19 @@ class KVCache(NamedTuple):
 
 def init_cache(cfg: GPTConfig, batch: int, max_seq_len: int,
                dtype=jnp.bfloat16) -> KVCache:
-    shape = (batch, max_seq_len, cfg.kv_heads, cfg.head_dim)
+    shape = (batch, max_seq_len, cfg.kv_heads * cfg.head_dim)
     return KVCache(
         k=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.n_layer)),
         v=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.n_layer)))
+
+
+def init_recent(cfg: GPTConfig, batch: int, dtype=jnp.bfloat16):
+    """Per-layer [B, 8, F] rolling windows for the Pallas decode kernel."""
+    from llamagen_tpu.ops.attention import RECENT
+
+    shape = (batch, RECENT, cfg.kv_heads * cfg.head_dim)
+    return (tuple(jnp.zeros(shape, dtype) for _ in range(cfg.n_layer)),
+            tuple(jnp.zeros(shape, dtype) for _ in range(cfg.n_layer)))
 
 
 def layer_params(params: Params, l: int) -> Params:
@@ -163,11 +171,16 @@ def _attention(p: Params, x: jnp.ndarray, freqs: jnp.ndarray,
 
     new_cache = None
     if cache_kv is not None:
-        ck, cv = cache_kv  # [B, Smax, Hkv, D]
-        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, pos, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, pos, 0, 0))
+        ck, cv = cache_kv  # [B, Smax, F] flat
+        b_, s_, hkv, d_ = k.shape
+        ck = jax.lax.dynamic_update_slice(
+            ck, k.reshape(b_, s_, hkv * d_).astype(ck.dtype), (0, pos, 0))
+        cv = jax.lax.dynamic_update_slice(
+            cv, v.reshape(b_, s_, hkv * d_).astype(cv.dtype), (0, pos, 0))
         new_cache = (ck, cv)
-        k, v = ck.astype(q.dtype), cv.astype(q.dtype)
+        smax_ = ck.shape[1]
+        k = ck.reshape(b_, smax_, hkv, d_).astype(q.dtype)
+        v = cv.reshape(b_, smax_, hkv, d_).astype(q.dtype)
 
     out = _sdpa(q, k, v, mask, cfg)
     out = out @ p["wo"].astype(x.dtype)
@@ -375,15 +388,12 @@ def decode_step(params: Params, cfg: GPTConfig, token: jnp.ndarray,
     TPU-tuned:
       - 2D activations [B, D] (no degenerate seq dim), unrolled layer loop
         over per-layer cache buffers
-      - the cache is READ before it is written: history slots [0, pos) come
-        from the carried buffer, the current position's k/v contribute a
-        separate diagonal term from registers. No read-after-write on the
-        cache inside a step, so XLA does not decompose the attention dot
-        into padded dual contributions, and the dynamic_update_slice output
-        is only consumed by the next loop iteration (in-place friendly).
-      - `read_extent` (static) bounds how many history slots the attention
+      - `read_extent` (static) bounds how many cache slots the attention
         reads — the sampling loop passes a bucketed bound that grows with
-        pos, cutting average KV traffic roughly in half.
+        pos (128-step segments), trimming KV traffic.
+    (A read-before-write variant with a separate diagonal term measured
+    ~1.75x slower on GPT-L — XLA fuses the update-then-read pattern better;
+    see tools/perf notes.)
 
     token: [B] int32; pos: scalar int32 absolute position.
     prefix_allow: optional [B, Smax] bool — columns always allowed outside
@@ -397,9 +407,9 @@ def decode_step(params: Params, cfg: GPTConfig, token: jnp.ndarray,
     freqs = jax.lax.dynamic_slice_in_dim(
         freqs_cis_2d(cfg), pos, 1, axis=0)[0]  # [D//2, 2]
 
-    hist_mask = (jnp.arange(extent) < pos)[None, None, :]  # [1, 1, E]
+    mask = (jnp.arange(extent) <= pos)[None, None, :]  # [1, 1, E]
     if prefix_allow is not None:
-        hist_mask = hist_mask & prefix_allow[:, None, :extent]  # [B, 1, E]
+        mask = mask & prefix_allow[:, None, :extent]  # [B, 1, E]
     scale = cfg.head_dim ** -0.5
     rep = cfg.n_head // cfg.kv_heads
     q_size = cfg.n_head * cfg.head_dim
@@ -417,35 +427,26 @@ def decode_step(params: Params, cfg: GPTConfig, token: jnp.ndarray,
         q = _rope_single(q, freqs)
         k = _rope_single(k, freqs)
 
-        # history attention over the pre-update cache (slots [0, pos))
-        keys = cache.k[l][:, :extent]
-        vals = cache.v[l][:, :extent]
+        ck = jax.lax.dynamic_update_slice(
+            cache.k[l],
+            k.reshape(b, 1, kv_size).astype(cache.k[l].dtype), (0, pos, 0))
+        cv = jax.lax.dynamic_update_slice(
+            cache.v[l],
+            v.reshape(b, 1, kv_size).astype(cache.v[l].dtype), (0, pos, 0))
+        new_k.append(ck)
+        new_v.append(cv)
+        keys = ck[:, :extent].reshape(b, extent, cfg.kv_heads, cfg.head_dim)
+        vals = cv[:, :extent].reshape(b, extent, cfg.kv_heads, cfg.head_dim)
         if rep != 1:
             keys = jnp.repeat(keys, rep, axis=2)
             vals = jnp.repeat(vals, rep, axis=2)
-            k_full = jnp.repeat(k, rep, axis=1)
-            v_full = jnp.repeat(v, rep, axis=1)
-        else:
-            k_full, v_full = k, v
 
         scores = jnp.einsum("bhd,bshd->bhs", q, keys.astype(q.dtype),
                             preferred_element_type=jnp.float32) * scale
-        scores = jnp.where(hist_mask, scores, jnp.float32(-1e30))
-        # current position: diagonal term straight from registers
-        s_cur = jnp.einsum("bhd,bhd->bh", q, k_full.astype(q.dtype),
-                           preferred_element_type=jnp.float32)[..., None] * scale
-        all_scores = jnp.concatenate([scores, s_cur], axis=-1)
-        probs = jax.nn.softmax(all_scores, axis=-1).astype(q.dtype)
-        attn = jnp.einsum("bhs,bshd->bhd", probs[..., :extent],
-                          vals.astype(q.dtype))
-        attn = attn + probs[..., extent] [..., None] * v_full.astype(q.dtype)
+        scores = jnp.where(mask, scores, jnp.float32(-1e30))
+        probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        attn = jnp.einsum("bhs,bshd->bhd", probs, vals.astype(q.dtype))
         h = h + attn.reshape(b, cfg.dim) @ p["wo"].astype(x.dtype)
-
-        # write AFTER the read — output only feeds the next iteration
-        new_k.append(jax.lax.dynamic_update_slice(
-            cache.k[l], k.astype(cache.k[l].dtype)[:, None], (0, pos, 0, 0)))
-        new_v.append(jax.lax.dynamic_update_slice(
-            cache.v[l], v.astype(cache.v[l].dtype)[:, None], (0, pos, 0, 0)))
 
         x = rms_norm(h, p["ffn_norm"], cfg.norm_eps)
         ffn = jax.nn.silu(x @ p["w1"].astype(x.dtype)) * \
@@ -455,6 +456,64 @@ def decode_step(params: Params, cfg: GPTConfig, token: jnp.ndarray,
     h = rms_norm(h, params["norm"], cfg.norm_eps)
     logits = (h @ params["output"].astype(h.dtype)).astype(jnp.float32)
     return logits, KVCache(k=tuple(new_k), v=tuple(new_v))
+
+
+def decode_step_pallas(params: Params, cfg: GPTConfig, token: jnp.ndarray,
+                       pos: jnp.ndarray, cache: KVCache, recent_k, recent_v,
+                       prefix_allow: Optional[jnp.ndarray] = None,
+                       compute_dtype=jnp.bfloat16, interpret: bool = False):
+    """decode_step with the Pallas decode-attention kernel.
+
+    The per-layer HBM cache is updated in place by the kernel (aliased);
+    the new k/v land in per-layer [B, 8, F] recent windows
+    (llamagen_tpu.ops.attention docstring) carried by the sampling scan.
+
+    Requires n_kv_head == n_head (true for the whole LlamaGen family) and a
+    128-aligned cache length. Returns (logits, cache, recent_k, recent_v).
+    """
+    from llamagen_tpu.ops import attention as attn_lib
+
+    assert cfg.kv_heads == cfg.n_head, "kernel path assumes MHA"
+    b = token.shape[0]
+    h = params["tok_embeddings"][token].astype(compute_dtype)  # [B, D]
+    freqs = jax.lax.dynamic_slice_in_dim(
+        freqs_cis_2d(cfg), pos, 1, axis=0)[0]
+    q_size = cfg.n_head * cfg.head_dim
+    slot = pos % attn_lib.RECENT
+
+    new_rk, new_rv, new_ck, new_cv = [], [], [], []
+    for l in range(cfg.n_layer):
+        p = layer_params(params, l)
+        x = rms_norm(h, p["attention_norm"], cfg.norm_eps)
+        qkv = x @ p["wqkv"].astype(x.dtype)
+        q = qkv[:, :q_size].reshape(b, cfg.n_head, cfg.head_dim)
+        k = qkv[:, q_size:2 * q_size].reshape(b, cfg.n_head, cfg.head_dim)
+        v = qkv[:, 2 * q_size:]
+        q = _rope_single(q, freqs).reshape(b, q_size)
+        k = _rope_single(k, freqs).reshape(b, q_size)
+
+        rk = jax.lax.dynamic_update_slice(
+            recent_k[l], k.astype(recent_k[l].dtype)[:, None], (0, slot, 0))
+        rv = jax.lax.dynamic_update_slice(
+            recent_v[l], v.astype(recent_v[l].dtype)[:, None], (0, slot, 0))
+        attn, ck, cv = attn_lib.decode_attention(
+            q.astype(compute_dtype), rk, rv, cache.k[l], cache.v[l], pos,
+            cfg.n_head, prefix_allow=prefix_allow, interpret=interpret)
+        new_rk.append(rk)
+        new_rv.append(rv)
+        new_ck.append(ck)
+        new_cv.append(cv)
+        h = h + attn.astype(x.dtype) @ p["wo"].astype(x.dtype)
+
+        x = rms_norm(h, p["ffn_norm"], cfg.norm_eps)
+        ffn = jax.nn.silu(x @ p["w1"].astype(x.dtype)) * \
+            (x @ p["w3"].astype(x.dtype))
+        h = h + ffn @ p["w2"].astype(x.dtype)
+
+    h = rms_norm(h, params["norm"], cfg.norm_eps)
+    logits = (h @ params["output"].astype(h.dtype)).astype(jnp.float32)
+    return (logits, KVCache(k=tuple(new_ck), v=tuple(new_cv)),
+            tuple(new_rk), tuple(new_rv))
 
 
 # ---------------------------------------------------------------------------

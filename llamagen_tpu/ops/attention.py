@@ -1,17 +1,22 @@
 """Pallas TPU decode-attention kernel with in-place HBM KV cache.
 
-Replaces the XLA decode-attention path for the AR sampling hot loop. The
-XLA version (gpt.decode_step) materializes a full per-layer cache slice on
-every (layer, step) — ~1 cache-sized copy per step — and always reads all
-Smax slots. This kernel:
+Replaces the XLA decode-attention path in the AR sampling hot loop. The XLA
+version (gpt.decode_step) cannot avoid cache-sized copies per step (XLA's
+copy-insertion refuses to update the scan-carried cache in place) and always
+reads a static extent. This kernel:
 
-  - keeps the [L, B, S, H, D] cache in HBM and aliases it in/out
-    (guaranteed in-place update, zero copies)
-  - writes the new k/v at `pos` via an async DMA from VMEM
-  - streams only ceil(pos / BLOCK) key/value blocks per head batch —
-    average ~half of Smax — with flash-style online softmax in f32
-  - handles the current position's k/v directly from registers (no
-    write-then-read hazard)
+  - keeps the per-layer [B, S, F] cache in HBM, aliased in/out — zero-copy
+  - streams only ceil(pos / BLOCK) key/value blocks per batch element
+    (average ~half of Smax) with flash-style online softmax in f32
+  - new k/v pairs accumulate in a tiny [B, 8, F] "recent window" carried by
+    the sampling scan in XLA (dynamic_update_slice on a ~100KB buffer);
+    attention covers cache blocks + the masked recent window, and the
+    kernel flushes the window into the cache with one aligned 8-row DMA
+    every 8 steps — single-row HBM writes would violate Mosaic's (8, 128)
+    tiling, and the batched flush amortizes DMA issue cost 8x
+  - features flattened to F = H*head_dim (128-aligned for every LlamaGen
+    config); per-head score/value contractions are MXU matmuls against a
+    constant [F, H] head-segment mask — no 3D reshapes in-kernel.
 
 Functional equivalent of the reference serving path's PagedAttention call
 (`/root/reference/autoregressive/serve/gpt_model.py:141-145`) — on TPU a
@@ -25,50 +30,70 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLOCK_S = 128
+RECENT = 8  # recent-window slots (= f32 sublane tile)
+
+
+def _seg_mask(n_head: int, head_dim: int) -> np.ndarray:
+    """[F, H] indicator: feature f belongs to head h."""
+    f = n_head * head_dim
+    seg = np.arange(f) // head_dim
+    return (seg[:, None] == np.arange(n_head)[None, :]).astype(np.float32)
 
 
 def _decode_attn_kernel(
     # scalar prefetch
-    layer_ref, pos_ref,
+    pos_ref,
     # inputs
-    q_ref, k_new_ref, v_new_ref, prefix_ref, k_cache_hbm, v_cache_hbm,
+    seg_ref, q_ref, recent_k_ref, recent_v_ref, prefix_ref, k_cache_hbm,
+    v_cache_hbm,
     # outputs
     out_ref, k_cache_out, v_cache_out,
     # scratch
-    k_scratch, v_scratch, mask_scratch, write_scratch, sems, write_sems,
-    *, block_s: int, scale: float, use_prefix: bool,
+    k_scratch, v_scratch, flush_stage, mask_scratch, sems, write_sem,
+    mask_sem,
+    *, block_s: int, scale: float, n_head: int, head_dim: int,
+    use_prefix: bool,
 ):
     b = pl.program_id(0)
-    l = layer_ref[0]
     pos = pos_ref[0]
+    f = n_head * head_dim
+    boundary = (pos // RECENT) * RECENT  # cache holds positions [0, boundary)
+    r_idx = pos - boundary              # current slot within the window
 
-    h_dim = q_ref.shape[1]  # heads
-    d = q_ref.shape[2]
+    # --- flush the full recent window into the cache every RECENT steps ---
+    do_flush = r_idx == RECENT - 1
 
-    # --- write new k/v into the cache at (l, b, pos) ---
-    write_scratch[0] = k_new_ref[0]
-    write_scratch[1] = v_new_ref[0]
-    k_write = pltpu.make_async_copy(
-        write_scratch.at[0], k_cache_out.at[l, b, pos], write_sems.at[0])
-    v_write = pltpu.make_async_copy(
-        write_scratch.at[1], v_cache_out.at[l, b, pos], write_sems.at[1])
-    k_write.start()
-    v_write.start()
+    @pl.when(do_flush)
+    def _():
+        flush_stage[pl.ds(0, RECENT)] = recent_k_ref[0]
+        flush_stage[pl.ds(RECENT, RECENT)] = recent_v_ref[0]
+        kw = pltpu.make_async_copy(
+            flush_stage.at[pl.ds(0, RECENT)],
+            k_cache_out.at[b, pl.ds(boundary, RECENT)], write_sem.at[0])
+        vw = pltpu.make_async_copy(
+            flush_stage.at[pl.ds(RECENT, RECENT)],
+            v_cache_out.at[b, pl.ds(boundary, RECENT)], write_sem.at[1])
+        kw.start()
+        vw.start()
 
-    q = q_ref[0].astype(jnp.float32)  # [H, D]
+    seg = seg_ref[:]                                        # [F, H]
+    q_row = q_ref[0].astype(jnp.float32)                    # [1, F]
 
-    num_blocks = pl.cdiv(pos, block_s)  # stream cache slots [0, pos)
+    num_blocks = pl.cdiv(boundary, block_s)
 
     def get_dma(slot, blk):
-        src_k = k_cache_hbm.at[l, b, pl.ds(blk * block_s, block_s)]
-        src_v = v_cache_hbm.at[l, b, pl.ds(blk * block_s, block_s)]
         return (
-            pltpu.make_async_copy(src_k, k_scratch.at[slot], sems.at[slot, 0]),
-            pltpu.make_async_copy(src_v, v_scratch.at[slot], sems.at[slot, 1]),
+            pltpu.make_async_copy(
+                k_cache_hbm.at[b, pl.ds(blk * block_s, block_s)],
+                k_scratch.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                v_cache_hbm.at[b, pl.ds(blk * block_s, block_s)],
+                v_scratch.at[slot], sems.at[slot, 1]),
         )
 
     @pl.when(num_blocks > 0)
@@ -78,15 +103,14 @@ def _decode_attn_kernel(
         dv.start()
 
     if use_prefix:
-        pm = pltpu.make_async_copy(prefix_ref.at[b], mask_scratch,
-                                   sems.at[0, 2])
+        pm = pltpu.make_async_copy(prefix_ref.at[pl.ds(b, 1)], mask_scratch,
+                                   mask_sem)
         pm.start()
         pm.wait()
 
-    # flash state
-    m0 = jnp.full((h_dim,), -1e30, jnp.float32)
-    l0 = jnp.zeros((h_dim,), jnp.float32)
-    acc0 = jnp.zeros((h_dim, d), jnp.float32)
+    m0 = jnp.full((1, n_head), -1e30, jnp.float32)
+    l0 = jnp.zeros((1, n_head), jnp.float32)
+    acc0 = jnp.zeros((1, f), jnp.float32)
 
     def body(blk, carry):
         m, l_acc, acc = carry
@@ -102,123 +126,156 @@ def _decode_attn_kernel(
         dk.wait()
         dv.wait()
 
-        kb = k_scratch[slot].astype(jnp.float32)  # [S_blk, H, D]
+        kb = k_scratch[slot].astype(jnp.float32)  # [S_blk, F]
         vb = v_scratch[slot].astype(jnp.float32)
-        scores = jnp.sum(kb * q[None, :, :], axis=-1) * scale  # [S_blk, H]
+        # per-head scores: broadcast q, then segment-sum via [F, H] matmul
+        scores = jnp.dot(kb * q_row, seg,
+                         preferred_element_type=jnp.float32) * scale
 
         s_global = blk * block_s + jax.lax.broadcasted_iota(
-            jnp.int32, (block_s, 1), 0)[:, 0]
-        valid = s_global < pos
+            jnp.int32, (block_s, 1), 0)
+        valid = s_global < boundary  # [S_blk, 1]
         if use_prefix:
-            allow = mask_scratch[pl.ds(blk * block_s, block_s)] != 0
-            valid = valid & allow
-        scores = jnp.where(valid[:, None], scores, -1e30)
+            allow = mask_scratch[0, pl.ds(blk * block_s, block_s)] != 0
+            valid = valid & allow[:, None]
+        scores = jnp.where(valid, scores, -1e30)
 
-        blk_max = jnp.max(scores, axis=0)
+        blk_max = jnp.max(scores, axis=0, keepdims=True)    # [1, H]
         m_new = jnp.maximum(m, blk_max)
-        alpha = jnp.exp(m - m_new)
-        p = jnp.exp(scores - m_new[None, :])  # [S_blk, H]
-        l_new = l_acc * alpha + jnp.sum(p, axis=0)
-        pv = jnp.einsum("sh,shd->hd", p, vb,
-                        preferred_element_type=jnp.float32)
-        acc_new = acc * alpha[:, None] + pv
+        alpha = jnp.exp(m - m_new)                          # [1, H]
+        p = jnp.exp(scores - m_new)                         # [S_blk, H]
+        l_new = l_acc * alpha + jnp.sum(p, axis=0, keepdims=True)
+        p_flat = jnp.dot(p, seg.T,
+                         preferred_element_type=jnp.float32)  # [S_blk, F]
+        pv = jnp.sum(p_flat * vb, axis=0, keepdims=True)      # [1, F]
+        alpha_flat = jnp.dot(alpha, seg.T,
+                             preferred_element_type=jnp.float32)
+        acc_new = acc * alpha_flat + pv
         return m_new, l_new, acc_new
 
     m, l_acc, acc = jax.lax.fori_loop(0, num_blocks, body, (m0, l0, acc0))
 
-    # current position: k_new/v_new contribute the diagonal term
-    k_cur = k_new_ref[0].astype(jnp.float32)  # [H, D]
-    v_cur = v_new_ref[0].astype(jnp.float32)
-    s_cur = jnp.sum(q * k_cur, axis=-1) * scale  # [H]
-    m_new = jnp.maximum(m, s_cur)
+    # --- recent window: positions [boundary, boundary + r_idx] ---
+    rk = recent_k_ref[0].astype(jnp.float32)  # [RECENT, F]
+    rv = recent_v_ref[0].astype(jnp.float32)
+    r_scores = jnp.dot(rk * q_row, seg,
+                       preferred_element_type=jnp.float32) * scale  # [R, H]
+    j = jax.lax.broadcasted_iota(jnp.int32, (RECENT, 1), 0)
+    r_valid = j <= r_idx
+    if use_prefix:
+        # window positions can overlap the condition prefix only when decode
+        # starts mid-window; guard with the mask at boundary+j
+        r_allow = mask_scratch[0, pl.ds(boundary, RECENT)] != 0
+        r_valid = r_valid & r_allow[:, None]
+    r_scores = jnp.where(r_valid, r_scores, -1e30)
+
+    r_max = jnp.max(r_scores, axis=0, keepdims=True)
+    m_new = jnp.maximum(m, r_max)
     alpha = jnp.exp(m - m_new)
-    p_cur = jnp.exp(s_cur - m_new)
-    l_final = l_acc * alpha + p_cur
-    acc = acc * alpha[:, None] + p_cur[:, None] * v_cur
+    p_r = jnp.exp(r_scores - m_new)                         # [R, H]
+    l_final = l_acc * alpha + jnp.sum(p_r, axis=0, keepdims=True)
+    p_r_flat = jnp.dot(p_r, seg.T, preferred_element_type=jnp.float32)
+    pv_r = jnp.sum(p_r_flat * rv, axis=0, keepdims=True)
+    alpha_flat = jnp.dot(alpha, seg.T, preferred_element_type=jnp.float32)
+    acc = acc * alpha_flat + pv_r
+    l_flat = jnp.dot(l_final, seg.T, preferred_element_type=jnp.float32)
 
-    out_ref[0] = (acc / l_final[:, None]).astype(out_ref.dtype)
+    out_ref[0] = (acc / l_flat).astype(out_ref.dtype)
 
-    k_write.wait()
-    v_write.wait()
+    @pl.when(do_flush)
+    def _():
+        pltpu.make_async_copy(flush_stage.at[pl.ds(0, RECENT)],
+                              k_cache_out.at[b, pl.ds(boundary, RECENT)],
+                              write_sem.at[0]).wait()
+        pltpu.make_async_copy(flush_stage.at[pl.ds(RECENT, RECENT)],
+                              v_cache_out.at[b, pl.ds(boundary, RECENT)],
+                              write_sem.at[1]).wait()
 
 
-def decode_attention(q: jnp.ndarray, k_new: jnp.ndarray, v_new: jnp.ndarray,
-                     k_cache: jnp.ndarray, v_cache: jnp.ndarray,
-                     layer: jnp.ndarray, pos: jnp.ndarray,
+def decode_attention(q: jnp.ndarray, recent_k: jnp.ndarray,
+                     recent_v: jnp.ndarray, k_cache: jnp.ndarray,
+                     v_cache: jnp.ndarray, pos: jnp.ndarray, n_head: int,
                      prefix_allow: Optional[jnp.ndarray] = None,
                      *, block_s: int = BLOCK_S, interpret: bool = False
                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Single-position attention against the cache, updating it in place.
+    """Single-position attention for one layer, cache updated in place.
 
-    q:       [B, H, D]   (post-RoPE)
-    k_new:   [B, H, D]   (post-RoPE; n_kv_head == n_head assumed)
-    v_new:   [B, H, D]
-    k_cache: [L, B, S, H, D]  (bf16/f32, aliased in-place)
-    v_cache: [L, B, S, H, D]
-    layer:   scalar int32
-    pos:     scalar int32 — attends to cache[:pos] plus the new k/v at pos
-    prefix_allow: optional [B, S] int8/bool mask (t2i caption validity)
+    q:                 [B, F]  (post-RoPE, flattened heads; F = H*head_dim)
+    recent_k/recent_v: [B, RECENT, F] — rolling window holding positions
+                       [8*(pos//8), pos]; the CALLER writes the current
+                       k/v at slot pos%8 before invoking (XLA-side dus)
+    k_cache/v_cache:   [B, S, F] — positions [0, 8*(pos//8)); ALIASED,
+                       flushed from the window when pos%8 == 7
+    pos: scalar int32
+    prefix_allow: optional [B, S] bool/int8 (t2i caption validity)
 
-    Returns (out [B, H, D], k_cache, v_cache).
+    Returns (out [B, F], k_cache, v_cache).
     """
-    b, h, d = q.shape
-    smax = k_cache.shape[2]
-    assert smax % block_s == 0 or smax < block_s, (
-        f"cache len {smax} not aligned to block {block_s}")
+    b, f = q.shape
+    smax = k_cache.shape[1]
+    assert f % 128 == 0, f"flattened features {f} must be 128-aligned"
+    assert f % n_head == 0
+    head_dim = f // n_head
     block_s = min(block_s, smax)
-    scale = d ** -0.5
+    assert smax % block_s == 0, (
+        f"cache len {smax} not aligned to block {block_s}")
+    assert recent_k.shape == (b, RECENT, f)
+    scale = head_dim ** -0.5
 
     use_prefix = prefix_allow is not None
     if prefix_allow is None:
-        prefix_dummy = jnp.ones((b, smax), jnp.int8)
+        prefix_arg = jnp.ones((b, smax), jnp.int8)
     else:
-        prefix_dummy = prefix_allow.astype(jnp.int8)
+        prefix_arg = prefix_allow.astype(jnp.int8)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, h, d), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),      # q
-            pl.BlockSpec((1, h, d), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),      # k_new
-            pl.BlockSpec((1, h, d), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),      # v_new
-            pl.BlockSpec(memory_space=pl.ANY),       # prefix mask
-            pl.BlockSpec(memory_space=pl.ANY),       # k_cache
-            pl.BlockSpec(memory_space=pl.ANY),       # v_cache
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # seg mask [F, H]
+            pl.BlockSpec((1, 1, f), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),      # q row [1, 1, F]
+            pl.BlockSpec((1, RECENT, f), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),      # recent_k [1, R, F]
+            pl.BlockSpec((1, RECENT, f), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),      # recent_v [1, R, F]
+            pl.BlockSpec(memory_space=pl.ANY),          # prefix mask
+            pl.BlockSpec(memory_space=pl.ANY),          # k_cache
+            pl.BlockSpec(memory_space=pl.ANY),          # v_cache
         ],
         out_specs=[
-            pl.BlockSpec((1, h, d), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),      # out
-            pl.BlockSpec(memory_space=pl.ANY),       # k_cache (aliased)
-            pl.BlockSpec(memory_space=pl.ANY),       # v_cache (aliased)
+            pl.BlockSpec((1, 1, f), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),      # out row [1, 1, F]
+            pl.BlockSpec(memory_space=pl.ANY),          # k_cache (aliased)
+            pl.BlockSpec(memory_space=pl.ANY),          # v_cache (aliased)
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, block_s, h, d), k_cache.dtype),  # k blocks
-            pltpu.VMEM((2, block_s, h, d), v_cache.dtype),  # v blocks
-            pltpu.VMEM((smax,), jnp.int8),                  # prefix mask
-            pltpu.VMEM((2, h, d), k_cache.dtype),           # kv write staging
-            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.VMEM((2, block_s, f), k_cache.dtype),   # k blocks
+            pltpu.VMEM((2, block_s, f), v_cache.dtype),   # v blocks
+            pltpu.VMEM((2 * RECENT, f), k_cache.dtype),   # flush staging
+            pltpu.VMEM((1, smax), jnp.int8),              # prefix mask
+            pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
         ],
     )
 
     kernel = functools.partial(
-        _decode_attn_kernel, block_s=block_s, scale=scale,
-        use_prefix=use_prefix)
+        _decode_attn_kernel, block_s=block_s, scale=scale, n_head=n_head,
+        head_dim=head_dim, use_prefix=use_prefix)
 
     out, k_cache, v_cache = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, d), q.dtype),
+            jax.ShapeDtypeStruct((b, 1, f), q.dtype),
             jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
             jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
         ],
         input_output_aliases={6: 1, 7: 2},  # cache in -> cache out
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(layer.reshape(1), pos.reshape(1), q, k_new, v_new, prefix_dummy,
-      k_cache, v_cache)
-    return out, k_cache, v_cache
+    )(jnp.asarray(pos, jnp.int32).reshape(1),
+      jnp.asarray(_seg_mask(n_head, head_dim)),
+      q[:, None, :], recent_k, recent_v, prefix_arg, k_cache, v_cache)
+    return out[:, 0, :], k_cache, v_cache

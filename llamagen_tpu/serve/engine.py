@@ -112,11 +112,14 @@ def _decode_step_slots(params, cfg: GPTConfig, emb: jnp.ndarray,
                                                          cfg.head_dim))
         v = qkv[:, q_size + kv_size:].reshape(b, cfg.kv_heads, cfg.head_dim)
 
-        ck = cache.k[l].at[batch_ids, pos].set(k.astype(cache.k[l].dtype))
-        cv = cache.v[l].at[batch_ids, pos].set(v.astype(cache.v[l].dtype))
+        ck = cache.k[l].at[batch_ids, pos].set(
+            k.reshape(b, kv_size).astype(cache.k[l].dtype))
+        cv = cache.v[l].at[batch_ids, pos].set(
+            v.reshape(b, kv_size).astype(cache.v[l].dtype))
         new_k.append(ck)
         new_v.append(cv)
-        keys, vals = ck, cv
+        keys = ck.reshape(b, smax, cfg.kv_heads, cfg.head_dim)
+        vals = cv.reshape(b, smax, cfg.kv_heads, cfg.head_dim)
         if rep != 1:
             keys = jnp.repeat(keys, rep, axis=2)
             vals = jnp.repeat(vals, rep, axis=2)

@@ -8,106 +8,144 @@ import conftest  # noqa: F401
 import jax
 import jax.numpy as jnp
 
-from llamagen_tpu.ops.attention import decode_attention
+from llamagen_tpu.ops.attention import RECENT, decode_attention
+
+B, H, D, S = 2, 4, 64, 256
+F = H * D
 
 
-def _reference_attention(q, k_all, v_all, pos, prefix_allow=None):
-    """Dense f32 oracle: attend over slots [0..pos] inclusive."""
-    scale = q.shape[-1] ** -0.5
-    scores = np.einsum("bhd,bshd->bhs", q, k_all) * scale
-    s = np.arange(k_all.shape[1])
-    mask = s[None, None, :] <= pos
+def _dense_oracle(q, k_hist, v_hist, prefix_allow=None):
+    """q [B,H,D]; k/v_hist [B, pos+1, H, D] -> out [B,H,D]."""
+    scale = D ** -0.5
+    scores = np.einsum("bhd,bshd->bhs", q, k_hist) * scale
     if prefix_allow is not None:
-        mask = mask & prefix_allow[:, None, :]
-    scores = np.where(mask, scores, -1e30)
+        npos = k_hist.shape[1]
+        scores = np.where(prefix_allow[:, None, :npos], scores, -1e30)
     p = np.exp(scores - scores.max(-1, keepdims=True))
     p = p / p.sum(-1, keepdims=True)
-    return np.einsum("bhs,bshd->bhd", p, v_all)
+    return np.einsum("bhs,bshd->bhd", p, v_hist)
 
 
-@pytest.mark.parametrize("pos", [0, 1, 63, 64, 127, 200])
-def test_kernel_matches_dense(pos):
-    B, H, D, S, L = 2, 4, 64, 256, 3
-    layer = 1
-    rng = np.random.RandomState(0)
+def _run(pos, prefix=None, dtype=np.float32, block_s=64, seed=0):
+    rng = np.random.RandomState(seed)
     q = rng.randn(B, H, D).astype(np.float32)
-    k_new = rng.randn(B, H, D).astype(np.float32)
-    v_new = rng.randn(B, H, D).astype(np.float32)
-    k_cache = rng.randn(L, B, S, H, D).astype(np.float32)
-    v_cache = rng.randn(L, B, S, H, D).astype(np.float32)
+    # full history of k/v for positions [0, pos]
+    k_hist = rng.randn(B, pos + 1, H, D).astype(np.float32)
+    v_hist = rng.randn(B, pos + 1, H, D).astype(np.float32)
+
+    boundary = (pos // RECENT) * RECENT
+    k_cache = rng.randn(B, S, H, D).astype(np.float32)  # junk beyond boundary
+    v_cache = rng.randn(B, S, H, D).astype(np.float32)
+    k_cache[:, :boundary] = k_hist[:, :boundary]
+    v_cache[:, :boundary] = v_hist[:, :boundary]
+
+    recent_k = rng.randn(B, RECENT, H, D).astype(np.float32)
+    recent_v = rng.randn(B, RECENT, H, D).astype(np.float32)
+    n_recent = pos - boundary + 1
+    recent_k[:, :n_recent] = k_hist[:, boundary:pos + 1]
+    recent_v[:, :n_recent] = v_hist[:, boundary:pos + 1]
 
     out, k_upd, v_upd = decode_attention(
-        jnp.asarray(q), jnp.asarray(k_new), jnp.asarray(v_new),
-        jnp.asarray(k_cache), jnp.asarray(v_cache),
-        jnp.int32(layer), jnp.int32(pos), block_s=64, interpret=True)
+        jnp.asarray(q.reshape(B, F), dtype),
+        jnp.asarray(recent_k.reshape(B, RECENT, F), dtype),
+        jnp.asarray(recent_v.reshape(B, RECENT, F), dtype),
+        jnp.asarray(k_cache.reshape(B, S, F), dtype),
+        jnp.asarray(v_cache.reshape(B, S, F), dtype),
+        jnp.int32(pos), H,
+        prefix_allow=None if prefix is None else jnp.asarray(prefix),
+        block_s=block_s, interpret=True)
 
-    # cache must contain the new k/v at (layer, :, pos)
-    np.testing.assert_allclose(np.asarray(k_upd)[layer, :, pos], k_new,
-                               atol=1e-6)
-    np.testing.assert_allclose(np.asarray(v_upd)[layer, :, pos], v_new,
-                               atol=1e-6)
-    # untouched layers unchanged
-    np.testing.assert_array_equal(np.asarray(k_upd)[0], k_cache[0])
+    expected = _dense_oracle(q, k_hist, v_hist, prefix)
+    return (np.asarray(out, np.float32).reshape(B, H, D), expected,
+            np.asarray(k_upd, np.float32), np.asarray(v_upd, np.float32),
+            k_hist, boundary)
 
-    k_all = k_cache[layer].copy()
-    v_all = v_cache[layer].copy()
-    k_all[:, pos] = k_new
-    v_all[:, pos] = v_new
-    expected = _reference_attention(q, k_all, v_all, pos)
-    np.testing.assert_allclose(np.asarray(out), expected, atol=2e-5,
-                               rtol=1e-4)
+
+@pytest.mark.parametrize("pos", [0, 1, 7, 8, 63, 64, 100, 127, 200, 255])
+def test_kernel_matches_dense(pos):
+    out, expected, _, _, _, _ = _run(pos)
+    np.testing.assert_allclose(out, expected, atol=2e-5, rtol=1e-4)
+
+
+def test_flush_writes_window_to_cache():
+    pos = 63  # pos % 8 == 7 -> flush
+    out, expected, k_upd, v_upd, k_hist, boundary = _run(pos)
+    np.testing.assert_allclose(out, expected, atol=2e-5, rtol=1e-4)
+    assert boundary == 56
+    np.testing.assert_allclose(
+        k_upd[:, boundary:pos + 1],
+        k_hist[:, boundary:pos + 1].reshape(B, RECENT, F), atol=1e-6)
+
+
+def test_no_flush_leaves_cache_unchanged():
+    pos = 20  # pos % 8 != 7
+    rng = np.random.RandomState(0)
+    _ = rng.randn(B, H, D)
+    k_hist = rng.randn(B, pos + 1, H, D)
+    _ = rng.randn(B, pos + 1, H, D)
+    k_cache = rng.randn(B, S, H, D).astype(np.float32)
+    boundary = (pos // RECENT) * RECENT
+    k_cache[:, :boundary] = k_hist[:, :boundary]
+    _, _, k_upd, _, _, _ = _run(pos, seed=0)
+    np.testing.assert_array_equal(k_upd, k_cache.reshape(B, S, F))
 
 
 def test_kernel_with_prefix_mask():
-    B, H, D, S, L = 2, 4, 64, 128, 2
-    pos, layer, t = 70, 0, 8
-    rng = np.random.RandomState(1)
-    q = rng.randn(B, H, D).astype(np.float32)
-    k_new = rng.randn(B, H, D).astype(np.float32)
-    v_new = rng.randn(B, H, D).astype(np.float32)
-    k_cache = rng.randn(L, B, S, H, D).astype(np.float32)
-    v_cache = rng.randn(L, B, S, H, D).astype(np.float32)
     allow = np.ones((B, S), bool)
-    allow[0, :3] = False  # left-padded caption positions
+    allow[0, :3] = False
     allow[1, :5] = False
-
-    out, _, _ = decode_attention(
-        jnp.asarray(q), jnp.asarray(k_new), jnp.asarray(v_new),
-        jnp.asarray(k_cache), jnp.asarray(v_cache),
-        jnp.int32(layer), jnp.int32(pos),
-        prefix_allow=jnp.asarray(allow), block_s=64, interpret=True)
-
-    k_all = k_cache[layer].copy()
-    v_all = v_cache[layer].copy()
-    k_all[:, pos] = k_new
-    v_all[:, pos] = v_new
-    expected = _reference_attention(q, k_all, v_all, pos, allow)
-    np.testing.assert_allclose(np.asarray(out), expected, atol=2e-5,
-                               rtol=1e-4)
+    out, expected, _, _, _, _ = _run(70, prefix=allow, seed=1)
+    np.testing.assert_allclose(out, expected, atol=2e-5, rtol=1e-4)
 
 
-def test_kernel_bf16_cache():
-    B, H, D, S, L = 1, 2, 64, 128, 1
-    pos = 65
-    rng = np.random.RandomState(2)
-    q = rng.randn(B, H, D).astype(np.float32)
-    k_new = rng.randn(B, H, D).astype(np.float32)
-    v_new = rng.randn(B, H, D).astype(np.float32)
-    k_cache = rng.randn(L, B, S, H, D).astype(np.float32)
-    v_cache = rng.randn(L, B, S, H, D).astype(np.float32)
+def test_kernel_bf16():
+    out, expected, _, _, _, _ = _run(65, dtype=jnp.bfloat16, seed=2)
+    np.testing.assert_allclose(out, expected, atol=0.06, rtol=0.06)
 
-    out, _, _ = decode_attention(
-        jnp.asarray(q, jnp.bfloat16), jnp.asarray(k_new, jnp.bfloat16),
-        jnp.asarray(v_new, jnp.bfloat16),
-        jnp.asarray(k_cache, jnp.bfloat16), jnp.asarray(v_cache, jnp.bfloat16),
-        jnp.int32(0), jnp.int32(pos), block_s=64, interpret=True)
 
-    k_all = k_cache[0].copy()
-    v_all = v_cache[0].copy()
-    k_all[:, pos] = k_new
-    v_all[:, pos] = v_new
-    kb = k_all.astype(np.float32)
-    expected = _reference_attention(q.astype(np.float32), kb,
-                                    v_all.astype(np.float32), pos)
-    np.testing.assert_allclose(np.asarray(out).astype(np.float32), expected,
-                               atol=0.05, rtol=0.05)
+def test_decode_step_pallas_matches_xla():
+    """Full decode step: kernel path (interpret) vs XLA path, multi-step."""
+    from llamagen_tpu.config import GPTConfig
+    from llamagen_tpu.models import gpt
+
+    cfg = GPTConfig(dim=128, n_layer=2, n_head=2, block_size=256,
+                    num_classes=10, vocab_size=128, cls_token_num=1)
+    params = gpt.init_params(jax.random.PRNGKey(0), cfg)
+    params["output"] = jax.random.normal(jax.random.PRNGKey(1),
+                                         params["output"].shape) * 0.02
+    b = 2
+    smax = 384  # 128-aligned
+    cache_x = gpt.init_cache(cfg, b, smax, dtype=jnp.float32)
+    cache_p = gpt.init_cache(cfg, b, smax, dtype=jnp.float32)
+    rk, rv = gpt.init_recent(cfg, b, dtype=jnp.float32)
+
+    # prefill both paths identically
+    labels = jnp.asarray(np.array([1, 5]))
+    logits_x, cache_x = gpt.prefill(params, cfg, labels, cache_x,
+                                    compute_dtype=jnp.float32)
+    logits_p, cache_p = gpt.prefill(params, cfg, labels, cache_p,
+                                    compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(logits_x), np.asarray(logits_p))
+    # seed recent windows from the prefill boundary rows
+    base = (cfg.cls_token_num // RECENT) * RECENT
+    rk = tuple(jax.lax.dynamic_slice(ck, (0, base, 0), (b, RECENT, ck.shape[2]))
+               for ck in cache_p.k)
+    rv = tuple(jax.lax.dynamic_slice(cv, (0, base, 0), (b, RECENT, cv.shape[2]))
+               for cv in cache_p.v)
+
+    import functools
+
+    step_x = jax.jit(functools.partial(gpt.decode_step, params, cfg,
+                                       compute_dtype=jnp.float32))
+    step_p = jax.jit(functools.partial(gpt.decode_step_pallas, params, cfg,
+                                       compute_dtype=jnp.float32,
+                                       interpret=True))
+    rng = np.random.RandomState(0)
+    for i in range(12):  # crosses a window flush at pos 7
+        pos = jnp.int32(cfg.cls_token_num + i)
+        tok = jnp.asarray(rng.randint(0, cfg.vocab_size, size=(b,)))
+        lx, cache_x = step_x(tok, pos, cache_x)
+        lp, cache_p, rk, rv = step_p(tok, pos, cache_p, rk, rv)
+        np.testing.assert_allclose(np.asarray(lp), np.asarray(lx),
+                                   atol=2e-4, rtol=1e-3,
+                                   err_msg=f"step {i} (pos {pos})")
