@@ -1,0 +1,133 @@
+"""Interactive c2i demo server.
+
+Equivalent of the reference Gradio demo (`/root/reference/app.py`): serves
+class-conditional generation over HTTP, backed by the continuous-batching
+ServeEngine (the reference hot-swaps the vLLM sampler per request,
+app.py:54; here cfg_scale is a per-engine setting and the engine is shared
+across requests). Uses Gradio when installed, otherwise a dependency-free
+stdlib HTTP server with the same endpoints.
+
+  python -m llamagen_tpu.cli.app --gpt-ckpt c2i_B_256.pt --vq-ckpt vq.pt
+  curl "localhost:7860/generate?class_id=207&seed=0" -o golden_retriever.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class DemoBackend:
+    def __init__(self, args):
+        from llamagen_tpu.cli.common import load_gpt, load_vq
+        from llamagen_tpu.models import vq as vq_lib
+        from llamagen_tpu.serve.engine import SamplingParams, ServeEngine
+
+        self.latent = args.image_size // args.downsample_size
+        gpt_params, gpt_cfg = load_gpt(args.gpt_ckpt, args.gpt_model,
+                                       args.image_size, args.downsample_size)
+        self.vq_params, self.vq_cfg = load_vq(
+            args.vq_ckpt, args.vq_model, args.codebook_size,
+            args.codebook_embed_dim)
+        self.vq_lib = vq_lib
+        self.engine = ServeEngine(
+            gpt_params, gpt_cfg, num_pairs=args.num_slots,
+            max_new_tokens=self.latent * self.latent,
+            sampling_params=SamplingParams(cfg_scale=args.cfg_scale,
+                                           top_k=args.top_k,
+                                           top_p=args.top_p,
+                                           temperature=args.temperature),
+            chunk=args.chunk)
+        self._lock = threading.Lock()
+
+    def generate_png(self, class_id: int) -> bytes:
+        from PIL import Image
+
+        with self._lock:  # engine host loop is single-driver
+            tokens = self.engine.generate([class_id])[0]
+        idx = jnp.asarray(tokens.reshape(1, self.latent, self.latent))
+        img = self.vq_lib.decode_code(self.vq_params, idx, self.vq_cfg)
+        arr = np.asarray(img.astype(jnp.float32))[0]
+        arr = np.clip((arr + 1) * 127.5, 0, 255).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        return buf.getvalue()
+
+
+def serve_http(backend: DemoBackend, port: int):
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            url = urllib.parse.urlparse(self.path)
+            if url.path == "/generate":
+                q = urllib.parse.parse_qs(url.query)
+                class_id = int(q.get("class_id", ["207"])[0])
+                png = backend.generate_png(class_id)
+                self.send_response(200)
+                self.send_header("Content-Type", "image/png")
+                self.end_headers()
+                self.wfile.write(png)
+            elif url.path == "/stats":
+                body = json.dumps(backend.engine.stats()).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    print(f"serving on http://0.0.0.0:{port}  "
+          f"(GET /generate?class_id=N, GET /stats)")
+    ThreadingHTTPServer(("0.0.0.0", port), Handler).serve_forever()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--gpt-model", default="GPT-B")
+    p.add_argument("--gpt-ckpt", default=None)
+    p.add_argument("--vq-model", default="VQ-16")
+    p.add_argument("--vq-ckpt", default=None)
+    p.add_argument("--codebook-size", type=int, default=16384)
+    p.add_argument("--codebook-embed-dim", type=int, default=8)
+    p.add_argument("--image-size", type=int, default=256)
+    p.add_argument("--downsample-size", type=int, default=16)
+    p.add_argument("--cfg-scale", type=float, default=4.0)
+    p.add_argument("--top-k", type=int, default=4000)
+    p.add_argument("--top-p", type=float, default=1.0)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--num-slots", type=int, default=4)
+    p.add_argument("--chunk", type=int, default=64)
+    p.add_argument("--port", type=int, default=7860)
+    args = p.parse_args(argv)
+
+    backend = DemoBackend(args)
+    try:
+        import gradio as gr
+
+        def infer(class_id):
+            png = backend.generate_png(int(class_id))
+            from PIL import Image
+            return Image.open(io.BytesIO(png))
+
+        demo = gr.Interface(fn=infer,
+                            inputs=gr.Number(label="ImageNet class id"),
+                            outputs=gr.Image(),
+                            title="LlamaGen-TPU c2i demo")
+        demo.launch(server_port=args.port)
+    except ImportError:
+        serve_http(backend, args.port)
+
+
+if __name__ == "__main__":
+    main()
