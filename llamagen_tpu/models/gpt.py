@@ -100,6 +100,8 @@ class KVCache(NamedTuple):
 
     k: tuple
     v: tuple
+    k_scale: Optional[tuple] = None  # int8 caches: [B, S, 128] f32 per layer
+    v_scale: Optional[tuple] = None
 
     @property
     def max_seq_len(self) -> int:
@@ -109,20 +111,61 @@ class KVCache(NamedTuple):
     def num_layers(self) -> int:
         return len(self.k)
 
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
 
 def init_cache(cfg: GPTConfig, batch: int, max_seq_len: int,
                dtype=jnp.bfloat16) -> KVCache:
+    if dtype == jnp.int8:
+        shape = (batch, max_seq_len, cfg.kv_heads * cfg.head_dim)
+        sshape = (batch, max_seq_len, 128)
+        return KVCache(
+            k=tuple(jnp.zeros(shape, jnp.int8) for _ in range(cfg.n_layer)),
+            v=tuple(jnp.zeros(shape, jnp.int8) for _ in range(cfg.n_layer)),
+            k_scale=tuple(jnp.ones(sshape, jnp.float32)
+                          for _ in range(cfg.n_layer)),
+            v_scale=tuple(jnp.ones(sshape, jnp.float32)
+                          for _ in range(cfg.n_layer)))
     shape = (batch, max_seq_len, cfg.kv_heads * cfg.head_dim)
     return KVCache(
         k=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.n_layer)),
         v=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.n_layer)))
 
 
-def init_recent(cfg: GPTConfig, batch: int, dtype=jnp.bfloat16):
-    """Per-layer [B, 8, F] rolling windows for the Pallas decode kernel."""
+def quantize_cache(cache: KVCache, cfg: GPTConfig,
+                   max_seq_len: int) -> KVCache:
+    """bf16 cache (e.g. after prefill) -> int8 cache of length max_seq_len
+    with per-position symmetric scales (matches the kernel's flush)."""
+    n_k, n_v, s_k, s_v = [], [], [], []
+    batch = cache.k[0].shape[0]
+    src_len = cache.max_seq_len
+    for ck, cv in zip(cache.k, cache.v):
+        kf = ck.astype(jnp.float32)
+        vf = cv.astype(jnp.float32)
+        ks = jnp.max(jnp.abs(kf), axis=-1, keepdims=True) / 127.0 + 1e-8
+        vs = jnp.max(jnp.abs(vf), axis=-1, keepdims=True) / 127.0 + 1e-8
+        k8 = jnp.clip(jnp.round(kf / ks), -127, 127).astype(jnp.int8)
+        v8 = jnp.clip(jnp.round(vf / vs), -127, 127).astype(jnp.int8)
+        pad = max_seq_len - src_len
+        n_k.append(jnp.pad(k8, ((0, 0), (0, pad), (0, 0))))
+        n_v.append(jnp.pad(v8, ((0, 0), (0, pad), (0, 0))))
+        s_k.append(jnp.pad(jnp.broadcast_to(ks, (batch, src_len, 128)),
+                           ((0, 0), (0, pad), (0, 0)), constant_values=1.0))
+        s_v.append(jnp.pad(jnp.broadcast_to(vs, (batch, src_len, 128)),
+                           ((0, 0), (0, pad), (0, 0)), constant_values=1.0))
+    return KVCache(k=tuple(n_k), v=tuple(n_v), k_scale=tuple(s_k),
+                   v_scale=tuple(s_v))
+
+
+def init_recent(cfg: GPTConfig, batch: int, dtype=jnp.bfloat16,
+                window: Optional[int] = None):
+    """Per-layer [B, w, F] rolling windows for the Pallas decode kernel
+    (w = 8 for bf16 caches, 32 for int8 — HBM tile alignment)."""
     from llamagen_tpu.ops.attention import RECENT
 
-    shape = (batch, RECENT, cfg.kv_heads * cfg.head_dim)
+    shape = (batch, window or RECENT, cfg.kv_heads * cfg.head_dim)
     return (tuple(jnp.zeros(shape, dtype) for _ in range(cfg.n_layer)),
             tuple(jnp.zeros(shape, dtype) for _ in range(cfg.n_layer)))
 
@@ -479,9 +522,10 @@ def decode_step_pallas(params: Params, cfg: GPTConfig, token: jnp.ndarray,
     freqs = jax.lax.dynamic_slice_in_dim(
         freqs_cis_2d(cfg), pos, 1, axis=0)[0]
     q_size = cfg.n_head * cfg.head_dim
-    slot = pos % attn_lib.RECENT
+    slot = pos % recent_k[0].shape[1]
 
     new_rk, new_rv, new_ck, new_cv = [], [], [], []
+    new_ks, new_vs = [], []
     for l in range(cfg.n_layer):
         p = layer_params(params, l)
         x = rms_norm(h, p["attention_norm"], cfg.norm_eps)
@@ -496,9 +540,19 @@ def decode_step_pallas(params: Params, cfg: GPTConfig, token: jnp.ndarray,
             recent_k[l], k.astype(recent_k[l].dtype)[:, None], (0, slot, 0))
         rv = jax.lax.dynamic_update_slice(
             recent_v[l], v.astype(recent_v[l].dtype)[:, None], (0, slot, 0))
-        attn, ck, cv = attn_lib.decode_attention(
-            q.astype(compute_dtype), rk, rv, cache.k[l], cache.v[l], pos,
-            cfg.n_head, prefix_allow=prefix_allow, interpret=interpret)
+        if cache.quantized:
+            attn, ck, cv, ks, vs = attn_lib.decode_attention(
+                q.astype(compute_dtype), rk, rv, cache.k[l], cache.v[l],
+                pos, cfg.n_head, prefix_allow=prefix_allow,
+                k_scale=cache.k_scale[l], v_scale=cache.v_scale[l],
+                interpret=interpret)
+            new_ks.append(ks)
+            new_vs.append(vs)
+        else:
+            attn, ck, cv = attn_lib.decode_attention(
+                q.astype(compute_dtype), rk, rv, cache.k[l], cache.v[l],
+                pos, cfg.n_head, prefix_allow=prefix_allow,
+                interpret=interpret)
         new_rk.append(rk)
         new_rv.append(rv)
         new_ck.append(ck)
@@ -512,8 +566,11 @@ def decode_step_pallas(params: Params, cfg: GPTConfig, token: jnp.ndarray,
 
     h = rms_norm(h, params["norm"], cfg.norm_eps)
     logits = (h @ params["output"].astype(h.dtype)).astype(jnp.float32)
-    return (logits, KVCache(k=tuple(new_ck), v=tuple(new_cv)),
-            tuple(new_rk), tuple(new_rv))
+    new_cache = KVCache(
+        k=tuple(new_ck), v=tuple(new_cv),
+        k_scale=tuple(new_ks) if cache.quantized else None,
+        v_scale=tuple(new_vs) if cache.quantized else None)
+    return logits, new_cache, tuple(new_rk), tuple(new_rv)
 
 
 # ---------------------------------------------------------------------------

@@ -35,7 +35,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLOCK_S = 128
-RECENT = 8  # recent-window slots (= f32 sublane tile)
+RECENT = 8        # recent-window slots for bf16/f32 caches (sublane tile)
+RECENT_INT8 = 32  # int8 tiles are (32, 128): flushes must be 32-row aligned
+
+
+def recent_window(cache_dtype) -> int:
+    return RECENT_INT8 if cache_dtype == jnp.int8 else RECENT
 
 
 def _seg_mask(n_head: int, head_dim: int) -> np.ndarray:
@@ -50,36 +55,20 @@ def _decode_attn_kernel(
     pos_ref,
     # inputs
     seg_ref, q_ref, recent_k_ref, recent_v_ref, prefix_ref, k_cache_hbm,
-    v_cache_hbm,
+    v_cache_hbm, k_scale_hbm, v_scale_hbm,
     # outputs
-    out_ref, k_cache_out, v_cache_out,
+    out_ref, k_cache_out, v_cache_out, k_scale_out, v_scale_out,
     # scratch
-    k_scratch, v_scratch, flush_stage, mask_scratch, sems, write_sem,
-    mask_sem,
+    k_scratch, v_scratch, ks_scratch, vs_scratch, flush_stage, scale_stage,
+    mask_scratch, sems, write_sem, mask_sem,
     *, block_s: int, scale: float, n_head: int, head_dim: int,
-    use_prefix: bool,
+    use_prefix: bool, quantized: bool, w: int,
 ):
     b = pl.program_id(0)
     pos = pos_ref[0]
     f = n_head * head_dim
-    boundary = (pos // RECENT) * RECENT  # cache holds positions [0, boundary)
-    r_idx = pos - boundary              # current slot within the window
-
-    # --- flush the full recent window into the cache every RECENT steps ---
-    do_flush = r_idx == RECENT - 1
-
-    @pl.when(do_flush)
-    def _():
-        flush_stage[pl.ds(0, RECENT)] = recent_k_ref[0]
-        flush_stage[pl.ds(RECENT, RECENT)] = recent_v_ref[0]
-        kw = pltpu.make_async_copy(
-            flush_stage.at[pl.ds(0, RECENT)],
-            k_cache_out.at[b, pl.ds(boundary, RECENT)], write_sem.at[0])
-        vw = pltpu.make_async_copy(
-            flush_stage.at[pl.ds(RECENT, RECENT)],
-            v_cache_out.at[b, pl.ds(boundary, RECENT)], write_sem.at[1])
-        kw.start()
-        vw.start()
+    boundary = (pos // w) * w  # cache holds positions [0, boundary)
+    r_idx = pos - boundary     # current slot within the window
 
     seg = seg_ref[:]                                        # [F, H]
     q_row = q_ref[0].astype(jnp.float32)                    # [1, F]
@@ -87,20 +76,27 @@ def _decode_attn_kernel(
     num_blocks = pl.cdiv(boundary, block_s)
 
     def get_dma(slot, blk):
-        return (
+        copies = [
             pltpu.make_async_copy(
                 k_cache_hbm.at[b, pl.ds(blk * block_s, block_s)],
                 k_scratch.at[slot], sems.at[slot, 0]),
             pltpu.make_async_copy(
                 v_cache_hbm.at[b, pl.ds(blk * block_s, block_s)],
                 v_scratch.at[slot], sems.at[slot, 1]),
-        )
+        ]
+        if quantized:
+            copies.append(pltpu.make_async_copy(
+                k_scale_hbm.at[b, pl.ds(blk * block_s, block_s)],
+                ks_scratch.at[slot], sems.at[slot, 2]))
+            copies.append(pltpu.make_async_copy(
+                v_scale_hbm.at[b, pl.ds(blk * block_s, block_s)],
+                vs_scratch.at[slot], sems.at[slot, 3]))
+        return copies
 
     @pl.when(num_blocks > 0)
     def _():
-        dk, dv = get_dma(0, 0)
-        dk.start()
-        dv.start()
+        for c in get_dma(0, 0):
+            c.start()
 
     if use_prefix:
         pm = pltpu.make_async_copy(prefix_ref.at[pl.ds(b, 1)], mask_scratch,
@@ -118,16 +114,17 @@ def _decode_attn_kernel(
 
         @pl.when(blk + 1 < num_blocks)
         def _():
-            nk, nv = get_dma((blk + 1) % 2, blk + 1)
-            nk.start()
-            nv.start()
+            for c in get_dma((blk + 1) % 2, blk + 1):
+                c.start()
 
-        dk, dv = get_dma(slot, blk)
-        dk.wait()
-        dv.wait()
+        for c in get_dma(slot, blk):
+            c.wait()
 
         kb = k_scratch[slot].astype(jnp.float32)  # [S_blk, F]
         vb = v_scratch[slot].astype(jnp.float32)
+        if quantized:
+            kb = kb * ks_scratch[slot][:, 0:1]
+            vb = vb * vs_scratch[slot][:, 0:1]
         # per-head scores: broadcast q, then segment-sum via [F, H] matmul
         scores = jnp.dot(kb * q_row, seg,
                          preferred_element_type=jnp.float32) * scale
@@ -156,16 +153,16 @@ def _decode_attn_kernel(
     m, l_acc, acc = jax.lax.fori_loop(0, num_blocks, body, (m0, l0, acc0))
 
     # --- recent window: positions [boundary, boundary + r_idx] ---
-    rk = recent_k_ref[0].astype(jnp.float32)  # [RECENT, F]
+    rk = recent_k_ref[0].astype(jnp.float32)  # [w, F]
     rv = recent_v_ref[0].astype(jnp.float32)
     r_scores = jnp.dot(rk * q_row, seg,
-                       preferred_element_type=jnp.float32) * scale  # [R, H]
-    j = jax.lax.broadcasted_iota(jnp.int32, (RECENT, 1), 0)
+                       preferred_element_type=jnp.float32) * scale  # [w, H]
+    j = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
     r_valid = j <= r_idx
     if use_prefix:
         # window positions can overlap the condition prefix only when decode
         # starts mid-window; guard with the mask at boundary+j
-        r_allow = mask_scratch[0, pl.ds(boundary, RECENT)] != 0
+        r_allow = mask_scratch[0, pl.ds(boundary, w)] != 0
         r_valid = r_valid & r_allow[:, None]
     r_scores = jnp.where(r_valid, r_scores, -1e30)
 
@@ -182,35 +179,83 @@ def _decode_attn_kernel(
 
     out_ref[0] = (acc / l_flat).astype(out_ref.dtype)
 
-    @pl.when(do_flush)
+    # --- flush the full recent window into the cache every w steps ---
+    # (start + wait in one region: splitting them across pl.when blocks
+    # trips the DMA machinery at runtime)
+    @pl.when(r_idx == w - 1)
     def _():
-        pltpu.make_async_copy(flush_stage.at[pl.ds(0, RECENT)],
-                              k_cache_out.at[b, pl.ds(boundary, RECENT)],
-                              write_sem.at[0]).wait()
-        pltpu.make_async_copy(flush_stage.at[pl.ds(RECENT, RECENT)],
-                              v_cache_out.at[b, pl.ds(boundary, RECENT)],
-                              write_sem.at[1]).wait()
+        if quantized:
+            # per-position symmetric int8: scale = max|row| / 127
+            ksc = jnp.max(jnp.abs(rk), axis=1, keepdims=True) / 127.0 + 1e-8
+            vsc = jnp.max(jnp.abs(rv), axis=1, keepdims=True) / 127.0 + 1e-8
+            flush_stage[pl.ds(0, w)] = jnp.clip(
+                jnp.round(rk / ksc), -127, 127).astype(jnp.int32).astype(
+                    jnp.int8)
+            flush_stage[pl.ds(w, w)] = jnp.clip(
+                jnp.round(rv / vsc), -127, 127).astype(jnp.int32).astype(
+                    jnp.int8)
+            scale_stage[pl.ds(0, w)] = jnp.broadcast_to(ksc, (w, 128))
+            scale_stage[pl.ds(w, w)] = jnp.broadcast_to(vsc, (w, 128))
+            ksw = pltpu.make_async_copy(
+                scale_stage.at[pl.ds(0, w)],
+                k_scale_out.at[b, pl.ds(boundary, w)], write_sem.at[2])
+            vsw = pltpu.make_async_copy(
+                scale_stage.at[pl.ds(w, w)],
+                v_scale_out.at[b, pl.ds(boundary, w)], write_sem.at[3])
+            ksw.start()
+            vsw.start()
+        else:
+            flush_stage[pl.ds(0, w)] = recent_k_ref[0]
+            flush_stage[pl.ds(w, w)] = recent_v_ref[0]
+        kw = pltpu.make_async_copy(
+            flush_stage.at[pl.ds(0, w)],
+            k_cache_out.at[b, pl.ds(boundary, w)], write_sem.at[0])
+        vw = pltpu.make_async_copy(
+            flush_stage.at[pl.ds(w, w)],
+            v_cache_out.at[b, pl.ds(boundary, w)], write_sem.at[1])
+        kw.start()
+        vw.start()
+        kw.wait()
+        vw.wait()
+        if quantized:
+            pltpu.make_async_copy(
+                scale_stage.at[pl.ds(0, w)],
+                k_scale_out.at[b, pl.ds(boundary, w)], write_sem.at[2]).wait()
+            pltpu.make_async_copy(
+                scale_stage.at[pl.ds(w, w)],
+                v_scale_out.at[b, pl.ds(boundary, w)], write_sem.at[3]).wait()
 
 
 def decode_attention(q: jnp.ndarray, recent_k: jnp.ndarray,
                      recent_v: jnp.ndarray, k_cache: jnp.ndarray,
                      v_cache: jnp.ndarray, pos: jnp.ndarray, n_head: int,
                      prefix_allow: Optional[jnp.ndarray] = None,
-                     *, block_s: int = BLOCK_S, interpret: bool = False
-                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                     k_scale: Optional[jnp.ndarray] = None,
+                     v_scale: Optional[jnp.ndarray] = None,
+                     *, block_s: int = BLOCK_S, interpret: bool = False):
     """Single-position attention for one layer, cache updated in place.
 
     q:                 [B, F]  (post-RoPE, flattened heads; F = H*head_dim)
-    recent_k/recent_v: [B, RECENT, F] — rolling window holding positions
-                       [8*(pos//8), pos]; the CALLER writes the current
-                       k/v at slot pos%8 before invoking (XLA-side dus)
-    k_cache/v_cache:   [B, S, F] — positions [0, 8*(pos//8)); ALIASED,
-                       flushed from the window when pos%8 == 7
+    recent_k/recent_v: [B, w, F] — rolling window holding positions
+                       [w*(pos//w), pos] (w = recent_window(cache dtype));
+                       the CALLER writes the current k/v at slot pos%w
+                       before invoking (XLA-side dus)
+    k_cache/v_cache:   [B, S, F] — positions [0, w*(pos//w)); ALIASED,
+                       flushed from the window when pos%w == w-1. May be
+                       int8: then k_scale/v_scale [B, S, 128] f32 hold
+                       per-position dequant scales (lane-broadcast), the
+                       window stays bf16/f32 exact, and quantization
+                       happens inside the flush.
     pos: scalar int32
     prefix_allow: optional [B, S] bool/int8 (t2i caption validity)
 
-    Returns (out [B, F], k_cache, v_cache).
+    Returns (out, k_cache, v_cache) or, when quantized,
+    (out, k_cache, v_cache, k_scale, v_scale).
     """
+    quantized = k_cache.dtype == jnp.int8
+    w = recent_window(k_cache.dtype)
+    if quantized:
+        assert k_scale is not None and v_scale is not None
     b, f = q.shape
     smax = k_cache.shape[1]
     assert f % 128 == 0, f"flattened features {f} must be 128-aligned"
@@ -219,7 +264,7 @@ def decode_attention(q: jnp.ndarray, recent_k: jnp.ndarray,
     block_s = min(block_s, smax)
     assert smax % block_s == 0, (
         f"cache len {smax} not aligned to block {block_s}")
-    assert recent_k.shape == (b, RECENT, f)
+    assert recent_k.shape == (b, w, f), (recent_k.shape, (b, w, f))
     scale = head_dim ** -0.5
 
     use_prefix = prefix_allow is not None
@@ -227,6 +272,9 @@ def decode_attention(q: jnp.ndarray, recent_k: jnp.ndarray,
         prefix_arg = jnp.ones((b, smax), jnp.int8)
     else:
         prefix_arg = prefix_allow.astype(jnp.int8)
+    if not quantized:
+        k_scale = jnp.ones((b, 1, 128), jnp.float32)
+        v_scale = jnp.ones((b, 1, 128), jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -235,47 +283,59 @@ def decode_attention(q: jnp.ndarray, recent_k: jnp.ndarray,
             pl.BlockSpec(memory_space=pltpu.VMEM),      # seg mask [F, H]
             pl.BlockSpec((1, 1, f), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),      # q row [1, 1, F]
-            pl.BlockSpec((1, RECENT, f), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),      # recent_k [1, R, F]
-            pl.BlockSpec((1, RECENT, f), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),      # recent_v [1, R, F]
+            pl.BlockSpec((1, w, f), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),      # recent_k [1, w, F]
+            pl.BlockSpec((1, w, f), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),      # recent_v [1, w, F]
             pl.BlockSpec(memory_space=pl.ANY),          # prefix mask
             pl.BlockSpec(memory_space=pl.ANY),          # k_cache
             pl.BlockSpec(memory_space=pl.ANY),          # v_cache
+            pl.BlockSpec(memory_space=pl.ANY),          # k_scale
+            pl.BlockSpec(memory_space=pl.ANY),          # v_scale
         ],
         out_specs=[
             pl.BlockSpec((1, 1, f), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),      # out row [1, 1, F]
             pl.BlockSpec(memory_space=pl.ANY),          # k_cache (aliased)
             pl.BlockSpec(memory_space=pl.ANY),          # v_cache (aliased)
+            pl.BlockSpec(memory_space=pl.ANY),          # k_scale (aliased)
+            pl.BlockSpec(memory_space=pl.ANY),          # v_scale (aliased)
         ],
         scratch_shapes=[
             pltpu.VMEM((2, block_s, f), k_cache.dtype),   # k blocks
             pltpu.VMEM((2, block_s, f), v_cache.dtype),   # v blocks
-            pltpu.VMEM((2 * RECENT, f), k_cache.dtype),   # flush staging
+            pltpu.VMEM((2, block_s, 128), jnp.float32),   # k scales
+            pltpu.VMEM((2, block_s, 128), jnp.float32),   # v scales
+            pltpu.VMEM((2 * w, f), k_cache.dtype),        # flush staging
+            pltpu.VMEM((2 * w, 128), jnp.float32),        # scale staging
             pltpu.VMEM((1, smax), jnp.int8),              # prefix mask
-            pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
 
     kernel = functools.partial(
         _decode_attn_kernel, block_s=block_s, scale=scale, n_head=n_head,
-        head_dim=head_dim, use_prefix=use_prefix)
+        head_dim=head_dim, use_prefix=use_prefix, quantized=quantized, w=w)
 
-    out, k_cache, v_cache = pl.pallas_call(
+    out, k_cache, v_cache, k_scale, v_scale = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, 1, f), q.dtype),
             jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
             jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+            jax.ShapeDtypeStruct(k_scale.shape, k_scale.dtype),
+            jax.ShapeDtypeStruct(v_scale.shape, v_scale.dtype),
         ],
-        input_output_aliases={6: 1, 7: 2},  # cache in -> cache out
+        input_output_aliases={6: 1, 7: 2, 8: 3, 9: 4},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(jnp.asarray(pos, jnp.int32).reshape(1),
       jnp.asarray(_seg_mask(n_head, head_dim)),
-      q[:, None, :], recent_k, recent_v, prefix_arg, k_cache, v_cache)
+      q[:, None, :], recent_k, recent_v, prefix_arg, k_cache, v_cache,
+      k_scale, v_scale)
+    if quantized:
+        return out[:, 0, :], k_cache, v_cache, k_scale, v_scale
     return out[:, 0, :], k_cache, v_cache

@@ -63,6 +63,8 @@ def generate(params, rng: jax.Array, cond: jnp.ndarray, *,
     if use_kernel is None:
         use_kernel = (jax.default_backend() == "tpu"
                       and _kernel_supported(cfg))
+    quantize_kv = cache_dtype == jnp.int8
+    assert not quantize_kv or use_kernel, "int8 KV requires the kernel path"
     use_cfg = cfg_scale > 1.0
     t = cfg.cls_token_num
     batch = cond.shape[0]
@@ -70,7 +72,13 @@ def generate(params, rng: jax.Array, cond: jnp.ndarray, *,
     batch_cfg = batch * 2 if use_cfg else batch
 
     cond_combined = build_cfg_batch(params, cfg, cond, use_cfg)
-    cache = gpt.init_cache(cfg, batch_cfg, max_seq, dtype=cache_dtype)
+    if quantize_kv:
+        # prefill into a small exact staging cache, then quantize
+        from llamagen_tpu.ops.attention import recent_window
+        stage_len = find_multiple(t + recent_window(jnp.int8), 8)
+        cache = gpt.init_cache(cfg, batch_cfg, stage_len, dtype=compute_dtype)
+    else:
+        cache = gpt.init_cache(cfg, batch_cfg, max_seq, dtype=cache_dtype)
 
     # t2i caption-validity mask folded into attention (ref: generate.py:154-163)
     prefix_mask = prefix_allow = None
@@ -89,6 +97,9 @@ def generate(params, rng: jax.Array, cond: jnp.ndarray, *,
     logits, cache = gpt.prefill(params, cfg, cond_combined, cache,
                                 prefix_mask=prefix_mask,
                                 compute_dtype=compute_dtype)
+    stage_cache = cache
+    if quantize_kv:
+        cache = gpt.quantize_cache(cache, cfg, max_seq)
     if use_cfg:
         logits = sampling.cfg_mix(logits, cfg_scale)
     rng, step_rng = jax.random.split(rng)
@@ -98,21 +109,23 @@ def generate(params, rng: jax.Array, cond: jnp.ndarray, *,
     if use_kernel:
         # Pallas path: the kernel bounds its own reads by pos and updates
         # the HBM cache in place; one scan over all steps.
-        from llamagen_tpu.models.gpt import init_recent
-        from llamagen_tpu.ops.attention import RECENT
+        from llamagen_tpu.ops.attention import recent_window
 
         # seed the recent windows from the cache rows around the prefill
-        # boundary (positions [8*(t//8), 8*(t//8)+8) — covers prefix rows
-        # written by prefill when t is not window-aligned)
-        base = (t // RECENT) * RECENT
+        # boundary (positions [w*(t//w), w*(t//w)+w) — covers prefix rows
+        # written by prefill when t is not window-aligned). With int8 KV the
+        # window is seeded from the exact bf16 staging cache.
+        w = recent_window(cache_dtype)
+        base = (t // w) * w
+        seed_src = stage_cache if quantize_kv else cache
         recent_k = tuple(
-            jax.lax.dynamic_slice(ck, (0, base, 0), (batch_cfg, RECENT,
+            jax.lax.dynamic_slice(ck, (0, base, 0), (batch_cfg, w,
                                                      ck.shape[2]))
-            for ck in cache.k)
+            for ck in seed_src.k)
         recent_v = tuple(
-            jax.lax.dynamic_slice(cv, (0, base, 0), (batch_cfg, RECENT,
+            jax.lax.dynamic_slice(cv, (0, base, 0), (batch_cfg, w,
                                                      cv.shape[2]))
-            for cv in cache.v)
+            for cv in seed_src.v)
 
         def kstep(carry, i):
             cache, rk, rv, cur, rng = carry

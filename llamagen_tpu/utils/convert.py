@@ -205,6 +205,96 @@ def convert_gpt(sd: Mapping[str, np.ndarray], cfg: GPTConfig) -> Dict[str, Any]:
 
 
 # ---------------------------------------------------------------------------
+# Taming-transformers VQGAN checkpoints (baseline-tokenizer compat;
+# ref: /root/reference/tokenizer/vqgan/{model,layer,quantize}.py)
+# ---------------------------------------------------------------------------
+
+
+def convert_taming_vq(sd: Mapping[str, np.ndarray], cfg: VQConfig) -> Dict[str, Any]:
+    """CompVis taming VQModel state dict -> llamagen_tpu.models.vq params.
+
+    Valid for the configs the reference ships (vqgan_imagenet_f16_*,
+    vqgan_openimage_f8_*): their attn_resolutions place attention exactly at
+    the lowest level, matching our architecture; the codebook is NOT
+    l2-normalized (use VQConfig(codebook_l2_norm=False)).
+
+    Key-layout differences vs the reference's own VQModel:
+      encoder down.{i}.block.{j} / attn.{j} / downsample.conv;
+      mid.block_1 / attn_1 / block_2; decoder up.{i} indexed by LEVEL
+      (applied in reversed order) instead of application order.
+    """
+    sd = _strip_prefixes(sd)
+    num_res_e = len(cfg.encoder_ch_mult)
+    num_res_d = len(cfg.decoder_ch_mult)
+
+    enc: Dict[str, Any] = {"conv_in": _conv(sd, "encoder.conv_in"), "down": []}
+    for i in range(num_res_e):
+        level: Dict[str, Any] = {"res": [], "attn": []}
+        for j in range(cfg.num_res_blocks):
+            level["res"].append(_res(sd, f"encoder.down.{i}.block.{j}"))
+            if f"encoder.down.{i}.attn.{j}.norm.weight" in sd:
+                level["attn"].append(_attn(sd, f"encoder.down.{i}.attn.{j}"))
+        if i != num_res_e - 1:
+            level["downsample"] = {
+                "conv": _conv(sd, f"encoder.down.{i}.downsample.conv")}
+        enc["down"].append(level)
+    assert len(enc["down"][-1]["attn"]) == cfg.num_res_blocks, (
+        "taming checkpoint places attention away from the lowest level — "
+        "unsupported architecture")
+    enc["mid"] = [_res(sd, "encoder.mid.block_1"),
+                  _attn(sd, "encoder.mid.attn_1"),
+                  _res(sd, "encoder.mid.block_2")]
+    enc["norm_out"] = _gn(sd, "encoder.norm_out")
+    enc["conv_out"] = _conv(sd, "encoder.conv_out")
+
+    dec: Dict[str, Any] = {"conv_in": _conv(sd, "decoder.conv_in")}
+    dec["mid"] = [_res(sd, "decoder.mid.block_1"),
+                  _attn(sd, "decoder.mid.attn_1"),
+                  _res(sd, "decoder.mid.block_2")]
+    dec["up"] = []
+    # taming stores up.{level} and applies reversed; ours is application order
+    for applied, level_idx in enumerate(reversed(range(num_res_d))):
+        base = f"decoder.up.{level_idx}"
+        level = {"res": [], "attn": []}
+        for j in range(cfg.num_res_blocks + 1):
+            level["res"].append(_res(sd, f"{base}.block.{j}"))
+            if f"{base}.attn.{j}.norm.weight" in sd:
+                level["attn"].append(_attn(sd, f"{base}.attn.{j}"))
+        if level_idx != 0:
+            level["upsample"] = {"conv": _conv(sd, f"{base}.upsample.conv")}
+        dec["up"].append(level)
+    dec["norm_out"] = _gn(sd, "decoder.norm_out")
+    dec["conv_out"] = _conv(sd, "decoder.conv_out")
+
+    return {
+        "encoder": enc,
+        "decoder": dec,
+        "quant_conv": _conv(sd, "quant_conv"),
+        "post_quant_conv": _conv(sd, "post_quant_conv"),
+        "quantize": {"codebook": sd["quantize.embedding.weight"]},
+    }
+
+
+# taming config presets (yaml params in tokenizer/vqgan/configs/*.yaml)
+def taming_vq_config(name: str) -> VQConfig:
+    presets = {
+        "vqgan_imagenet_f16_1024": dict(
+            codebook_size=1024, codebook_embed_dim=256,
+            encoder_ch_mult=(1, 1, 2, 2, 4), decoder_ch_mult=(1, 1, 2, 2, 4)),
+        "vqgan_imagenet_f16_16384": dict(
+            codebook_size=16384, codebook_embed_dim=256,
+            encoder_ch_mult=(1, 1, 2, 2, 4), decoder_ch_mult=(1, 1, 2, 2, 4)),
+        "vqgan_openimage_f8_256": dict(
+            codebook_size=256, codebook_embed_dim=4,
+            encoder_ch_mult=(1, 2, 2, 4), decoder_ch_mult=(1, 2, 2, 4)),
+        "vqgan_openimage_f8_16384": dict(
+            codebook_size=16384, codebook_embed_dim=4,
+            encoder_ch_mult=(1, 2, 2, 4), decoder_ch_mult=(1, 2, 2, 4)),
+    }
+    return VQConfig(codebook_l2_norm=False, **presets[name])
+
+
+# ---------------------------------------------------------------------------
 # Discriminators (for VQ-GAN checkpoint resume)
 # ---------------------------------------------------------------------------
 

@@ -8,7 +8,8 @@ import conftest  # noqa: F401
 import jax
 import jax.numpy as jnp
 
-from llamagen_tpu.ops.attention import RECENT, decode_attention
+from llamagen_tpu.ops.attention import (RECENT, RECENT_INT8,
+                                         decode_attention)
 
 B, H, D, S = 2, 4, 64, 256
 F = H * D
@@ -149,3 +150,68 @@ def test_decode_step_pallas_matches_xla():
         np.testing.assert_allclose(np.asarray(lp), np.asarray(lx),
                                    atol=2e-4, rtol=1e-3,
                                    err_msg=f"step {i} (pos {pos})")
+
+
+def test_kernel_int8_quantized_cache():
+    """int8 cache: flush quantizes; dequantized attention stays accurate."""
+    pos = 64  # int8 window=32 -> boundary 64: cache rows [0, 64) read
+    rng = np.random.RandomState(4)
+    q = rng.randn(B, H, D).astype(np.float32)
+    k_hist = rng.randn(B, pos + 1, H, D).astype(np.float32)
+    v_hist = rng.randn(B, pos + 1, H, D).astype(np.float32)
+    boundary = (pos // RECENT_INT8) * RECENT_INT8
+
+    # quantize history rows per position (as the flush would have)
+    k_flat = k_hist.reshape(B, pos + 1, F)
+    v_flat = v_hist.reshape(B, pos + 1, F)
+    k_cache = np.zeros((B, S, F), np.int8)
+    v_cache = np.zeros((B, S, F), np.int8)
+    k_scale = np.ones((B, S, 128), np.float32)
+    v_scale = np.ones((B, S, 128), np.float32)
+    for bb in range(B):
+        for s in range(boundary):
+            ks = np.abs(k_flat[bb, s]).max() / 127.0 + 1e-8
+            vs = np.abs(v_flat[bb, s]).max() / 127.0 + 1e-8
+            k_cache[bb, s] = np.clip(np.round(k_flat[bb, s] / ks), -127, 127)
+            v_cache[bb, s] = np.clip(np.round(v_flat[bb, s] / vs), -127, 127)
+            k_scale[bb, s] = ks
+            v_scale[bb, s] = vs
+
+    recent_k = np.zeros((B, RECENT_INT8, F), np.float32)
+    recent_v = np.zeros((B, RECENT_INT8, F), np.float32)
+    n_rec = pos - boundary + 1
+    recent_k[:, :n_rec] = k_flat[:, boundary:pos + 1]
+    recent_v[:, :n_rec] = v_flat[:, boundary:pos + 1]
+
+    out, ku, vu, ksu, vsu = decode_attention(
+        jnp.asarray(q.reshape(B, F)), jnp.asarray(recent_k),
+        jnp.asarray(recent_v), jnp.asarray(k_cache), jnp.asarray(v_cache),
+        jnp.int32(pos), H, k_scale=jnp.asarray(k_scale),
+        v_scale=jnp.asarray(v_scale), block_s=64, interpret=True)
+
+    expected = _dense_oracle(q, k_hist, v_hist)
+    np.testing.assert_allclose(np.asarray(out).reshape(B, H, D), expected,
+                               atol=0.03, rtol=0.03)
+
+
+def test_kernel_int8_flush_roundtrip():
+    """A flush step must write quantized rows that dequantize to the window."""
+    pos = 95  # pos % 32 == 31 -> flush at boundary 64
+    rng = np.random.RandomState(5)
+    q = rng.randn(B, F).astype(np.float32)
+    recent_k = rng.randn(B, RECENT_INT8, F).astype(np.float32)
+    recent_v = rng.randn(B, RECENT_INT8, F).astype(np.float32)
+    k_cache = np.zeros((B, S, F), np.int8)
+    v_cache = np.zeros((B, S, F), np.int8)
+    k_scale = np.ones((B, S, 128), np.float32)
+    v_scale = np.ones((B, S, 128), np.float32)
+
+    out, ku, vu, ksu, vsu = decode_attention(
+        jnp.asarray(q), jnp.asarray(recent_k), jnp.asarray(recent_v),
+        jnp.asarray(k_cache), jnp.asarray(v_cache), jnp.int32(pos), H,
+        k_scale=jnp.asarray(k_scale), v_scale=jnp.asarray(v_scale),
+        block_s=64, interpret=True)
+
+    deq = (np.asarray(ku)[:, 64:96].astype(np.float32)
+           * np.asarray(ksu)[:, 64:96, :1])
+    np.testing.assert_allclose(deq, recent_k, atol=0.05, rtol=0.05)
