@@ -65,7 +65,7 @@ def _decode_attn_kernel(
     use_prefix: bool, quantized: bool, w: int,
 ):
     b = pl.program_id(0)
-    pos = pos_ref[0]
+    pos = pos_ref[b]  # per-batch-element position (continuous batching)
     f = n_head * head_dim
     boundary = (pos // w) * w  # cache holds positions [0, boundary)
     r_idx = pos - boundary     # current slot within the window
@@ -232,7 +232,8 @@ def decode_attention(q: jnp.ndarray, recent_k: jnp.ndarray,
                      prefix_allow: Optional[jnp.ndarray] = None,
                      k_scale: Optional[jnp.ndarray] = None,
                      v_scale: Optional[jnp.ndarray] = None,
-                     *, block_s: int = BLOCK_S, interpret: bool = False):
+                     *, block_s: int = BLOCK_S,
+                     interpret: Optional[bool] = None):
     """Single-position attention for one layer, cache updated in place.
 
     q:                 [B, F]  (post-RoPE, flattened heads; F = H*head_dim)
@@ -246,12 +247,15 @@ def decode_attention(q: jnp.ndarray, recent_k: jnp.ndarray,
                        per-position dequant scales (lane-broadcast), the
                        window stays bf16/f32 exact, and quantization
                        happens inside the flush.
-    pos: scalar int32
+    pos: scalar int32, or [B] int32 for per-slot positions (serving)
     prefix_allow: optional [B, S] bool/int8 (t2i caption validity)
 
     Returns (out, k_cache, v_cache) or, when quantized,
     (out, k_cache, v_cache, k_scale, v_scale).
     """
+    if interpret is None:
+        # interpret mode off-TPU: the kernel is testable on CPU transparently
+        interpret = jax.default_backend() != "tpu"
     quantized = k_cache.dtype == jnp.int8
     w = recent_window(k_cache.dtype)
     if quantized:
@@ -332,7 +336,7 @@ def decode_attention(q: jnp.ndarray, recent_k: jnp.ndarray,
         input_output_aliases={6: 1, 7: 2, 8: 3, 9: 4},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(jnp.asarray(pos, jnp.int32).reshape(1),
+    )(jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (b,)),
       jnp.asarray(_seg_mask(n_head, head_dim)),
       q[:, None, :], recent_k, recent_v, prefix_arg, k_cache, v_cache,
       k_scale, v_scale)

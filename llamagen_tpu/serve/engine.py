@@ -38,7 +38,7 @@ from llamagen_tpu.ops import sampling
 
 
 class EngineState(NamedTuple):
-    cache: gpt.KVCache          # [L, 2P, Smax, Hkv, D]
+    cache: gpt.KVCache          # per-layer [2P, Smax, F]
     pos: jnp.ndarray            # [P] next write position (pair-shared)
     active: jnp.ndarray         # [P] bool
     cur_token: jnp.ndarray      # [P] last sampled token
@@ -46,6 +46,8 @@ class EngineState(NamedTuple):
     n_generated: jnp.ndarray    # [P] tokens produced so far
     tokens_out: jnp.ndarray     # [P, max_new] output buffer
     rng: jax.Array
+    recent_k: Optional[tuple] = None  # kernel path: per-layer [2P, w, F]
+    recent_v: Optional[tuple] = None
 
 
 @dataclass
@@ -58,8 +60,16 @@ class SamplingParams:
 
 
 def init_engine_state(cfg: GPTConfig, num_pairs: int, max_new_tokens: int,
-                      rng: jax.Array, cache_dtype=jnp.bfloat16) -> EngineState:
-    smax = find_multiple(cfg.cls_token_num + max_new_tokens, 8)
+                      rng: jax.Array, cache_dtype=jnp.bfloat16,
+                      use_kernel: bool = False) -> EngineState:
+    smax = find_multiple(cfg.cls_token_num + max_new_tokens,
+                         128 if use_kernel else 8)
+    recent_k = recent_v = None
+    if use_kernel:
+        from llamagen_tpu.ops.attention import recent_window
+        w = recent_window(cache_dtype)
+        recent_k, recent_v = gpt.init_recent(cfg, 2 * num_pairs,
+                                             dtype=cache_dtype, window=w)
     return EngineState(
         cache=gpt.init_cache(cfg, 2 * num_pairs, smax, dtype=cache_dtype),
         pos=jnp.zeros((num_pairs,), jnp.int32),
@@ -69,6 +79,8 @@ def init_engine_state(cfg: GPTConfig, num_pairs: int, max_new_tokens: int,
         n_generated=jnp.zeros((num_pairs,), jnp.int32),
         tokens_out=jnp.zeros((num_pairs, max_new_tokens), jnp.int32),
         rng=rng,
+        recent_k=recent_k,
+        recent_v=recent_v,
     )
 
 
@@ -139,9 +151,67 @@ def _decode_step_slots(params, cfg: GPTConfig, emb: jnp.ndarray,
     return logits, gpt.KVCache(k=tuple(new_k), v=tuple(new_v))
 
 
+def _decode_step_slots_pallas(params, cfg: GPTConfig, emb: jnp.ndarray,
+                              pos: jnp.ndarray, cache: gpt.KVCache,
+                              recent_k, recent_v,
+                              compute_dtype=jnp.bfloat16):
+    """Kernel-path slot decode: per-slot positions, in-place HBM cache."""
+    from llamagen_tpu.ops import attention as attn_lib
+
+    b = emb.shape[0]
+    h = emb.astype(compute_dtype)
+    freqs = gpt.freqs_cis_2d(cfg)[pos]  # [B, D//2, 2]
+    q_size = cfg.n_head * cfg.head_dim
+    w = recent_k[0].shape[1]
+    slot = pos % w  # [B]
+    batch_ids = jnp.arange(b)
+
+    def rope(x):
+        xf = x.astype(jnp.float32).reshape(*x.shape[:-1], -1, 2)
+        cos = freqs[:, None, :, 0]
+        sin = freqs[:, None, :, 1]
+        real = xf[..., 0] * cos - xf[..., 1] * sin
+        imag = xf[..., 1] * cos + xf[..., 0] * sin
+        return jnp.stack([real, imag], -1).reshape(x.shape).astype(x.dtype)
+
+    new_rk, new_rv, new_ck, new_cv = [], [], [], []
+    for l in range(cfg.n_layer):
+        p = gpt.layer_params(params, l)
+        x = gpt.rms_norm(h, p["attention_norm"], cfg.norm_eps)
+        qkv = x @ p["wqkv"].astype(x.dtype)
+        q = rope(qkv[:, :q_size].reshape(b, cfg.n_head, cfg.head_dim)
+                 ).reshape(b, q_size)
+        k = rope(qkv[:, q_size:2 * q_size].reshape(b, cfg.n_head,
+                                                   cfg.head_dim)
+                 ).reshape(b, q_size)
+        v = qkv[:, 2 * q_size:]
+
+        rk = recent_k[l].at[batch_ids, slot].set(
+            k.astype(recent_k[l].dtype))
+        rv = recent_v[l].at[batch_ids, slot].set(
+            v.astype(recent_v[l].dtype))
+        attn, ck, cv = attn_lib.decode_attention(
+            q.astype(compute_dtype), rk, rv, cache.k[l], cache.v[l], pos,
+            cfg.n_head)
+        new_rk.append(rk)
+        new_rv.append(rv)
+        new_ck.append(ck)
+        new_cv.append(cv)
+        h = h + attn.astype(x.dtype) @ p["wo"].astype(x.dtype)
+        x = gpt.rms_norm(h, p["ffn_norm"], cfg.norm_eps)
+        ffn = jax.nn.silu(x @ p["w1"].astype(x.dtype)) * \
+            (x @ p["w3"].astype(x.dtype))
+        h = h + ffn @ p["w2"].astype(x.dtype)
+
+    h = gpt.rms_norm(h, params["norm"], cfg.norm_eps)
+    logits = (h @ params["output"].astype(h.dtype)).astype(jnp.float32)
+    return (logits, gpt.KVCache(k=tuple(new_ck), v=tuple(new_cv)),
+            tuple(new_rk), tuple(new_rv))
+
+
 def make_engine_step(params, cfg: GPTConfig, sp: SamplingParams,
                      max_new_tokens: int, chunk: int = 64,
-                     compute_dtype=jnp.bfloat16):
+                     compute_dtype=jnp.bfloat16, use_kernel: bool = False):
     """Compile the chunked engine step.
 
     engine_step(state, admit_mask [P] bool, admit_labels [P]) runs `chunk`
@@ -167,8 +237,14 @@ def make_engine_step(params, cfg: GPTConfig, sp: SamplingParams,
         emb = jnp.concatenate([emb_cond, emb_uncond], axis=0)  # [2P, D]
 
         pos2 = jnp.concatenate([p, p], axis=0)
-        logits, cache = _decode_step_slots(params, cfg, emb, pos2,
-                                           state.cache, compute_dtype)
+        if use_kernel:
+            logits, cache, rk, rv = _decode_step_slots_pallas(
+                params, cfg, emb, pos2, state.cache, state.recent_k,
+                state.recent_v, compute_dtype)
+        else:
+            logits, cache = _decode_step_slots(params, cfg, emb, pos2,
+                                               state.cache, compute_dtype)
+            rk, rv = state.recent_k, state.recent_v
         mixed = sampling.cfg_mix(logits, sp.cfg_scale) \
             if sp.cfg_scale > 1.0 else jnp.split(logits, 2, axis=0)[0]
 
@@ -192,7 +268,7 @@ def make_engine_step(params, cfg: GPTConfig, sp: SamplingParams,
         return EngineState(cache=cache, pos=pos, active=active,
                            cur_token=cur_token, labels=state.labels,
                            n_generated=n_generated, tokens_out=tokens_out,
-                           rng=rng)
+                           rng=rng, recent_k=rk, recent_v=rv)
 
     def engine_chunk(state: EngineState, admit_mask, admit_labels
                      ) -> EngineState:
@@ -229,16 +305,24 @@ class ServeEngine:
                  max_new_tokens: int = 576,
                  sampling_params: Optional[SamplingParams] = None,
                  chunk: int = 64, seed: int = 0,
-                 compute_dtype=jnp.bfloat16):
+                 compute_dtype=jnp.bfloat16,
+                 use_kernel: Optional[bool] = None):
+        from llamagen_tpu.ops.generate import _kernel_supported
+
+        if use_kernel is None:
+            use_kernel = (jax.default_backend() == "tpu"
+                          and _kernel_supported(cfg))
         self.cfg = cfg
         self.num_pairs = num_pairs
         self.max_new_tokens = max_new_tokens
         self.sp = sampling_params or SamplingParams()
         self.chunk = chunk
         self.step_fn = make_engine_step(params, cfg, self.sp, max_new_tokens,
-                                        chunk, compute_dtype)
+                                        chunk, compute_dtype, use_kernel)
         self.state = init_engine_state(cfg, num_pairs, max_new_tokens,
-                                       jax.random.PRNGKey(seed))
+                                       jax.random.PRNGKey(seed),
+                                       cache_dtype=compute_dtype,
+                                       use_kernel=use_kernel)
         self.slot_request: List[Optional[Request]] = [None] * num_pairs
         self.pending: "queue.Queue[Request]" = queue.Queue()
         self._next_id = 0

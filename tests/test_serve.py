@@ -78,3 +78,21 @@ def test_staggered_equals_fresh(params):
     out1 = eng.generate([5])      # fills slot 0
     out2 = eng.generate([5])      # reuses slot 0 — stale cache must not leak
     np.testing.assert_array_equal(out1, out2)
+
+
+def test_engine_kernel_path_matches_xla():
+    """Kernel-path engine (interpret on CPU) == XLA-path engine, greedy."""
+    cfg = GPTConfig(dim=128, n_layer=2, n_head=2, block_size=16,
+                    num_classes=10, vocab_size=128, cls_token_num=1)
+    p = gpt.init_params(jax.random.PRNGKey(0), cfg)
+    p["output"] = jax.random.normal(jax.random.PRNGKey(1),
+                                    p["output"].shape) * 0.02
+    sp = SamplingParams(cfg_scale=2.0, temperature=1e-6)
+    common = dict(num_pairs=2, max_new_tokens=cfg.block_size,
+                  sampling_params=sp, chunk=4, compute_dtype=jnp.float32)
+    eng_x = ServeEngine(p, cfg, use_kernel=False, **common)
+    eng_k = ServeEngine(p, cfg, use_kernel=True, **common)
+    labels = [3, 7, 1]
+    out_x = eng_x.generate(labels)
+    out_k = eng_k.generate(labels)
+    np.testing.assert_array_equal(out_x, out_k)
