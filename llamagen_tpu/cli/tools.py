@@ -1,0 +1,114 @@
+"""Utility tools CLI (equivalents of the reference's `tools/`).
+
+Subcommands:
+  convert-ckpt      torch .pt -> orbax params directory
+                    (tools/convert_pytorch_lightning_to_torch.py equivalent
+                    for our runtime: one-time conversion so serving/training
+                    never needs torch)
+  check-codes       decode dumped code shards back to images for visual
+                    validation (tools/check_image_codes.py)
+  class-name        look up ImageNet class names (tools/imagenet_en_cn.py)
+
+  python -m llamagen_tpu.cli.tools convert-ckpt --kind gpt \
+      --in c2i_B_256.pt --out ./c2i_B_256_orbax --gpt-model GPT-B
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def cmd_convert_ckpt(args):
+    import jax.numpy as jnp
+
+    from llamagen_tpu.utils import checkpoint
+
+    if args.kind == "gpt":
+        from llamagen_tpu.cli.common import load_gpt
+        params, _ = load_gpt(args.input, args.gpt_model, args.image_size,
+                             args.downsample_size, model_type=args.model_type,
+                             dtype=jnp.float32)
+    else:
+        from llamagen_tpu.cli.common import load_vq
+        params, _ = load_vq(args.input, args.vq_model, args.codebook_size,
+                            args.codebook_embed_dim, dtype=jnp.float32)
+    checkpoint.save(args.output, params)
+    print(f"converted {args.input} -> {args.output}")
+
+
+def cmd_check_codes(args):
+    import jax.numpy as jnp
+
+    from llamagen_tpu.cli.common import load_vq, save_image_grid
+    from llamagen_tpu.models import vq as vq_lib
+
+    vq_params, vq_cfg = load_vq(args.vq_ckpt, args.vq_model,
+                                args.codebook_size, args.codebook_embed_dim)
+    if args.codes.endswith(".npy"):
+        codes = np.load(args.codes)
+    else:
+        with np.load(args.codes) as z:
+            codes = z["codes"][:args.num]
+    codes = codes.reshape(-1, codes.shape[-1])[:args.num]
+    grid = int(codes.shape[-1] ** 0.5)
+    imgs = vq_lib.decode_code(
+        vq_params, jnp.asarray(codes.astype(np.int32)).reshape(-1, grid, grid),
+        vq_cfg)
+    save_image_grid(np.asarray(imgs.astype(jnp.float32)), args.out, nrow=4)
+    print(f"decoded {codes.shape[0]} code grids -> {args.out}")
+
+
+def class_names():
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "imagenet_classes.json")
+    with open(path) as f:
+        return json.load(f)
+
+
+def cmd_class_name(args):
+    names = class_names()
+    for cid in args.ids:
+        print(f"{cid}: {names[str(cid)]}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("convert-ckpt")
+    c.add_argument("--kind", choices=["gpt", "vq"], required=True)
+    c.add_argument("--in", dest="input", required=True)
+    c.add_argument("--out", dest="output", required=True)
+    c.add_argument("--gpt-model", default="GPT-B")
+    c.add_argument("--vq-model", default="VQ-16")
+    c.add_argument("--model-type", default="c2i")
+    c.add_argument("--image-size", type=int, default=256)
+    c.add_argument("--downsample-size", type=int, default=16)
+    c.add_argument("--codebook-size", type=int, default=16384)
+    c.add_argument("--codebook-embed-dim", type=int, default=8)
+    c.set_defaults(fn=cmd_convert_ckpt)
+
+    k = sub.add_parser("check-codes")
+    k.add_argument("--codes", required=True, help=".npy or packed .npz")
+    k.add_argument("--vq-ckpt", default=None)
+    k.add_argument("--vq-model", default="VQ-16")
+    k.add_argument("--codebook-size", type=int, default=16384)
+    k.add_argument("--codebook-embed-dim", type=int, default=8)
+    k.add_argument("--num", type=int, default=16)
+    k.add_argument("--out", default="check_codes.png")
+    k.set_defaults(fn=cmd_check_codes)
+
+    n = sub.add_parser("class-name")
+    n.add_argument("ids", type=int, nargs="+")
+    n.set_defaults(fn=cmd_class_name)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -241,18 +241,32 @@ def _dropout(rng, x, p: float):
     return jnp.where(keep, x / (1.0 - p), 0.0).astype(x.dtype)
 
 
+def _drop_path(rng, x, rate):
+    """Per-sample stochastic depth (ref: utils/drop_path.py:24); `rate` may
+    be a traced per-layer scalar (linspace over depth, ref gpt.py:280)."""
+    keep = jax.random.bernoulli(rng, 1.0 - rate,
+                                (x.shape[0],) + (1,) * (x.ndim - 1))
+    return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+
+
 def _block(p: Params, h: jnp.ndarray, freqs: jnp.ndarray,
            mask: Optional[jnp.ndarray], cfg: GPTConfig,
-           cache_kv=None, pos=None, dropout_rng=None):
+           cache_kv=None, pos=None, dropout_rng=None, drop_path_rate=None):
     attn_in = rms_norm(h, p["attention_norm"], cfg.norm_eps)
     attn_out, new_cache = _attention(p, attn_in, freqs, mask, cfg, cache_kv, pos)
-    if dropout_rng is not None and cfg.resid_dropout_p > 0:
-        r1, r2, dropout_rng = jax.random.split(dropout_rng, 3)
-        attn_out = _dropout(r1, attn_out, cfg.resid_dropout_p)
+    if dropout_rng is not None:
+        r1, r2, r3, r4 = jax.random.split(dropout_rng, 4)
+        if cfg.resid_dropout_p > 0:
+            attn_out = _dropout(r1, attn_out, cfg.resid_dropout_p)
+        if drop_path_rate is not None:
+            attn_out = _drop_path(r3, attn_out, drop_path_rate)
     h = h + attn_out
     ffn_out = _ffn(p, rms_norm(h, p["ffn_norm"], cfg.norm_eps))
-    if dropout_rng is not None and cfg.ffn_dropout_p > 0:
-        ffn_out = _dropout(r2, ffn_out, cfg.ffn_dropout_p)
+    if dropout_rng is not None:
+        if cfg.ffn_dropout_p > 0:
+            ffn_out = _dropout(r2, ffn_out, cfg.ffn_dropout_p)
+        if drop_path_rate is not None:
+            ffn_out = _drop_path(r4, ffn_out, drop_path_rate)
     return h + ffn_out, new_cache
 
 
@@ -270,17 +284,30 @@ def _run_layers(params: Params, h: jnp.ndarray, freqs: jnp.ndarray,
         layer_rngs = None
 
     if cache is None:
+        dpr = None
+        if layer_rngs is not None and cfg.drop_path_rate > 0:
+            # per-layer stochastic-depth rates (ref: gpt.py:280)
+            dpr = jnp.linspace(0.0, cfg.drop_path_rate, n_layer)
+
         def scan_fn(carry, xs):
             if layer_rngs is not None:
-                p_l, rng_l = xs
+                if dpr is not None:
+                    p_l, rng_l, dpr_l = xs
+                else:
+                    (p_l, rng_l), dpr_l = xs, None
             else:
-                p_l, rng_l = xs, None
-            out, _ = _block(p_l, carry, freqs, mask, cfg, dropout_rng=rng_l)
+                p_l, rng_l, dpr_l = xs, None, None
+            out, _ = _block(p_l, carry, freqs, mask, cfg, dropout_rng=rng_l,
+                            drop_path_rate=dpr_l)
             return out, None
 
         if remat:
             scan_fn = jax.checkpoint(scan_fn)
-        xs = (layers, layer_rngs) if layer_rngs is not None else layers
+        if layer_rngs is not None:
+            xs = ((layers, layer_rngs, dpr) if dpr is not None
+                  else (layers, layer_rngs))
+        else:
+            xs = layers
         h, _ = jax.lax.scan(scan_fn, h, xs)
         return h, None
 

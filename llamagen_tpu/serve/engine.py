@@ -221,7 +221,7 @@ def make_engine_step(params, cfg: GPTConfig, sp: SamplingParams,
     assert cfg.model_type == "c2i", "serving engine currently targets c2i"
     table = None  # class embedding table read inside step
 
-    def one_step(state: EngineState) -> EngineState:
+    def one_step(params, state: EngineState) -> EngineState:
         p = state.pos  # [P]
         is_prefill = state.active & (p == 0)
         pair_tok = state.cur_token
@@ -270,7 +270,7 @@ def make_engine_step(params, cfg: GPTConfig, sp: SamplingParams,
                            n_generated=n_generated, tokens_out=tokens_out,
                            rng=rng, recent_k=rk, recent_v=rv)
 
-    def engine_chunk(state: EngineState, admit_mask, admit_labels
+    def engine_chunk(params, state: EngineState, admit_mask, admit_labels
                      ) -> EngineState:
         # admission: reset slot bookkeeping (cache slots get overwritten)
         pos = jnp.where(admit_mask, 0, state.pos)
@@ -279,10 +279,11 @@ def make_engine_step(params, cfg: GPTConfig, sp: SamplingParams,
         n_generated = jnp.where(admit_mask, 0, state.n_generated)
         state = state._replace(pos=pos, active=active, labels=labels,
                                n_generated=n_generated)
-        state = jax.lax.fori_loop(0, chunk, lambda i, s: one_step(s), state)
+        state = jax.lax.fori_loop(0, chunk,
+                                  lambda i, s: one_step(params, s), state)
         return state
 
-    return jax.jit(engine_chunk, donate_argnums=(0,))
+    return jax.jit(engine_chunk, donate_argnums=(1,))
 
 
 @dataclass
@@ -317,6 +318,7 @@ class ServeEngine:
         self.max_new_tokens = max_new_tokens
         self.sp = sampling_params or SamplingParams()
         self.chunk = chunk
+        self._params = params
         self.step_fn = make_engine_step(params, cfg, self.sp, max_new_tokens,
                                         chunk, compute_dtype, use_kernel)
         self.state = init_engine_state(cfg, num_pairs, max_new_tokens,
@@ -342,7 +344,8 @@ class ServeEngine:
                 self.slot_request[i] = req
                 admit_mask[i] = True
                 admit_labels[i] = req.label
-        self.state = self.step_fn(self.state, jnp.asarray(admit_mask),
+        self.state = self.step_fn(self._params, self.state,
+                                  jnp.asarray(admit_mask),
                                   jnp.asarray(admit_labels))
 
     def _harvest(self):
