@@ -68,8 +68,10 @@ def init_engine_state(cfg: GPTConfig, num_pairs: int, max_new_tokens: int,
     if use_kernel:
         from llamagen_tpu.ops.attention import recent_window
         w = recent_window(cache_dtype)
+        # windows stay exact (bf16) even for int8 caches
+        win_dtype = jnp.bfloat16 if cache_dtype == jnp.int8 else cache_dtype
         recent_k, recent_v = gpt.init_recent(cfg, 2 * num_pairs,
-                                             dtype=cache_dtype, window=w)
+                                             dtype=win_dtype, window=w)
     return EngineState(
         cache=gpt.init_cache(cfg, 2 * num_pairs, smax, dtype=cache_dtype),
         pos=jnp.zeros((num_pairs,), jnp.int32),
@@ -175,6 +177,7 @@ def _decode_step_slots_pallas(params, cfg: GPTConfig, emb: jnp.ndarray,
         return jnp.stack([real, imag], -1).reshape(x.shape).astype(x.dtype)
 
     new_rk, new_rv, new_ck, new_cv = [], [], [], []
+    new_ks, new_vs = [], []
     for l in range(cfg.n_layer):
         p = gpt.layer_params(params, l)
         x = gpt.rms_norm(h, p["attention_norm"], cfg.norm_eps)
@@ -190,9 +193,17 @@ def _decode_step_slots_pallas(params, cfg: GPTConfig, emb: jnp.ndarray,
             k.astype(recent_k[l].dtype))
         rv = recent_v[l].at[batch_ids, slot].set(
             v.astype(recent_v[l].dtype))
-        attn, ck, cv = attn_lib.decode_attention(
-            q.astype(compute_dtype), rk, rv, cache.k[l], cache.v[l], pos,
-            cfg.n_head)
+        if cache.quantized:
+            attn, ck, cv, ks, vs = attn_lib.decode_attention(
+                q.astype(compute_dtype), rk, rv, cache.k[l], cache.v[l],
+                pos, cfg.n_head, k_scale=cache.k_scale[l],
+                v_scale=cache.v_scale[l])
+            new_ks.append(ks)
+            new_vs.append(vs)
+        else:
+            attn, ck, cv = attn_lib.decode_attention(
+                q.astype(compute_dtype), rk, rv, cache.k[l], cache.v[l],
+                pos, cfg.n_head)
         new_rk.append(rk)
         new_rv.append(rv)
         new_ck.append(ck)
@@ -205,8 +216,11 @@ def _decode_step_slots_pallas(params, cfg: GPTConfig, emb: jnp.ndarray,
 
     h = gpt.rms_norm(h, params["norm"], cfg.norm_eps)
     logits = (h @ params["output"].astype(h.dtype)).astype(jnp.float32)
-    return (logits, gpt.KVCache(k=tuple(new_ck), v=tuple(new_cv)),
-            tuple(new_rk), tuple(new_rv))
+    new_cache = gpt.KVCache(
+        k=tuple(new_ck), v=tuple(new_cv),
+        k_scale=tuple(new_ks) if cache.quantized else None,
+        v_scale=tuple(new_vs) if cache.quantized else None)
+    return logits, new_cache, tuple(new_rk), tuple(new_rv)
 
 
 def make_engine_step(params, cfg: GPTConfig, sp: SamplingParams,
@@ -306,13 +320,16 @@ class ServeEngine:
                  max_new_tokens: int = 576,
                  sampling_params: Optional[SamplingParams] = None,
                  chunk: int = 64, seed: int = 0,
-                 compute_dtype=jnp.bfloat16,
+                 compute_dtype=jnp.bfloat16, cache_dtype=None,
                  use_kernel: Optional[bool] = None):
         from llamagen_tpu.ops.generate import _kernel_supported
 
         if use_kernel is None:
             use_kernel = (jax.default_backend() == "tpu"
                           and _kernel_supported(cfg))
+        if cache_dtype is None:
+            cache_dtype = compute_dtype
+        assert cache_dtype != jnp.int8 or use_kernel
         self.cfg = cfg
         self.num_pairs = num_pairs
         self.max_new_tokens = max_new_tokens
@@ -323,7 +340,7 @@ class ServeEngine:
                                         chunk, compute_dtype, use_kernel)
         self.state = init_engine_state(cfg, num_pairs, max_new_tokens,
                                        jax.random.PRNGKey(seed),
-                                       cache_dtype=compute_dtype,
+                                       cache_dtype=cache_dtype,
                                        use_kernel=use_kernel)
         self.slot_request: List[Optional[Request]] = [None] * num_pairs
         self.pending: "queue.Queue[Request]" = queue.Queue()

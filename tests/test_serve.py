@@ -96,3 +96,21 @@ def test_engine_kernel_path_matches_xla():
     out_x = eng_x.generate(labels)
     out_k = eng_k.generate(labels)
     np.testing.assert_array_equal(out_x, out_k)
+
+
+def test_engine_int8_kernel_path():
+    """int8-KV kernel engine produces valid tokens and matches greedy bf16
+    closely (identical on small models)."""
+    cfg = GPTConfig(dim=128, n_layer=2, n_head=2, block_size=16,
+                    num_classes=10, vocab_size=128, cls_token_num=1)
+    p = gpt.init_params(jax.random.PRNGKey(0), cfg)
+    p["output"] = jax.random.normal(jax.random.PRNGKey(1),
+                                    p["output"].shape) * 0.02
+    sp = SamplingParams(cfg_scale=2.0, temperature=1e-6)
+    common = dict(num_pairs=2, max_new_tokens=cfg.block_size,
+                  sampling_params=sp, chunk=4, compute_dtype=jnp.float32)
+    out16 = ServeEngine(p, cfg, use_kernel=True, **common).generate([3, 7])
+    out8 = ServeEngine(p, cfg, use_kernel=True, cache_dtype=jnp.int8,
+                       **common).generate([3, 7])
+    agree = (out16 == out8).mean()
+    assert agree > 0.9, f"int8 greedy agreement too low: {agree}"
