@@ -1,0 +1,161 @@
+"""Tensor-parallel decode with the Pallas kernel via shard_map.
+
+Multi-chip serving path for large models (GPT-XXL/3B-class): attention
+heads and the FFN hidden dim are sharded over the mesh's `tp` axis —
+what the reference plumbs through vLLM but never enables
+(`/root/reference/autoregressive/serve/gpu_executor.py:61-62` asserts
+world_size==1; here it is real).
+
+Parallel decomposition (standard Megatron-style TP, decode specialized):
+  - wqkv column-parallel: each chip computes its local heads' q/k/v
+  - decode attention is PER HEAD -> fully local to each chip, so the
+    Pallas kernel runs unmodified on the local [B, S, F/ntp] cache shard
+    with zero attention-time collectives
+  - wo row-parallel: partial [B, D] outputs -> psum over `tp`
+  - w1/w3 column-parallel, w2 row-parallel -> one psum per FFN
+  - output head column-parallel over vocab -> logits all-gathered
+    (16384 f32 per sample — negligible)
+
+Two psums + one (tiny) all-gather per layer-stack step ride the ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from llamagen_tpu.config import GPTConfig
+from llamagen_tpu.models import gpt
+
+
+def tp_param_specs(cfg: GPTConfig):
+    """PartitionSpecs for decode-time TP (heads / ffn-hidden over `tp`)."""
+    layers = {
+        "attention_norm": P(),
+        "ffn_norm": P(),
+        "wqkv": P(None, None, "tp"),   # column-parallel (head-major layout)
+        "wo": P(None, "tp", None),     # row-parallel
+        "w1": P(None, None, "tp"),
+        "w3": P(None, None, "tp"),
+        "w2": P(None, "tp", None),
+    }
+    return {
+        "tok_embeddings": P(),
+        "cls_embedding": {"embedding_table": P()},
+        "layers": layers,
+        "norm": P(),
+        "output": P(None, "tp"),       # vocab-parallel logits
+    }
+
+
+def reorder_wqkv_head_major(params, cfg: GPTConfig):
+    """Rearrange wqkv columns from [Q | K | V] to per-head-group-contiguous
+    [(q,k,v) of head-group 0 | head-group 1 | ...] so a plain `tp`-axis
+    column shard gives each chip whole heads of q, k, AND v."""
+    qs = cfg.n_head * cfg.head_dim
+    w = params["layers"]["wqkv"]  # [L, D, 3*qs] (MHA)
+    q, k, v = w[..., :qs], w[..., qs:2 * qs], w[..., 2 * qs:]
+    return q, k, v
+
+
+def make_tp_decode_step(cfg: GPTConfig, mesh: Mesh, ntp: int,
+                        compute_dtype=jnp.bfloat16):
+    """Build a shard_map'd single-token decode step.
+
+    Expects params placed with tp_param_specs and wqkv already head-major
+    per shard (each chip's wqkv shard = its heads' q|k|v concatenated —
+    see shard_tp_params). Cache shards: per-layer [B, S, F/ntp].
+    """
+    assert cfg.n_head % ntp == 0, "heads must divide tp"
+    h_local = cfg.n_head // ntp
+
+    def local_step(params, token, pos, cache_k, cache_v, recent_k, recent_v):
+        # runs per-chip on local shards; params['layers']['wqkv'] shard is
+        # [L, D, 3*h_local*head_dim] laid out q|k|v of the LOCAL heads
+        from llamagen_tpu.ops import attention as attn_lib
+
+        b = token.shape[0]
+        d_local = h_local * cfg.head_dim
+        h = params["tok_embeddings"][token].astype(compute_dtype)
+        freqs = jax.lax.dynamic_slice_in_dim(
+            gpt.freqs_cis_2d(cfg), pos, 1, axis=0)[0]
+        w = recent_k[0].shape[1]
+        slot = pos % w
+
+        new_ck, new_cv, new_rk, new_rv = [], [], [], []
+        for l in range(cfg.n_layer):
+            p = gpt.layer_params(params, l)
+            x = gpt.rms_norm(h, p["attention_norm"], cfg.norm_eps)
+            qkv = x @ p["wqkv"].astype(x.dtype)  # [B, 3*d_local]
+            q = qkv[:, :d_local].reshape(b, h_local, cfg.head_dim)
+            k = qkv[:, d_local:2 * d_local].reshape(b, h_local, cfg.head_dim)
+            v = qkv[:, 2 * d_local:]
+            q = gpt._rope_single(q, freqs).reshape(b, d_local)
+            k = gpt._rope_single(k, freqs).reshape(b, d_local)
+
+            rk = jax.lax.dynamic_update_slice(
+                recent_k[l], k.astype(recent_k[l].dtype)[:, None],
+                (0, slot, 0))
+            rv = jax.lax.dynamic_update_slice(
+                recent_v[l], v.astype(recent_v[l].dtype)[:, None],
+                (0, slot, 0))
+            attn, ck, cv = attn_lib.decode_attention(
+                q.astype(compute_dtype), rk, rv, cache_k[l], cache_v[l],
+                pos, h_local)
+            new_ck.append(ck)
+            new_cv.append(cv)
+            new_rk.append(rk)
+            new_rv.append(rv)
+            # row-parallel wo: partial sums reduced over tp
+            part = attn.astype(x.dtype) @ p["wo"].astype(x.dtype)
+            h = h + jax.lax.psum(part, "tp")
+
+            x = gpt.rms_norm(h, p["ffn_norm"], cfg.norm_eps)
+            ffn = jax.nn.silu(x @ p["w1"].astype(x.dtype)) * \
+                (x @ p["w3"].astype(x.dtype))
+            h = h + jax.lax.psum(ffn @ p["w2"].astype(x.dtype), "tp")
+
+        h = gpt.rms_norm(h, params["norm"], cfg.norm_eps)
+        logits_local = (h @ params["output"].astype(h.dtype)
+                        ).astype(jnp.float32)  # [B, V/ntp]
+        logits = jax.lax.all_gather(logits_local, "tp", axis=1, tiled=True)
+        return (logits, tuple(new_ck), tuple(new_cv), tuple(new_rk),
+                tuple(new_rv))
+
+    pspec = tp_param_specs(cfg)
+    kv_spec = tuple(P(None, None, "tp") for _ in range(cfg.n_layer))
+    return shard_map(
+        local_step, mesh=mesh,
+        in_specs=(pspec, P(), P(), kv_spec, kv_spec, kv_spec, kv_spec),
+        out_specs=(P(), kv_spec, kv_spec, kv_spec, kv_spec),
+        check_rep=False)
+
+
+def shard_tp_params(params, cfg: GPTConfig, mesh: Mesh):
+    """Place params for TP decode: wqkv reshaped head-major then sharded."""
+    qs = cfg.n_head * cfg.head_dim
+    w = params["layers"]["wqkv"]
+    L, D, _ = w.shape
+    # head-major: for each head h: [q_h | k_h | v_h] grouped so contiguous
+    # blocks of 3*head_dim*heads_per_shard land on each chip
+    q = w[..., :qs].reshape(L, D, cfg.n_head, cfg.head_dim)
+    k = w[..., qs:2 * qs].reshape(L, D, cfg.n_head, cfg.head_dim)
+    v = w[..., 2 * qs:].reshape(L, D, cfg.n_head, cfg.head_dim)
+    ntp = mesh.shape["tp"]
+    hpg = cfg.n_head // ntp
+    qg = q.reshape(L, D, ntp, hpg * cfg.head_dim)
+    kg = k.reshape(L, D, ntp, hpg * cfg.head_dim)
+    vg = v.reshape(L, D, ntp, hpg * cfg.head_dim)
+    wq = jnp.concatenate([qg, kg, vg], axis=-1).reshape(L, D, 3 * qs)
+    params = dict(params)
+    params["layers"] = dict(params["layers"], wqkv=wq)
+
+    specs = tp_param_specs(cfg)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, specs, is_leaf=lambda x: x is None)
