@@ -27,7 +27,7 @@ def _dense_oracle(q, k_hist, v_hist, prefix_allow=None):
     return np.einsum("bhs,bshd->bhd", p, v_hist)
 
 
-def _run(pos, prefix=None, dtype=np.float32, block_s=64, seed=0):
+def _run(pos, prefix=None, dtype=np.float32, block_s=64, seed=0, version=2):
     rng = np.random.RandomState(seed)
     q = rng.randn(B, H, D).astype(np.float32)
     # full history of k/v for positions [0, pos]
@@ -54,7 +54,7 @@ def _run(pos, prefix=None, dtype=np.float32, block_s=64, seed=0):
         jnp.asarray(v_cache.reshape(B, S, F), dtype),
         jnp.int32(pos), H,
         prefix_allow=None if prefix is None else jnp.asarray(prefix),
-        block_s=block_s, interpret=True)
+        block_s=block_s, version=version, interpret=True)
 
     expected = _dense_oracle(q, k_hist, v_hist, prefix)
     return (np.asarray(out, np.float32).reshape(B, H, D), expected,
@@ -62,9 +62,10 @@ def _run(pos, prefix=None, dtype=np.float32, block_s=64, seed=0):
             k_hist, boundary)
 
 
+@pytest.mark.parametrize("version", [1, 2])
 @pytest.mark.parametrize("pos", [0, 1, 7, 8, 63, 64, 100, 127, 200, 255])
-def test_kernel_matches_dense(pos):
-    out, expected, _, _, _, _ = _run(pos)
+def test_kernel_matches_dense(pos, version):
+    out, expected, _, _, _, _ = _run(pos, version=version)
     np.testing.assert_allclose(out, expected, atol=2e-5, rtol=1e-4)
 
 
