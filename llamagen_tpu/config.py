@@ -127,6 +127,8 @@ def _gpt(dim, n_layer, n_head, **kw) -> GPTConfig:
 # Model zoo (ref: gpt.py:438-467). Sizes: B 111M, L 343M, XL 775M, XXL 1.4B,
 # XXXL 3.9B, 1B 1.2B, 3B 3.1B (head_dim=100!), 7B 6.6B.
 GPT_CONFIGS = {
+    # tiny config for smoke tests / CI (not in the reference zoo)
+    "GPT-nano": lambda **kw: _gpt(128, 2, 2, **kw),
     "GPT-B": lambda **kw: _gpt(768, 12, 12, **kw),
     "GPT-L": lambda **kw: _gpt(1024, 24, 16, **kw),
     "GPT-XL": lambda **kw: _gpt(1280, 36, 20, **kw),

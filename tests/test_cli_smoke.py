@@ -1,0 +1,109 @@
+"""End-to-end CLI smoke tests with tiny models on CPU.
+
+Drives the actual argparse entry points (the surfaces a user runs), not
+internal functions — catches wiring bugs the unit tests can't.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401
+
+
+def _make_tiny_image_folder(root, n=6, size=32):
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    for cls in ["class_a", "class_b"]:
+        d = os.path.join(root, cls)
+        os.makedirs(d, exist_ok=True)
+        for i in range(n // 2):
+            arr = rng.randint(0, 255, (size, size, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(os.path.join(d, f"{i}.png"))
+
+
+def test_sample_c2i_cli(tmp_path):
+    from llamagen_tpu.cli import sample_c2i
+
+    out = str(tmp_path / "grid.png")
+    sample_c2i.main([
+        "--gpt-model", "GPT-nano", "--vq-model", "VQ-8",
+        "--codebook-size", "64", "--codebook-embed-dim", "4",
+        "--image-size", "256", "--downsample-size", "8",
+        "--classes", "1", "2", "--cfg-scale", "1.5",
+        "--precision", "f32", "--out", out])
+    assert os.path.exists(out)
+
+
+def test_train_c2i_cli_synthetic(tmp_path):
+    from llamagen_tpu.cli import train_c2i
+
+    train_c2i.main([
+        "--synthetic-steps", "3", "--gpt-model", "GPT-nano",
+        "--image-size", "128", "--downsample-size", "16",
+        "--global-batch-size", "8", "--log-every", "1",
+        "--ckpt-every", "1000", "--results-dir", str(tmp_path)])
+    assert os.path.exists(str(tmp_path / "checkpoints"))
+
+
+def test_train_vq_cli_synthetic(tmp_path):
+    from llamagen_tpu.cli import train_vq
+
+    train_vq.main([
+        "--synthetic-steps", "2", "--vq-model", "VQ-8",
+        "--codebook-size", "32", "--codebook-embed-dim", "4",
+        "--image-size", "32", "--global-batch-size", "2",
+        "--disc-start", "1", "--log-every", "1",
+        "--ckpt-every", "1000", "--results-dir", str(tmp_path)])
+    assert os.path.exists(str(tmp_path / "checkpoints"))
+
+
+def test_extract_and_reconstruct_cli(tmp_path):
+    from llamagen_tpu.cli import extract_codes, reconstruction_vq
+
+    data_dir = str(tmp_path / "imgs")
+    _make_tiny_image_folder(data_dir)
+    out_dir = str(tmp_path / "codes")
+    extract_codes.main([
+        "--data-path", data_dir, "--out-dir", out_dir,
+        "--vq-model", "VQ-8", "--codebook-size", "64",
+        "--codebook-embed-dim", "4", "--image-size", "32",
+        "--batch-size", "4"])
+    shards = [f for f in os.listdir(out_dir) if f.endswith(".npz")]
+    assert shards
+    z = np.load(os.path.join(out_dir, shards[0]))
+    assert z["codes"].shape[1] == 16  # 32/8 = 4x4 grid
+
+    reconstruction_vq.main([
+        "--data-path", data_dir, "--vq-model", "VQ-8",
+        "--codebook-size", "64", "--codebook-embed-dim", "4",
+        "--image-size", "32", "--batch-size", "4", "--max-images", "4"])
+
+
+def test_tools_check_codes_cli(tmp_path):
+    from llamagen_tpu.cli import tools
+
+    codes = np.random.RandomState(0).randint(0, 64, (4, 16)).astype(np.int16)
+    np.savez(str(tmp_path / "shard.npz"), codes=codes,
+             labels=np.zeros(4, np.int16))
+    out = str(tmp_path / "decoded.png")
+    tools.main(["check-codes", "--codes", str(tmp_path / "shard.npz"),
+                "--vq-model", "VQ-8", "--codebook-size", "64",
+                "--codebook-embed-dim", "4", "--num", "4", "--out", out])
+    assert os.path.exists(out)
+
+
+def test_sample_t2i_cli_random_embeddings(tmp_path):
+    from llamagen_tpu.cli import sample_t2i
+
+    out = str(tmp_path / "t2i.png")
+    sample_t2i.main([
+        "--gpt-model", "GPT-nano", "--vq-model", "VQ-8",
+        "--codebook-size", "64", "--codebook-embed-dim", "4",
+        "--image-size", "256", "--downsample-size", "8",
+        "--prompts", "a cat", "--cls-token-num", "8",
+        "--cfg-scale", "1.5", "--top-k", "10",
+        "--precision", "f32", "--out", out])
+    assert os.path.exists(out)
