@@ -92,82 +92,77 @@ def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
 class KVCache(NamedTuple):
     """Preallocated KV cache.
 
-    k/v are tuples of per-layer [B, Smax, F] buffers (F = kv_heads*head_dim,
-    flattened so the Pallas decode kernel sees 128-aligned features).
-    Separate per-layer buffers (not one stacked [L, ...] array) keep the
-    XLA fallback path free of per-step layer-slice materialization.
+    kv is a tuple of per-layer [B, Smax, 2F] buffers with k in lanes
+    [0, F) and v in [F, 2F) (F = kv_heads*head_dim) — merged so the Pallas
+    decode kernel streams one DMA per block. kv_scale (int8 caches only)
+    holds per-position dequant scales [B, Smax, 128] (k in lane 0, v in
+    lane 64). Separate per-layer buffers keep the XLA fallback path free
+    of per-step layer-slice materialization.
     """
 
-    k: tuple
-    v: tuple
-    k_scale: Optional[tuple] = None  # int8 caches: [B, S, 128] f32 per layer
-    v_scale: Optional[tuple] = None
+    kv: tuple
+    kv_scale: Optional[tuple] = None
 
     @property
     def max_seq_len(self) -> int:
-        return self.k[0].shape[1]
+        return self.kv[0].shape[1]
 
     @property
     def num_layers(self) -> int:
-        return len(self.k)
+        return len(self.kv)
 
     @property
     def quantized(self) -> bool:
-        return self.k_scale is not None
+        return self.kv_scale is not None
 
 
 def init_cache(cfg: GPTConfig, batch: int, max_seq_len: int,
                dtype=jnp.bfloat16) -> KVCache:
+    f2 = 2 * cfg.kv_heads * cfg.head_dim
     if dtype == jnp.int8:
-        shape = (batch, max_seq_len, cfg.kv_heads * cfg.head_dim)
-        sshape = (batch, max_seq_len, 128)
         return KVCache(
-            k=tuple(jnp.zeros(shape, jnp.int8) for _ in range(cfg.n_layer)),
-            v=tuple(jnp.zeros(shape, jnp.int8) for _ in range(cfg.n_layer)),
-            k_scale=tuple(jnp.ones(sshape, jnp.float32)
-                          for _ in range(cfg.n_layer)),
-            v_scale=tuple(jnp.ones(sshape, jnp.float32)
-                          for _ in range(cfg.n_layer)))
-    shape = (batch, max_seq_len, cfg.kv_heads * cfg.head_dim)
-    return KVCache(
-        k=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.n_layer)),
-        v=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.n_layer)))
+            kv=tuple(jnp.zeros((batch, max_seq_len, f2), jnp.int8)
+                     for _ in range(cfg.n_layer)),
+            kv_scale=tuple(jnp.ones((batch, max_seq_len, 128), jnp.float32)
+                           for _ in range(cfg.n_layer)))
+    return KVCache(kv=tuple(jnp.zeros((batch, max_seq_len, f2), dtype)
+                            for _ in range(cfg.n_layer)))
+
+
+def init_recent(cfg: GPTConfig, batch: int, dtype=jnp.bfloat16,
+                window: Optional[int] = None):
+    """Per-layer [B, w, 2F] rolling windows for the Pallas decode kernel
+    (w = 8 for bf16 caches, 32 for int8 — HBM tile alignment)."""
+    from llamagen_tpu.ops.attention import RECENT
+
+    shape = (batch, window or RECENT, 2 * cfg.kv_heads * cfg.head_dim)
+    return tuple(jnp.zeros(shape, dtype) for _ in range(cfg.n_layer))
 
 
 def quantize_cache(cache: KVCache, cfg: GPTConfig,
                    max_seq_len: int) -> KVCache:
     """bf16 cache (e.g. after prefill) -> int8 cache of length max_seq_len
     with per-position symmetric scales (matches the kernel's flush)."""
-    n_k, n_v, s_k, s_v = [], [], [], []
-    batch = cache.k[0].shape[0]
+    f = cfg.kv_heads * cfg.head_dim
+    batch = cache.kv[0].shape[0]
     src_len = cache.max_seq_len
-    for ck, cv in zip(cache.k, cache.v):
-        kf = ck.astype(jnp.float32)
-        vf = cv.astype(jnp.float32)
+    n_kv, n_sc = [], []
+    for ckv in cache.kv:
+        kf = ckv[:, :, :f].astype(jnp.float32)
+        vf = ckv[:, :, f:].astype(jnp.float32)
         ks = jnp.max(jnp.abs(kf), axis=-1, keepdims=True) / 127.0 + 1e-8
         vs = jnp.max(jnp.abs(vf), axis=-1, keepdims=True) / 127.0 + 1e-8
-        k8 = jnp.clip(jnp.round(kf / ks), -127, 127).astype(jnp.int8)
-        v8 = jnp.clip(jnp.round(vf / vs), -127, 127).astype(jnp.int8)
+        k8 = jnp.clip(jnp.round(kf / ks), -127, 127)
+        v8 = jnp.clip(jnp.round(vf / vs), -127, 127)
+        kv8 = jnp.concatenate([k8, v8], axis=-1).astype(jnp.int8)
+        sc = jnp.concatenate(
+            [jnp.broadcast_to(ks, (batch, src_len, 64)),
+             jnp.broadcast_to(vs, (batch, src_len, 64))], axis=-1)
         pad = max_seq_len - src_len
-        n_k.append(jnp.pad(k8, ((0, 0), (0, pad), (0, 0))))
-        n_v.append(jnp.pad(v8, ((0, 0), (0, pad), (0, 0))))
-        s_k.append(jnp.pad(jnp.broadcast_to(ks, (batch, src_len, 128)),
-                           ((0, 0), (0, pad), (0, 0)), constant_values=1.0))
-        s_v.append(jnp.pad(jnp.broadcast_to(vs, (batch, src_len, 128)),
-                           ((0, 0), (0, pad), (0, 0)), constant_values=1.0))
-    return KVCache(k=tuple(n_k), v=tuple(n_v), k_scale=tuple(s_k),
-                   v_scale=tuple(s_v))
-
-
-def init_recent(cfg: GPTConfig, batch: int, dtype=jnp.bfloat16,
-                window: Optional[int] = None):
-    """Per-layer [B, w, F] rolling windows for the Pallas decode kernel
-    (w = 8 for bf16 caches, 32 for int8 — HBM tile alignment)."""
-    from llamagen_tpu.ops.attention import RECENT
-
-    shape = (batch, window or RECENT, cfg.kv_heads * cfg.head_dim)
-    return (tuple(jnp.zeros(shape, dtype) for _ in range(cfg.n_layer)),
-            tuple(jnp.zeros(shape, dtype) for _ in range(cfg.n_layer)))
+        n_kv.append(jnp.pad(kv8, ((0, 0), (0, pad), (0, 0))))
+        n_sc.append(jnp.pad(sc, ((0, 0), (0, pad), (0, 0)),
+                            constant_values=1.0))
+    return KVCache(kv=tuple(n_kv), kv_scale=tuple(n_sc))
 
 
 def layer_params(params: Params, l: int) -> Params:
@@ -214,16 +209,17 @@ def _attention(p: Params, x: jnp.ndarray, freqs: jnp.ndarray,
 
     new_cache = None
     if cache_kv is not None:
-        ck, cv = cache_kv  # [B, Smax, F] flat
+        ckv = cache_kv  # merged [B, Smax, 2F]
         b_, s_, hkv, d_ = k.shape
-        ck = jax.lax.dynamic_update_slice(
-            ck, k.reshape(b_, s_, hkv * d_).astype(ck.dtype), (0, pos, 0))
-        cv = jax.lax.dynamic_update_slice(
-            cv, v.reshape(b_, s_, hkv * d_).astype(cv.dtype), (0, pos, 0))
-        new_cache = (ck, cv)
-        smax_ = ck.shape[1]
-        k = ck.reshape(b_, smax_, hkv, d_).astype(q.dtype)
-        v = cv.reshape(b_, smax_, hkv, d_).astype(q.dtype)
+        f_ = hkv * d_
+        kv_new = jnp.concatenate(
+            [k.reshape(b_, s_, f_), v.reshape(b_, s_, f_)],
+            axis=-1).astype(ckv.dtype)
+        ckv = jax.lax.dynamic_update_slice(ckv, kv_new, (0, pos, 0))
+        new_cache = ckv
+        smax_ = ckv.shape[1]
+        k = ckv[:, :, :f_].reshape(b_, smax_, hkv, d_).astype(q.dtype)
+        v = ckv[:, :, f_:].reshape(b_, smax_, hkv, d_).astype(q.dtype)
 
     out = _sdpa(q, k, v, mask, cfg)
     out = out @ p["wo"].astype(x.dtype)
@@ -313,13 +309,12 @@ def _run_layers(params: Params, h: jnp.ndarray, freqs: jnp.ndarray,
 
     # inference with cache: unrolled python loop over per-layer buffers so
     # updates alias in place (see KVCache docstring)
-    new_k, new_v = [], []
+    new_kv = []
     for l in range(cfg.n_layer):
-        h, kv = _block(layer_params(params, l), h, freqs, mask, cfg,
-                       cache_kv=(cache.k[l], cache.v[l]), pos=pos)
-        new_k.append(kv[0])
-        new_v.append(kv[1])
-    return h, KVCache(k=tuple(new_k), v=tuple(new_v))
+        h, ckv = _block(layer_params(params, l), h, freqs, mask, cfg,
+                        cache_kv=cache.kv[l], pos=pos)
+        new_kv.append(ckv)
+    return h, KVCache(kv=tuple(new_kv))
 
 
 # ---------------------------------------------------------------------------
@@ -485,7 +480,7 @@ def decode_step(params: Params, cfg: GPTConfig, token: jnp.ndarray,
     q_size = cfg.n_head * cfg.head_dim
     kv_size = cfg.kv_heads * cfg.head_dim
 
-    new_k, new_v = [], []
+    new_kv = []
     for l in range(cfg.n_layer):
         p = layer_params(params, l)
         x = rms_norm(h, p["attention_norm"], cfg.norm_eps)
@@ -497,16 +492,15 @@ def decode_step(params: Params, cfg: GPTConfig, token: jnp.ndarray,
         q = _rope_single(q, freqs)
         k = _rope_single(k, freqs)
 
-        ck = jax.lax.dynamic_update_slice(
-            cache.k[l],
-            k.reshape(b, 1, kv_size).astype(cache.k[l].dtype), (0, pos, 0))
-        cv = jax.lax.dynamic_update_slice(
-            cache.v[l],
-            v.reshape(b, 1, kv_size).astype(cache.v[l].dtype), (0, pos, 0))
-        new_k.append(ck)
-        new_v.append(cv)
-        keys = ck[:, :extent].reshape(b, extent, cfg.kv_heads, cfg.head_dim)
-        vals = cv[:, :extent].reshape(b, extent, cfg.kv_heads, cfg.head_dim)
+        kv_new = jnp.concatenate(
+            [k.reshape(b, 1, kv_size), v.reshape(b, 1, kv_size)],
+            axis=-1).astype(cache.kv[l].dtype)
+        ckv = jax.lax.dynamic_update_slice(cache.kv[l], kv_new, (0, pos, 0))
+        new_kv.append(ckv)
+        keys = ckv[:, :extent, :kv_size].reshape(b, extent, cfg.kv_heads,
+                                                 cfg.head_dim)
+        vals = ckv[:, :extent, kv_size:].reshape(b, extent, cfg.kv_heads,
+                                                 cfg.head_dim)
         if rep != 1:
             keys = jnp.repeat(keys, rep, axis=2)
             vals = jnp.repeat(vals, rep, axis=2)
@@ -525,21 +519,21 @@ def decode_step(params: Params, cfg: GPTConfig, token: jnp.ndarray,
 
     h = rms_norm(h, params["norm"], cfg.norm_eps)
     logits = (h @ params["output"].astype(h.dtype)).astype(jnp.float32)
-    return logits, KVCache(k=tuple(new_k), v=tuple(new_v))
+    return logits, KVCache(kv=tuple(new_kv))
 
 
 def decode_step_pallas(params: Params, cfg: GPTConfig, token: jnp.ndarray,
-                       pos: jnp.ndarray, cache: KVCache, recent_k, recent_v,
+                       pos: jnp.ndarray, cache: KVCache, recent,
                        prefix_allow: Optional[jnp.ndarray] = None,
-                       compute_dtype=jnp.bfloat16, interpret: bool = False):
+                       compute_dtype=jnp.bfloat16, interpret: Optional[bool] = None):
     """decode_step with the Pallas decode-attention kernel.
 
     The per-layer HBM cache is updated in place by the kernel (aliased);
-    the new k/v land in per-layer [B, 8, F] recent windows
+    the new k|v land in per-layer [B, w, 2F] recent windows
     (llamagen_tpu.ops.attention docstring) carried by the sampling scan.
 
     Requires n_kv_head == n_head (true for the whole LlamaGen family) and a
-    128-aligned cache length. Returns (logits, cache, recent_k, recent_v).
+    128-aligned cache length. Returns (logits, cache, recent).
     """
     from llamagen_tpu.ops import attention as attn_lib
 
@@ -549,10 +543,9 @@ def decode_step_pallas(params: Params, cfg: GPTConfig, token: jnp.ndarray,
     freqs = jax.lax.dynamic_slice_in_dim(
         freqs_cis_2d(cfg), pos, 1, axis=0)[0]
     q_size = cfg.n_head * cfg.head_dim
-    slot = pos % recent_k[0].shape[1]
+    slot = pos % recent[0].shape[1]
 
-    new_rk, new_rv, new_ck, new_cv = [], [], [], []
-    new_ks, new_vs = [], []
+    new_recent, new_kv, new_sc = [], [], []
     for l in range(cfg.n_layer):
         p = layer_params(params, l)
         x = rms_norm(h, p["attention_norm"], cfg.norm_eps)
@@ -563,27 +556,21 @@ def decode_step_pallas(params: Params, cfg: GPTConfig, token: jnp.ndarray,
         q = _rope_single(q, freqs).reshape(b, q_size)
         k = _rope_single(k, freqs).reshape(b, q_size)
 
-        rk = jax.lax.dynamic_update_slice(
-            recent_k[l], k.astype(recent_k[l].dtype)[:, None], (0, slot, 0))
-        rv = jax.lax.dynamic_update_slice(
-            recent_v[l], v.astype(recent_v[l].dtype)[:, None], (0, slot, 0))
+        kv_new = jnp.concatenate([k, v], axis=-1)
+        r = jax.lax.dynamic_update_slice(
+            recent[l], kv_new.astype(recent[l].dtype)[:, None], (0, slot, 0))
         if cache.quantized:
-            attn, ck, cv, ks, vs = attn_lib.decode_attention(
-                q.astype(compute_dtype), rk, rv, cache.k[l], cache.v[l],
-                pos, cfg.n_head, prefix_allow=prefix_allow,
-                k_scale=cache.k_scale[l], v_scale=cache.v_scale[l],
+            attn, ckv, csc = attn_lib.decode_attention(
+                q.astype(compute_dtype), r, cache.kv[l], pos, cfg.n_head,
+                prefix_allow=prefix_allow, kv_scale=cache.kv_scale[l],
                 interpret=interpret)
-            new_ks.append(ks)
-            new_vs.append(vs)
+            new_sc.append(csc)
         else:
-            attn, ck, cv = attn_lib.decode_attention(
-                q.astype(compute_dtype), rk, rv, cache.k[l], cache.v[l],
-                pos, cfg.n_head, prefix_allow=prefix_allow,
-                interpret=interpret)
-        new_rk.append(rk)
-        new_rv.append(rv)
-        new_ck.append(ck)
-        new_cv.append(cv)
+            attn, ckv = attn_lib.decode_attention(
+                q.astype(compute_dtype), r, cache.kv[l], pos, cfg.n_head,
+                prefix_allow=prefix_allow, interpret=interpret)
+        new_recent.append(r)
+        new_kv.append(ckv)
         h = h + attn.astype(x.dtype) @ p["wo"].astype(x.dtype)
 
         x = rms_norm(h, p["ffn_norm"], cfg.norm_eps)
@@ -594,10 +581,9 @@ def decode_step_pallas(params: Params, cfg: GPTConfig, token: jnp.ndarray,
     h = rms_norm(h, params["norm"], cfg.norm_eps)
     logits = (h @ params["output"].astype(h.dtype)).astype(jnp.float32)
     new_cache = KVCache(
-        k=tuple(new_ck), v=tuple(new_cv),
-        k_scale=tuple(new_ks) if cache.quantized else None,
-        v_scale=tuple(new_vs) if cache.quantized else None)
-    return logits, new_cache, tuple(new_rk), tuple(new_rv)
+        kv=tuple(new_kv),
+        kv_scale=tuple(new_sc) if cache.quantized else None)
+    return logits, new_cache, tuple(new_recent)
 
 
 # ---------------------------------------------------------------------------

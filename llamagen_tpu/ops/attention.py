@@ -5,15 +5,22 @@ version (gpt.decode_step) cannot avoid cache-sized copies per step (XLA's
 copy-insertion refuses to update the scan-carried cache in place) and always
 reads a static extent. This kernel:
 
-  - keeps the per-layer [B, S, F] cache in HBM, aliased in/out — zero-copy
-  - streams only ceil(pos / BLOCK) key/value blocks per batch element
-    (average ~half of Smax) with flash-style online softmax in f32
-  - new k/v pairs accumulate in a tiny [B, 8, F] "recent window" carried by
-    the sampling scan in XLA (dynamic_update_slice on a ~100KB buffer);
-    attention covers cache blocks + the masked recent window, and the
-    kernel flushes the window into the cache with one aligned 8-row DMA
-    every 8 steps — single-row HBM writes would violate Mosaic's (8, 128)
-    tiling, and the batched flush amortizes DMA issue cost 8x
+  - keeps the per-layer cache in HBM as ONE merged [B, S, 2F] buffer
+    (k in lanes [0, F), v in [F, 2F)) so each streamed block costs a single
+    DMA (plus one for the packed scales when quantized) — DMA issue/wait
+    cost dominates at decode granularity, so fewer, larger copies win
+  - aliases the cache in/out (guaranteed in-place update, zero copies)
+  - streams only ceil(pos / BLOCK) blocks per batch element (average ~half
+    of Smax) with flash-style online softmax in f32
+  - one program walks all batch elements with the next block's DMA always
+    in flight — including across batch boundaries (software pipelining)
+  - new k/v pairs accumulate in a [B, w, 2F] "recent window" carried by the
+    sampling scan in XLA; the kernel flushes the window into the cache with
+    one aligned w-row DMA every w steps (single-row HBM writes violate
+    Mosaic tiling; w = 8 for bf16, 32 for int8)
+  - optional int8 cache: per-position symmetric scales packed k|v into one
+    [B, S, 128] f32 buffer (k scale in lane 0, v in lane 64); quantization
+    happens inside the flush, the window stays bf16-exact
   - features flattened to F = H*head_dim (128-aligned for every LlamaGen
     config); per-head score/value contractions are MXU matmuls against a
     constant [F, H] head-segment mask — no 3D reshapes in-kernel.
@@ -54,202 +61,17 @@ def _decode_attn_kernel(
     # scalar prefetch
     pos_ref,
     # inputs
-    seg_ref, q_ref, recent_k_ref, recent_v_ref, prefix_ref, k_cache_hbm,
-    v_cache_hbm, k_scale_hbm, v_scale_hbm,
+    seg_ref, q_ref, recent_ref, prefix_ref, kv_cache_hbm, kv_scale_hbm,
     # outputs
-    out_ref, k_cache_out, v_cache_out, k_scale_out, v_scale_out,
+    out_ref, kv_cache_out, kv_scale_out,
     # scratch
-    k_scratch, v_scratch, ks_scratch, vs_scratch, flush_stage, scale_stage,
-    mask_scratch, sems, write_sem, mask_sem,
-    *, block_s: int, scale: float, n_head: int, head_dim: int,
-    use_prefix: bool, quantized: bool, w: int,
-):
-    b = pl.program_id(0)
-    pos = pos_ref[b]  # per-batch-element position (continuous batching)
-    f = n_head * head_dim
-    boundary = (pos // w) * w  # cache holds positions [0, boundary)
-    r_idx = pos - boundary     # current slot within the window
-
-    seg = seg_ref[:]                                        # [F, H]
-    q_row = q_ref[0].astype(jnp.float32)                    # [1, F]
-
-    num_blocks = pl.cdiv(boundary, block_s)
-
-    def get_dma(slot, blk):
-        copies = [
-            pltpu.make_async_copy(
-                k_cache_hbm.at[b, pl.ds(blk * block_s, block_s)],
-                k_scratch.at[slot], sems.at[slot, 0]),
-            pltpu.make_async_copy(
-                v_cache_hbm.at[b, pl.ds(blk * block_s, block_s)],
-                v_scratch.at[slot], sems.at[slot, 1]),
-        ]
-        if quantized:
-            copies.append(pltpu.make_async_copy(
-                k_scale_hbm.at[b, pl.ds(blk * block_s, block_s)],
-                ks_scratch.at[slot], sems.at[slot, 2]))
-            copies.append(pltpu.make_async_copy(
-                v_scale_hbm.at[b, pl.ds(blk * block_s, block_s)],
-                vs_scratch.at[slot], sems.at[slot, 3]))
-        return copies
-
-    @pl.when(num_blocks > 0)
-    def _():
-        for c in get_dma(0, 0):
-            c.start()
-
-    if use_prefix:
-        pm = pltpu.make_async_copy(prefix_ref.at[pl.ds(b, 1)], mask_scratch,
-                                   mask_sem)
-        pm.start()
-        pm.wait()
-
-    m0 = jnp.full((1, n_head), -1e30, jnp.float32)
-    l0 = jnp.zeros((1, n_head), jnp.float32)
-    acc0 = jnp.zeros((1, f), jnp.float32)
-
-    def body(blk, carry):
-        m, l_acc, acc = carry
-        slot = blk % 2
-
-        @pl.when(blk + 1 < num_blocks)
-        def _():
-            for c in get_dma((blk + 1) % 2, blk + 1):
-                c.start()
-
-        for c in get_dma(slot, blk):
-            c.wait()
-
-        kb = k_scratch[slot].astype(jnp.float32)  # [S_blk, F]
-        vb = v_scratch[slot].astype(jnp.float32)
-        if quantized:
-            kb = kb * ks_scratch[slot][:, 0:1]
-            vb = vb * vs_scratch[slot][:, 0:1]
-        # per-head scores: broadcast q, then segment-sum via [F, H] matmul
-        scores = jnp.dot(kb * q_row, seg,
-                         preferred_element_type=jnp.float32) * scale
-
-        s_global = blk * block_s + jax.lax.broadcasted_iota(
-            jnp.int32, (block_s, 1), 0)
-        valid = s_global < boundary  # [S_blk, 1]
-        if use_prefix:
-            allow = mask_scratch[0, pl.ds(blk * block_s, block_s)] != 0
-            valid = valid & allow[:, None]
-        scores = jnp.where(valid, scores, -1e30)
-
-        blk_max = jnp.max(scores, axis=0, keepdims=True)    # [1, H]
-        m_new = jnp.maximum(m, blk_max)
-        alpha = jnp.exp(m - m_new)                          # [1, H]
-        p = jnp.exp(scores - m_new)                         # [S_blk, H]
-        l_new = l_acc * alpha + jnp.sum(p, axis=0, keepdims=True)
-        p_flat = jnp.dot(p, seg.T,
-                         preferred_element_type=jnp.float32)  # [S_blk, F]
-        pv = jnp.sum(p_flat * vb, axis=0, keepdims=True)      # [1, F]
-        alpha_flat = jnp.dot(alpha, seg.T,
-                             preferred_element_type=jnp.float32)
-        acc_new = acc * alpha_flat + pv
-        return m_new, l_new, acc_new
-
-    m, l_acc, acc = jax.lax.fori_loop(0, num_blocks, body, (m0, l0, acc0))
-
-    # --- recent window: positions [boundary, boundary + r_idx] ---
-    rk = recent_k_ref[0].astype(jnp.float32)  # [w, F]
-    rv = recent_v_ref[0].astype(jnp.float32)
-    r_scores = jnp.dot(rk * q_row, seg,
-                       preferred_element_type=jnp.float32) * scale  # [w, H]
-    j = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
-    r_valid = j <= r_idx
-    if use_prefix:
-        # window positions can overlap the condition prefix only when decode
-        # starts mid-window; guard with the mask at boundary+j
-        r_allow = mask_scratch[0, pl.ds(boundary, w)] != 0
-        r_valid = r_valid & r_allow[:, None]
-    r_scores = jnp.where(r_valid, r_scores, -1e30)
-
-    r_max = jnp.max(r_scores, axis=0, keepdims=True)
-    m_new = jnp.maximum(m, r_max)
-    alpha = jnp.exp(m - m_new)
-    p_r = jnp.exp(r_scores - m_new)                         # [R, H]
-    l_final = l_acc * alpha + jnp.sum(p_r, axis=0, keepdims=True)
-    p_r_flat = jnp.dot(p_r, seg.T, preferred_element_type=jnp.float32)
-    pv_r = jnp.sum(p_r_flat * rv, axis=0, keepdims=True)
-    alpha_flat = jnp.dot(alpha, seg.T, preferred_element_type=jnp.float32)
-    acc = acc * alpha_flat + pv_r
-    l_flat = jnp.dot(l_final, seg.T, preferred_element_type=jnp.float32)
-
-    out_ref[0] = (acc / l_flat).astype(out_ref.dtype)
-
-    # --- flush the full recent window into the cache every w steps ---
-    # (start + wait in one region: splitting them across pl.when blocks
-    # trips the DMA machinery at runtime)
-    @pl.when(r_idx == w - 1)
-    def _():
-        if quantized:
-            # per-position symmetric int8: scale = max|row| / 127
-            ksc = jnp.max(jnp.abs(rk), axis=1, keepdims=True) / 127.0 + 1e-8
-            vsc = jnp.max(jnp.abs(rv), axis=1, keepdims=True) / 127.0 + 1e-8
-            flush_stage[pl.ds(0, w)] = jnp.clip(
-                jnp.round(rk / ksc), -127, 127).astype(jnp.int32).astype(
-                    jnp.int8)
-            flush_stage[pl.ds(w, w)] = jnp.clip(
-                jnp.round(rv / vsc), -127, 127).astype(jnp.int32).astype(
-                    jnp.int8)
-            scale_stage[pl.ds(0, w)] = jnp.broadcast_to(ksc, (w, 128))
-            scale_stage[pl.ds(w, w)] = jnp.broadcast_to(vsc, (w, 128))
-            ksw = pltpu.make_async_copy(
-                scale_stage.at[pl.ds(0, w)],
-                k_scale_out.at[b, pl.ds(boundary, w)], write_sem.at[2])
-            vsw = pltpu.make_async_copy(
-                scale_stage.at[pl.ds(w, w)],
-                v_scale_out.at[b, pl.ds(boundary, w)], write_sem.at[3])
-            ksw.start()
-            vsw.start()
-        else:
-            flush_stage[pl.ds(0, w)] = recent_k_ref[0]
-            flush_stage[pl.ds(w, w)] = recent_v_ref[0]
-        kw = pltpu.make_async_copy(
-            flush_stage.at[pl.ds(0, w)],
-            k_cache_out.at[b, pl.ds(boundary, w)], write_sem.at[0])
-        vw = pltpu.make_async_copy(
-            flush_stage.at[pl.ds(w, w)],
-            v_cache_out.at[b, pl.ds(boundary, w)], write_sem.at[1])
-        kw.start()
-        vw.start()
-        kw.wait()
-        vw.wait()
-        if quantized:
-            pltpu.make_async_copy(
-                scale_stage.at[pl.ds(0, w)],
-                k_scale_out.at[b, pl.ds(boundary, w)], write_sem.at[2]).wait()
-            pltpu.make_async_copy(
-                scale_stage.at[pl.ds(w, w)],
-                v_scale_out.at[b, pl.ds(boundary, w)], write_sem.at[3]).wait()
-
-
-# ---------------------------------------------------------------------------
-# v2 kernel: single program, software-pipelined over (batch, block)
-# ---------------------------------------------------------------------------
-
-
-def _decode_attn_kernel_v2(
-    # scalar prefetch
-    pos_ref,
-    # inputs
-    seg_ref, q_ref, recent_k_ref, recent_v_ref, prefix_ref, k_cache_hbm,
-    v_cache_hbm, k_scale_hbm, v_scale_hbm,
-    # outputs
-    out_ref, k_cache_out, v_cache_out, k_scale_out, v_scale_out,
-    # scratch
-    k_scratch, v_scratch, ks_scratch, vs_scratch, flush_stage, scale_stage,
-    mask_scratch, sems, write_sem, mask_sem,
+    kv_scratch, sc_scratch, flush_stage, scale_stage, mask_scratch, sems,
+    write_sem, mask_sem,
     *, block_s: int, scale: float, n_head: int, head_dim: int,
     use_prefix: bool, quantized: bool, w: int, batch: int,
 ):
-    """Same contract as _decode_attn_kernel but grid=(1,): one program
-    walks all batch elements with the next block's DMA always in flight —
-    including across batch boundaries — so DMA latency never serializes
-    with compute. ~3x less per-step overhead than the per-batch-program v1
-    at decode batch sizes (16-64)."""
+    """grid=(1,): one program walks all batch elements, next DMA always in
+    flight. recent_ref: [B, w, 2F] exact window; kv_cache: [B, S, 2F]."""
     f = n_head * head_dim
     seg = seg_ref[:]
 
@@ -258,36 +80,6 @@ def _decode_attn_kernel_v2(
 
     def nblk_of(b):
         return pl.cdiv(boundary_of(b), block_s)
-
-    def start_dma(slot, b, blk):
-        pltpu.make_async_copy(
-            k_cache_hbm.at[b, pl.ds(blk * block_s, block_s)],
-            k_scratch.at[slot], sems.at[slot, 0]).start()
-        pltpu.make_async_copy(
-            v_cache_hbm.at[b, pl.ds(blk * block_s, block_s)],
-            v_scratch.at[slot], sems.at[slot, 1]).start()
-        if quantized:
-            pltpu.make_async_copy(
-                k_scale_hbm.at[b, pl.ds(blk * block_s, block_s)],
-                ks_scratch.at[slot], sems.at[slot, 2]).start()
-            pltpu.make_async_copy(
-                v_scale_hbm.at[b, pl.ds(blk * block_s, block_s)],
-                vs_scratch.at[slot], sems.at[slot, 3]).start()
-
-    def wait_dma(slot, b, blk):
-        pltpu.make_async_copy(
-            k_cache_hbm.at[b, pl.ds(blk * block_s, block_s)],
-            k_scratch.at[slot], sems.at[slot, 0]).wait()
-        pltpu.make_async_copy(
-            v_cache_hbm.at[b, pl.ds(blk * block_s, block_s)],
-            v_scratch.at[slot], sems.at[slot, 1]).wait()
-        if quantized:
-            pltpu.make_async_copy(
-                k_scale_hbm.at[b, pl.ds(blk * block_s, block_s)],
-                ks_scratch.at[slot], sems.at[slot, 2]).wait()
-            pltpu.make_async_copy(
-                v_scale_hbm.at[b, pl.ds(blk * block_s, block_s)],
-                vs_scratch.at[slot], sems.at[slot, 3]).wait()
 
     def nblk_safe(b):
         bb = jnp.minimum(b, batch - 1)
@@ -299,11 +91,28 @@ def _decode_attn_kernel_v2(
             lambda bb: bb + 1, b_start)
 
     def next_work(b, blk):
-        """(b', blk') of the DMA to issue after (b, blk); b'==batch -> done."""
         return jax.lax.cond(
             blk + 1 < nblk_safe(b),
             lambda: (b, blk + 1),
             lambda: (first_with_blocks(b + 1), jnp.int32(0)))
+
+    def start_dma(slot, b, blk):
+        pltpu.make_async_copy(
+            kv_cache_hbm.at[b, pl.ds(blk * block_s, block_s)],
+            kv_scratch.at[slot], sems.at[slot, 0]).start()
+        if quantized:
+            pltpu.make_async_copy(
+                kv_scale_hbm.at[b, pl.ds(blk * block_s, block_s)],
+                sc_scratch.at[slot], sems.at[slot, 1]).start()
+
+    def wait_dma(slot, b, blk):
+        pltpu.make_async_copy(
+            kv_cache_hbm.at[b, pl.ds(blk * block_s, block_s)],
+            kv_scratch.at[slot], sems.at[slot, 0]).wait()
+        if quantized:
+            pltpu.make_async_copy(
+                kv_scale_hbm.at[b, pl.ds(blk * block_s, block_s)],
+                sc_scratch.at[slot], sems.at[slot, 1]).wait()
 
     # warm-up: start the first block DMA (if any batch element has blocks)
     first_b = first_with_blocks(jnp.int32(0))
@@ -313,15 +122,17 @@ def _decode_attn_kernel_v2(
         start_dma(0, first_b, 0)
 
     def finish_batch(b, m, l_acc, acc):
-        """Recent window + diagonal + output write + conditional flush."""
+        """Recent window + output write + conditional flush."""
         pos = pos_ref[b]
         bnd = boundary_of(b)
         r_idx = pos - bnd
         q_row = q_ref[b, 0].astype(jnp.float32)[None, :]
-        rk = recent_k_ref[b].astype(jnp.float32)
-        rv = recent_v_ref[b].astype(jnp.float32)
+        recent = recent_ref[b].astype(jnp.float32)  # [w, 2F]
+        rk = recent[:, :f]
+        rv = recent[:, f:]
         r_scores = jnp.dot(rk * q_row, seg,
                            preferred_element_type=jnp.float32) * scale
+        # (window is only w rows — the q_mat trick below isn't worth it here)
         j = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
         r_valid = j <= r_idx
         if use_prefix:
@@ -346,42 +157,29 @@ def _decode_attn_kernel_v2(
             if quantized:
                 ksc = jnp.max(jnp.abs(rk), axis=1, keepdims=True) / 127.0 + 1e-8
                 vsc = jnp.max(jnp.abs(rv), axis=1, keepdims=True) / 127.0 + 1e-8
-                flush_stage[pl.ds(0, w)] = jnp.clip(
-                    jnp.round(rk / ksc), -127, 127).astype(jnp.int32).astype(
-                        jnp.int8)
-                flush_stage[pl.ds(w, w)] = jnp.clip(
-                    jnp.round(rv / vsc), -127, 127).astype(jnp.int32).astype(
-                        jnp.int8)
-                scale_stage[pl.ds(0, w)] = jnp.broadcast_to(ksc, (w, 128))
-                scale_stage[pl.ds(w, w)] = jnp.broadcast_to(vsc, (w, 128))
-                ksw = pltpu.make_async_copy(
-                    scale_stage.at[pl.ds(0, w)],
-                    k_scale_out.at[b, pl.ds(bnd, w)], write_sem.at[2])
-                vsw = pltpu.make_async_copy(
-                    scale_stage.at[pl.ds(w, w)],
-                    v_scale_out.at[b, pl.ds(bnd, w)], write_sem.at[3])
-                ksw.start()
-                vsw.start()
+                qk = jnp.clip(jnp.round(rk / ksc), -127, 127)
+                qv = jnp.clip(jnp.round(rv / vsc), -127, 127)
+                flush_stage[:] = jnp.concatenate([qk, qv], axis=1).astype(
+                    jnp.int32).astype(jnp.int8)
+                # k scale broadcast in lanes [0, 64), v scale in [64, 128)
+                scale_stage[:] = jnp.concatenate(
+                    [jnp.broadcast_to(ksc, (w, 64)),
+                     jnp.broadcast_to(vsc, (w, 64))], axis=1)
+                sw = pltpu.make_async_copy(
+                    scale_stage, kv_scale_out.at[b, pl.ds(bnd, w)],
+                    write_sem.at[1])
+                sw.start()
             else:
-                flush_stage[pl.ds(0, w)] = recent_k_ref[b]
-                flush_stage[pl.ds(w, w)] = recent_v_ref[b]
+                flush_stage[:] = recent_ref[b]
             kw = pltpu.make_async_copy(
-                flush_stage.at[pl.ds(0, w)],
-                k_cache_out.at[b, pl.ds(bnd, w)], write_sem.at[0])
-            vw = pltpu.make_async_copy(
-                flush_stage.at[pl.ds(w, w)],
-                v_cache_out.at[b, pl.ds(bnd, w)], write_sem.at[1])
+                flush_stage, kv_cache_out.at[b, pl.ds(bnd, w)],
+                write_sem.at[0])
             kw.start()
-            vw.start()
             kw.wait()
-            vw.wait()
             if quantized:
                 pltpu.make_async_copy(
-                    scale_stage.at[pl.ds(0, w)],
-                    k_scale_out.at[b, pl.ds(bnd, w)], write_sem.at[2]).wait()
-                pltpu.make_async_copy(
-                    scale_stage.at[pl.ds(w, w)],
-                    v_scale_out.at[b, pl.ds(bnd, w)], write_sem.at[3]).wait()
+                    scale_stage, kv_scale_out.at[b, pl.ds(bnd, w)],
+                    write_sem.at[1]).wait()
 
     def outer(b, slot):
         if use_prefix:
@@ -389,10 +187,11 @@ def _decode_attn_kernel_v2(
                                        mask_scratch, mask_sem)
             pm.start()
             pm.wait()
-        pos = pos_ref[b]
         bnd = boundary_of(b)
         nblk = nblk_of(b)
-        q_row = q_ref[b, 0].astype(jnp.float32)[None, :]
+        # scale folded into q once per (b, layer); int8 dequant scales fold
+        # into the tiny [S_blk, H] scores/probs instead of [S_blk, F] rows
+        q_row = q_ref[b, 0].astype(jnp.float32)[None, :] * scale
 
         m0 = jnp.full((1, n_head), -1e30, jnp.float32)
         l0 = jnp.zeros((1, n_head), jnp.float32)
@@ -400,7 +199,6 @@ def _decode_attn_kernel_v2(
 
         def body(blk, carry):
             m, l_acc, acc, slot = carry
-            # issue the next DMA (possibly the next batch element's first)
             nb, nblk2 = next_work(b, blk)
 
             @pl.when(nb < batch)
@@ -408,13 +206,15 @@ def _decode_attn_kernel_v2(
                 start_dma((slot + 1) % 2, nb, nblk2)
 
             wait_dma(slot, b, blk)
-            kb = k_scratch[slot].astype(jnp.float32)
-            vb = v_scratch[slot].astype(jnp.float32)
-            if quantized:
-                kb = kb * ks_scratch[slot][:, 0:1]
-                vb = vb * vs_scratch[slot][:, 0:1]
+            kvb = kv_scratch[slot].astype(jnp.float32)  # [S_blk, 2F]
+            kb = kvb[:, :f]
+            vb = kvb[:, f:]
             scores = jnp.dot(kb * q_row, seg,
-                             preferred_element_type=jnp.float32) * scale
+                             preferred_element_type=jnp.float32)
+            if quantized:
+                # per-row symmetric scales fold into the [S_blk, H] scores
+                # and the [S_blk, H] probabilities — O(S*H), not O(S*F)
+                scores = scores * sc_scratch[slot][:, 0:1]
             s_global = blk * block_s + jax.lax.broadcasted_iota(
                 jnp.int32, (block_s, 1), 0)
             valid = s_global < bnd
@@ -427,7 +227,11 @@ def _decode_attn_kernel_v2(
             alpha = jnp.exp(m - m_new)
             p = jnp.exp(scores - m_new)
             l_new = l_acc * alpha + jnp.sum(p, axis=0, keepdims=True)
-            p_flat = jnp.dot(p, seg.T, preferred_element_type=jnp.float32)
+            if quantized:
+                p_v = p * sc_scratch[slot][:, 64:65]
+            else:
+                p_v = p
+            p_flat = jnp.dot(p_v, seg.T, preferred_element_type=jnp.float32)
             pv = jnp.sum(p_flat * vb, axis=0, keepdims=True)
             alpha_flat = jnp.dot(alpha, seg.T,
                                  preferred_element_type=jnp.float32)
@@ -441,49 +245,45 @@ def _decode_attn_kernel_v2(
     jax.lax.fori_loop(0, batch, outer, jnp.int32(0))
 
 
-def decode_attention(q: jnp.ndarray, recent_k: jnp.ndarray,
-                     recent_v: jnp.ndarray, k_cache: jnp.ndarray,
-                     v_cache: jnp.ndarray, pos: jnp.ndarray, n_head: int,
+def decode_attention(q: jnp.ndarray, recent: jnp.ndarray,
+                     kv_cache: jnp.ndarray, pos: jnp.ndarray, n_head: int,
                      prefix_allow: Optional[jnp.ndarray] = None,
-                     k_scale: Optional[jnp.ndarray] = None,
-                     v_scale: Optional[jnp.ndarray] = None,
-                     *, block_s: int = BLOCK_S, version: int = 2,
+                     kv_scale: Optional[jnp.ndarray] = None,
+                     *, block_s: int = BLOCK_S,
                      interpret: Optional[bool] = None):
     """Single-position attention for one layer, cache updated in place.
 
-    q:                 [B, F]  (post-RoPE, flattened heads; F = H*head_dim)
-    recent_k/recent_v: [B, w, F] — rolling window holding positions
-                       [w*(pos//w), pos] (w = recent_window(cache dtype));
-                       the CALLER writes the current k/v at slot pos%w
-                       before invoking (XLA-side dus)
-    k_cache/v_cache:   [B, S, F] — positions [0, w*(pos//w)); ALIASED,
-                       flushed from the window when pos%w == w-1. May be
-                       int8: then k_scale/v_scale [B, S, 128] f32 hold
-                       per-position dequant scales (lane-broadcast), the
-                       window stays bf16/f32 exact, and quantization
-                       happens inside the flush.
+    q:        [B, F]      (post-RoPE, flattened heads; F = H*head_dim)
+    recent:   [B, w, 2F]  rolling window (k | v lanes) holding positions
+                          [w*(pos//w), pos]; the CALLER writes the current
+                          k|v at slot pos%w before invoking (XLA-side dus)
+    kv_cache: [B, S, 2F]  positions [0, w*(pos//w)); ALIASED in place,
+                          flushed from the window when pos%w == w-1.
+                          May be int8: then kv_scale [B, S, 128] f32 holds
+                          per-position dequant scales (k in lane 0, v in
+                          lane 64) and the flush quantizes.
     pos: scalar int32, or [B] int32 for per-slot positions (serving)
     prefix_allow: optional [B, S] bool/int8 (t2i caption validity)
 
-    Returns (out, k_cache, v_cache) or, when quantized,
-    (out, k_cache, v_cache, k_scale, v_scale).
+    Returns (out [B, F], kv_cache) or (out, kv_cache, kv_scale) when
+    quantized.
     """
     if interpret is None:
         # interpret mode off-TPU: the kernel is testable on CPU transparently
         interpret = jax.default_backend() != "tpu"
-    quantized = k_cache.dtype == jnp.int8
-    w = recent_window(k_cache.dtype)
+    quantized = kv_cache.dtype == jnp.int8
+    w = recent_window(kv_cache.dtype)
     if quantized:
-        assert k_scale is not None and v_scale is not None
+        assert kv_scale is not None
     b, f = q.shape
-    smax = k_cache.shape[1]
+    smax = kv_cache.shape[1]
     assert f % 128 == 0, f"flattened features {f} must be 128-aligned"
     assert f % n_head == 0
     head_dim = f // n_head
     block_s = min(block_s, smax)
     assert smax % block_s == 0, (
         f"cache len {smax} not aligned to block {block_s}")
-    assert recent_k.shape == (b, w, f), (recent_k.shape, (b, w, f))
+    assert recent.shape == (b, w, 2 * f), (recent.shape, (b, w, 2 * f))
     scale = head_dim ** -0.5
 
     use_prefix = prefix_allow is not None
@@ -492,92 +292,55 @@ def decode_attention(q: jnp.ndarray, recent_k: jnp.ndarray,
     else:
         prefix_arg = prefix_allow.astype(jnp.int8)
     if not quantized:
-        k_scale = jnp.ones((b, 1, 128), jnp.float32)
-        v_scale = jnp.ones((b, 1, 128), jnp.float32)
-
-    if version == 2:
-        # single program walks all batch elements (pipelined DMA)
-        grid = (1,)
-        small_specs = [
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # q [B, 1, F]
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # recent_k [B, w, F]
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # recent_v [B, w, F]
-        ]
-        out_small = pl.BlockSpec(memory_space=pltpu.VMEM)  # out [B, 1, F]
-    else:
-        grid = (b,)
-        small_specs = [
-            pl.BlockSpec((1, 1, f), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),      # q row [1, 1, F]
-            pl.BlockSpec((1, w, f), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),      # recent_k [1, w, F]
-            pl.BlockSpec((1, w, f), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),      # recent_v [1, w, F]
-        ]
-        out_small = pl.BlockSpec((1, 1, f), lambda i, *_: (i, 0, 0),
-                                 memory_space=pltpu.VMEM)
+        kv_scale = jnp.ones((b, 1, 128), jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=grid,
+        grid=(1,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),      # seg mask [F, H]
-            *small_specs,
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # q [B, 1, F]
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # recent [B, w, 2F]
             pl.BlockSpec(memory_space=pl.ANY),          # prefix mask
-            pl.BlockSpec(memory_space=pl.ANY),          # k_cache
-            pl.BlockSpec(memory_space=pl.ANY),          # v_cache
-            pl.BlockSpec(memory_space=pl.ANY),          # k_scale
-            pl.BlockSpec(memory_space=pl.ANY),          # v_scale
+            pl.BlockSpec(memory_space=pl.ANY),          # kv_cache
+            pl.BlockSpec(memory_space=pl.ANY),          # kv_scale
         ],
         out_specs=[
-            out_small,                                  # out
-            pl.BlockSpec(memory_space=pl.ANY),          # k_cache (aliased)
-            pl.BlockSpec(memory_space=pl.ANY),          # v_cache (aliased)
-            pl.BlockSpec(memory_space=pl.ANY),          # k_scale (aliased)
-            pl.BlockSpec(memory_space=pl.ANY),          # v_scale (aliased)
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # out [B, 1, F]
+            pl.BlockSpec(memory_space=pl.ANY),          # kv_cache (aliased)
+            pl.BlockSpec(memory_space=pl.ANY),          # kv_scale (aliased)
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, block_s, f), k_cache.dtype),   # k blocks
-            pltpu.VMEM((2, block_s, f), v_cache.dtype),   # v blocks
-            pltpu.VMEM((2, block_s, 128), jnp.float32),   # k scales
-            pltpu.VMEM((2, block_s, 128), jnp.float32),   # v scales
-            pltpu.VMEM((2 * w, f), k_cache.dtype),        # flush staging
-            pltpu.VMEM((2 * w, 128), jnp.float32),        # scale staging
-            pltpu.VMEM((1, smax), jnp.int8),              # prefix mask
-            pltpu.SemaphoreType.DMA((2, 4)),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((2, block_s, 2 * f), kv_cache.dtype),  # kv blocks
+            pltpu.VMEM((2, block_s, 128), jnp.float32),       # scale blocks
+            pltpu.VMEM((w, 2 * f), kv_cache.dtype),           # flush staging
+            pltpu.VMEM((w, 128), jnp.float32),                # scale staging
+            pltpu.VMEM((1, smax), jnp.int8),                  # prefix mask
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
 
-    if version == 2:
-        kernel = functools.partial(
-            _decode_attn_kernel_v2, block_s=block_s, scale=scale,
-            n_head=n_head, head_dim=head_dim, use_prefix=use_prefix,
-            quantized=quantized, w=w, batch=b)
-    else:
-        kernel = functools.partial(
-            _decode_attn_kernel, block_s=block_s, scale=scale, n_head=n_head,
-            head_dim=head_dim, use_prefix=use_prefix, quantized=quantized,
-            w=w)
+    kernel = functools.partial(
+        _decode_attn_kernel, block_s=block_s, scale=scale, n_head=n_head,
+        head_dim=head_dim, use_prefix=use_prefix, quantized=quantized, w=w,
+        batch=b)
 
-    out, k_cache, v_cache, k_scale, v_scale = pl.pallas_call(
+    out, kv_cache, kv_scale = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, 1, f), q.dtype),
-            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
-            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
-            jax.ShapeDtypeStruct(k_scale.shape, k_scale.dtype),
-            jax.ShapeDtypeStruct(v_scale.shape, v_scale.dtype),
+            jax.ShapeDtypeStruct(kv_cache.shape, kv_cache.dtype),
+            jax.ShapeDtypeStruct(kv_scale.shape, kv_scale.dtype),
         ],
-        input_output_aliases={6: 1, 7: 2, 8: 3, 9: 4},
+        input_output_aliases={5: 1, 6: 2},  # caches in -> out
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (b,)),
       jnp.asarray(_seg_mask(n_head, head_dim)),
-      q[:, None, :], recent_k, recent_v, prefix_arg, k_cache, v_cache,
-      k_scale, v_scale)
+      q[:, None, :], recent, prefix_arg, kv_cache, kv_scale)
     if quantized:
-        return out[:, 0, :], k_cache, v_cache, k_scale, v_scale
-    return out[:, 0, :], k_cache, v_cache
+        return out[:, 0, :], kv_cache, kv_scale
+    return out[:, 0, :], kv_cache

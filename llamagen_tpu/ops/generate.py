@@ -118,31 +118,27 @@ def generate(params, rng: jax.Array, cond: jnp.ndarray, *,
         w = recent_window(cache_dtype)
         base = (t // w) * w
         seed_src = stage_cache if quantize_kv else cache
-        recent_k = tuple(
-            jax.lax.dynamic_slice(ck, (0, base, 0), (batch_cfg, w,
-                                                     ck.shape[2]))
-            for ck in seed_src.k)
-        recent_v = tuple(
-            jax.lax.dynamic_slice(cv, (0, base, 0), (batch_cfg, w,
-                                                     cv.shape[2]))
-            for cv in seed_src.v)
+        recent = tuple(
+            jax.lax.dynamic_slice(ckv, (0, base, 0), (batch_cfg, w,
+                                                      ckv.shape[2]))
+            for ckv in seed_src.kv)
 
         def kstep(carry, i):
-            cache, rk, rv, cur, rng = carry
+            cache, recent, cur, rng = carry
             tok = jnp.concatenate([cur, cur], axis=0) if use_cfg else cur
             pos = t + i
-            logits, cache, rk, rv = gpt.decode_step_pallas(
-                params, cfg, tok, pos, cache, rk, rv,
+            logits, cache, recent = gpt.decode_step_pallas(
+                params, cfg, tok, pos, cache, recent,
                 prefix_allow=prefix_allow, compute_dtype=compute_dtype)
             if use_cfg:
                 enabled = (i <= cfg_interval) if cfg_interval > -1 else True
                 logits = sampling.cfg_mix(logits, cfg_scale, enabled=enabled)
             rng, step_rng = jax.random.split(rng)
             nxt = sampling.sample(step_rng, logits, **sample_kw)
-            return (cache, rk, rv, nxt, rng), nxt
+            return (cache, recent, nxt, rng), nxt
 
         _, rest = jax.lax.scan(
-            kstep, (cache, recent_k, recent_v, first_token, rng),
+            kstep, (cache, recent, first_token, rng),
             jnp.arange(max_new_tokens - 1))
         if max_new_tokens == 1:
             return first_token[:, None]

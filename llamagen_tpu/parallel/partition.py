@@ -56,8 +56,7 @@ def vq_param_specs(params):
 
 
 def cache_specs(n_layer: int):
-    """KV cache (per-layer [B, S, H, D]): batch over dp/fsdp, heads over tp."""
-    kv = P(("dp", "fsdp"), None, "tp", None)
+    """KV cache (per-layer [B, S, 2F]): batch over dp/fsdp, features over tp."""
+    kv = P(("dp", "fsdp"), None, "tp")
     from llamagen_tpu.models.gpt import KVCache
-    return KVCache(k=tuple(kv for _ in range(n_layer)),
-                   v=tuple(kv for _ in range(n_layer)))
+    return KVCache(kv=tuple(kv for _ in range(n_layer)))

@@ -74,7 +74,7 @@ def make_tp_decode_step(cfg: GPTConfig, mesh: Mesh, ntp: int,
     assert cfg.n_head % ntp == 0, "heads must divide tp"
     h_local = cfg.n_head // ntp
 
-    def local_step(params, token, pos, cache_k, cache_v, recent_k, recent_v):
+    def local_step(params, token, pos, cache_kv, recent):
         # runs per-chip on local shards; params['layers']['wqkv'] shard is
         # [L, D, 3*h_local*head_dim] laid out q|k|v of the LOCAL heads
         from llamagen_tpu.ops import attention as attn_lib
@@ -84,10 +84,10 @@ def make_tp_decode_step(cfg: GPTConfig, mesh: Mesh, ntp: int,
         h = params["tok_embeddings"][token].astype(compute_dtype)
         freqs = jax.lax.dynamic_slice_in_dim(
             gpt.freqs_cis_2d(cfg), pos, 1, axis=0)[0]
-        w = recent_k[0].shape[1]
+        w = recent[0].shape[1]
         slot = pos % w
 
-        new_ck, new_cv, new_rk, new_rv = [], [], [], []
+        new_ckv, new_r = [], []
         for l in range(cfg.n_layer):
             p = gpt.layer_params(params, l)
             x = gpt.rms_norm(h, p["attention_norm"], cfg.norm_eps)
@@ -98,19 +98,14 @@ def make_tp_decode_step(cfg: GPTConfig, mesh: Mesh, ntp: int,
             q = gpt._rope_single(q, freqs).reshape(b, d_local)
             k = gpt._rope_single(k, freqs).reshape(b, d_local)
 
-            rk = jax.lax.dynamic_update_slice(
-                recent_k[l], k.astype(recent_k[l].dtype)[:, None],
+            kv_new = jnp.concatenate([k, v], axis=-1)
+            r = jax.lax.dynamic_update_slice(
+                recent[l], kv_new.astype(recent[l].dtype)[:, None],
                 (0, slot, 0))
-            rv = jax.lax.dynamic_update_slice(
-                recent_v[l], v.astype(recent_v[l].dtype)[:, None],
-                (0, slot, 0))
-            attn, ck, cv = attn_lib.decode_attention(
-                q.astype(compute_dtype), rk, rv, cache_k[l], cache_v[l],
-                pos, h_local)
-            new_ck.append(ck)
-            new_cv.append(cv)
-            new_rk.append(rk)
-            new_rv.append(rv)
+            attn, ckv = attn_lib.decode_attention(
+                q.astype(compute_dtype), r, cache_kv[l], pos, h_local)
+            new_ckv.append(ckv)
+            new_r.append(r)
             # row-parallel wo: partial sums reduced over tp
             part = attn.astype(x.dtype) @ p["wo"].astype(x.dtype)
             h = h + jax.lax.psum(part, "tp")
@@ -124,15 +119,14 @@ def make_tp_decode_step(cfg: GPTConfig, mesh: Mesh, ntp: int,
         logits_local = (h @ params["output"].astype(h.dtype)
                         ).astype(jnp.float32)  # [B, V/ntp]
         logits = jax.lax.all_gather(logits_local, "tp", axis=1, tiled=True)
-        return (logits, tuple(new_ck), tuple(new_cv), tuple(new_rk),
-                tuple(new_rv))
+        return logits, tuple(new_ckv), tuple(new_r)
 
     pspec = tp_param_specs(cfg)
     kv_spec = tuple(P(None, None, "tp") for _ in range(cfg.n_layer))
     return shard_map(
         local_step, mesh=mesh,
-        in_specs=(pspec, P(), P(), kv_spec, kv_spec, kv_spec, kv_spec),
-        out_specs=(P(), kv_spec, kv_spec, kv_spec, kv_spec),
+        in_specs=(pspec, P(), P(), kv_spec, kv_spec),
+        out_specs=(P(), kv_spec, kv_spec),
         check_rep=False)
 
 

@@ -46,8 +46,7 @@ class EngineState(NamedTuple):
     n_generated: jnp.ndarray    # [P] tokens produced so far
     tokens_out: jnp.ndarray     # [P, max_new] output buffer
     rng: jax.Array
-    recent_k: Optional[tuple] = None  # kernel path: per-layer [2P, w, F]
-    recent_v: Optional[tuple] = None
+    recent: Optional[tuple] = None  # kernel path: per-layer [2P, w, 2F]
 
 
 @dataclass
@@ -64,14 +63,14 @@ def init_engine_state(cfg: GPTConfig, num_pairs: int, max_new_tokens: int,
                       use_kernel: bool = False) -> EngineState:
     smax = find_multiple(cfg.cls_token_num + max_new_tokens,
                          128 if use_kernel else 8)
-    recent_k = recent_v = None
+    recent = None
     if use_kernel:
         from llamagen_tpu.ops.attention import recent_window
         w = recent_window(cache_dtype)
         # windows stay exact (bf16) even for int8 caches
         win_dtype = jnp.bfloat16 if cache_dtype == jnp.int8 else cache_dtype
-        recent_k, recent_v = gpt.init_recent(cfg, 2 * num_pairs,
-                                             dtype=win_dtype, window=w)
+        recent = gpt.init_recent(cfg, 2 * num_pairs, dtype=win_dtype,
+                                 window=w)
     return EngineState(
         cache=gpt.init_cache(cfg, 2 * num_pairs, smax, dtype=cache_dtype),
         pos=jnp.zeros((num_pairs,), jnp.int32),
@@ -81,8 +80,7 @@ def init_engine_state(cfg: GPTConfig, num_pairs: int, max_new_tokens: int,
         n_generated=jnp.zeros((num_pairs,), jnp.int32),
         tokens_out=jnp.zeros((num_pairs, max_new_tokens), jnp.int32),
         rng=rng,
-        recent_k=recent_k,
-        recent_v=recent_v,
+        recent=recent,
     )
 
 
@@ -116,7 +114,7 @@ def _decode_step_slots(params, cfg: GPTConfig, emb: jnp.ndarray,
         imag = xf[..., 1] * cos + xf[..., 0] * sin
         return jnp.stack([real, imag], -1).reshape(x.shape).astype(x.dtype)
 
-    new_k, new_v = [], []
+    new_kv = []
     for l in range(cfg.n_layer):
         p = gpt.layer_params(params, l)
         x = gpt.rms_norm(h, p["attention_norm"], cfg.norm_eps)
@@ -126,14 +124,15 @@ def _decode_step_slots(params, cfg: GPTConfig, emb: jnp.ndarray,
                                                          cfg.head_dim))
         v = qkv[:, q_size + kv_size:].reshape(b, cfg.kv_heads, cfg.head_dim)
 
-        ck = cache.k[l].at[batch_ids, pos].set(
-            k.reshape(b, kv_size).astype(cache.k[l].dtype))
-        cv = cache.v[l].at[batch_ids, pos].set(
-            v.reshape(b, kv_size).astype(cache.v[l].dtype))
-        new_k.append(ck)
-        new_v.append(cv)
-        keys = ck.reshape(b, smax, cfg.kv_heads, cfg.head_dim)
-        vals = cv.reshape(b, smax, cfg.kv_heads, cfg.head_dim)
+        kv_new = jnp.concatenate(
+            [k.reshape(b, kv_size), v.reshape(b, kv_size)],
+            axis=-1).astype(cache.kv[l].dtype)
+        ckv = cache.kv[l].at[batch_ids, pos].set(kv_new)
+        new_kv.append(ckv)
+        keys = ckv[:, :, :kv_size].reshape(b, smax, cfg.kv_heads,
+                                           cfg.head_dim)
+        vals = ckv[:, :, kv_size:].reshape(b, smax, cfg.kv_heads,
+                                           cfg.head_dim)
         if rep != 1:
             keys = jnp.repeat(keys, rep, axis=2)
             vals = jnp.repeat(vals, rep, axis=2)
@@ -150,13 +149,12 @@ def _decode_step_slots(params, cfg: GPTConfig, emb: jnp.ndarray,
 
     h = gpt.rms_norm(h, params["norm"], cfg.norm_eps)
     logits = (h @ params["output"].astype(h.dtype)).astype(jnp.float32)
-    return logits, gpt.KVCache(k=tuple(new_k), v=tuple(new_v))
+    return logits, gpt.KVCache(kv=tuple(new_kv))
 
 
 def _decode_step_slots_pallas(params, cfg: GPTConfig, emb: jnp.ndarray,
                               pos: jnp.ndarray, cache: gpt.KVCache,
-                              recent_k, recent_v,
-                              compute_dtype=jnp.bfloat16):
+                              recent, compute_dtype=jnp.bfloat16):
     """Kernel-path slot decode: per-slot positions, in-place HBM cache."""
     from llamagen_tpu.ops import attention as attn_lib
 
@@ -164,7 +162,7 @@ def _decode_step_slots_pallas(params, cfg: GPTConfig, emb: jnp.ndarray,
     h = emb.astype(compute_dtype)
     freqs = gpt.freqs_cis_2d(cfg)[pos]  # [B, D//2, 2]
     q_size = cfg.n_head * cfg.head_dim
-    w = recent_k[0].shape[1]
+    w = recent[0].shape[1]
     slot = pos % w  # [B]
     batch_ids = jnp.arange(b)
 
@@ -176,8 +174,7 @@ def _decode_step_slots_pallas(params, cfg: GPTConfig, emb: jnp.ndarray,
         imag = xf[..., 1] * cos + xf[..., 0] * sin
         return jnp.stack([real, imag], -1).reshape(x.shape).astype(x.dtype)
 
-    new_rk, new_rv, new_ck, new_cv = [], [], [], []
-    new_ks, new_vs = [], []
+    new_recent, new_kv, new_sc = [], [], []
     for l in range(cfg.n_layer):
         p = gpt.layer_params(params, l)
         x = gpt.rms_norm(h, p["attention_norm"], cfg.norm_eps)
@@ -189,25 +186,19 @@ def _decode_step_slots_pallas(params, cfg: GPTConfig, emb: jnp.ndarray,
                  ).reshape(b, q_size)
         v = qkv[:, 2 * q_size:]
 
-        rk = recent_k[l].at[batch_ids, slot].set(
-            k.astype(recent_k[l].dtype))
-        rv = recent_v[l].at[batch_ids, slot].set(
-            v.astype(recent_v[l].dtype))
+        kv_new = jnp.concatenate([k, v], axis=-1)
+        r = recent[l].at[batch_ids, slot].set(
+            kv_new.astype(recent[l].dtype))
         if cache.quantized:
-            attn, ck, cv, ks, vs = attn_lib.decode_attention(
-                q.astype(compute_dtype), rk, rv, cache.k[l], cache.v[l],
-                pos, cfg.n_head, k_scale=cache.k_scale[l],
-                v_scale=cache.v_scale[l])
-            new_ks.append(ks)
-            new_vs.append(vs)
+            attn, ckv, csc = attn_lib.decode_attention(
+                q.astype(compute_dtype), r, cache.kv[l], pos, cfg.n_head,
+                kv_scale=cache.kv_scale[l])
+            new_sc.append(csc)
         else:
-            attn, ck, cv = attn_lib.decode_attention(
-                q.astype(compute_dtype), rk, rv, cache.k[l], cache.v[l],
-                pos, cfg.n_head)
-        new_rk.append(rk)
-        new_rv.append(rv)
-        new_ck.append(ck)
-        new_cv.append(cv)
+            attn, ckv = attn_lib.decode_attention(
+                q.astype(compute_dtype), r, cache.kv[l], pos, cfg.n_head)
+        new_recent.append(r)
+        new_kv.append(ckv)
         h = h + attn.astype(x.dtype) @ p["wo"].astype(x.dtype)
         x = gpt.rms_norm(h, p["ffn_norm"], cfg.norm_eps)
         ffn = jax.nn.silu(x @ p["w1"].astype(x.dtype)) * \
@@ -217,10 +208,9 @@ def _decode_step_slots_pallas(params, cfg: GPTConfig, emb: jnp.ndarray,
     h = gpt.rms_norm(h, params["norm"], cfg.norm_eps)
     logits = (h @ params["output"].astype(h.dtype)).astype(jnp.float32)
     new_cache = gpt.KVCache(
-        k=tuple(new_ck), v=tuple(new_cv),
-        k_scale=tuple(new_ks) if cache.quantized else None,
-        v_scale=tuple(new_vs) if cache.quantized else None)
-    return logits, new_cache, tuple(new_rk), tuple(new_rv)
+        kv=tuple(new_kv),
+        kv_scale=tuple(new_sc) if cache.quantized else None)
+    return logits, new_cache, tuple(new_recent)
 
 
 def make_engine_step(params, cfg: GPTConfig, sp: SamplingParams,
@@ -252,13 +242,13 @@ def make_engine_step(params, cfg: GPTConfig, sp: SamplingParams,
 
         pos2 = jnp.concatenate([p, p], axis=0)
         if use_kernel:
-            logits, cache, rk, rv = _decode_step_slots_pallas(
-                params, cfg, emb, pos2, state.cache, state.recent_k,
-                state.recent_v, compute_dtype)
+            logits, cache, recent = _decode_step_slots_pallas(
+                params, cfg, emb, pos2, state.cache, state.recent,
+                compute_dtype)
         else:
             logits, cache = _decode_step_slots(params, cfg, emb, pos2,
                                                state.cache, compute_dtype)
-            rk, rv = state.recent_k, state.recent_v
+            recent = state.recent
         mixed = sampling.cfg_mix(logits, sp.cfg_scale) \
             if sp.cfg_scale > 1.0 else jnp.split(logits, 2, axis=0)[0]
 
@@ -282,7 +272,7 @@ def make_engine_step(params, cfg: GPTConfig, sp: SamplingParams,
         return EngineState(cache=cache, pos=pos, active=active,
                            cur_token=cur_token, labels=state.labels,
                            n_generated=n_generated, tokens_out=tokens_out,
-                           rng=rng, recent_k=rk, recent_v=rv)
+                           rng=rng, recent=recent)
 
     def engine_chunk(params, state: EngineState, admit_mask, admit_labels
                      ) -> EngineState:

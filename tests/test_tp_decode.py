@@ -29,20 +29,18 @@ def test_tp_decode_matches_single_device():
     w = 8
     # single-device reference path
     cache_ref = gpt.init_cache(CFG, b, smax, dtype=jnp.float32)
-    rk_ref, rv_ref = gpt.init_recent(CFG, b, dtype=jnp.float32, window=w)
+    recent_ref = gpt.init_recent(CFG, b, dtype=jnp.float32, window=w)
 
-    # TP path: shard params + per-layer cache over tp
+    # TP path: shard params + per-layer cache over tp (2F features split)
     tp_params = shard_tp_params(
         jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params), CFG, mesh)
     kv_sharding = NamedSharding(mesh, P(None, None, "tp"))
-    cache_k = tuple(jax.device_put(jnp.zeros((b, smax, CFG.dim)), kv_sharding)
-                    for _ in range(CFG.n_layer))
-    cache_v = tuple(jax.device_put(jnp.zeros((b, smax, CFG.dim)), kv_sharding)
-                    for _ in range(CFG.n_layer))
-    rk = tuple(jax.device_put(jnp.zeros((b, w, CFG.dim)), kv_sharding)
-               for _ in range(CFG.n_layer))
-    rv = tuple(jax.device_put(jnp.zeros((b, w, CFG.dim)), kv_sharding)
-               for _ in range(CFG.n_layer))
+    cache_kv = tuple(
+        jax.device_put(jnp.zeros((b, smax, 2 * CFG.dim)), kv_sharding)
+        for _ in range(CFG.n_layer))
+    recent = tuple(
+        jax.device_put(jnp.zeros((b, w, 2 * CFG.dim)), kv_sharding)
+        for _ in range(CFG.n_layer))
 
     step_tp = jax.jit(make_tp_decode_step(CFG, mesh, NTP,
                                           compute_dtype=jnp.float32))
@@ -51,11 +49,11 @@ def test_tp_decode_matches_single_device():
     for i in range(10):  # crosses a window flush at pos 7
         pos = jnp.int32(i)
         tok = jnp.asarray(rng.randint(0, CFG.vocab_size, size=(b,)))
-        ref_logits, cache_ref, rk_ref, rv_ref = gpt.decode_step_pallas(
-            params, CFG, tok, pos, cache_ref, rk_ref, rv_ref,
+        ref_logits, cache_ref, recent_ref = gpt.decode_step_pallas(
+            params, CFG, tok, pos, cache_ref, recent_ref,
             compute_dtype=jnp.float32, interpret=True)
-        tp_logits, cache_k, cache_v, rk, rv = step_tp(
-            tp_params, tok, pos, cache_k, cache_v, rk, rv)
+        tp_logits, cache_kv, recent = step_tp(
+            tp_params, tok, pos, cache_kv, recent)
         np.testing.assert_allclose(np.asarray(tp_logits),
                                    np.asarray(ref_logits), atol=5e-4,
                                    rtol=1e-3, err_msg=f"step {i}")
