@@ -524,7 +524,7 @@ def decode_step(params: Params, cfg: GPTConfig, token: jnp.ndarray,
 
 def decode_step_pallas(params: Params, cfg: GPTConfig, token: jnp.ndarray,
                        pos: jnp.ndarray, cache: KVCache, recent,
-                       prefix_allow: Optional[jnp.ndarray] = None,
+                       prefix_pad: Optional[jnp.ndarray] = None,
                        compute_dtype=jnp.bfloat16, interpret: Optional[bool] = None):
     """decode_step with the Pallas decode-attention kernel.
 
@@ -562,13 +562,13 @@ def decode_step_pallas(params: Params, cfg: GPTConfig, token: jnp.ndarray,
         if cache.quantized:
             attn, ckv, csc = attn_lib.decode_attention(
                 q.astype(compute_dtype), r, cache.kv[l], pos, cfg.n_head,
-                prefix_allow=prefix_allow, kv_scale=cache.kv_scale[l],
+                prefix_pad=prefix_pad, kv_scale=cache.kv_scale[l],
                 interpret=interpret)
             new_sc.append(csc)
         else:
             attn, ckv = attn_lib.decode_attention(
                 q.astype(compute_dtype), r, cache.kv[l], pos, cfg.n_head,
-                prefix_allow=prefix_allow, interpret=interpret)
+                prefix_pad=prefix_pad, interpret=interpret)
         new_recent.append(r)
         new_kv.append(ckv)
         h = h + attn.astype(x.dtype) @ p["wo"].astype(x.dtype)

@@ -59,14 +59,13 @@ def _seg_mask(n_head: int, head_dim: int) -> np.ndarray:
 
 def _decode_attn_kernel(
     # scalar prefetch
-    pos_ref,
+    pos_ref, pad_ref,
     # inputs
-    seg_ref, q_ref, recent_ref, prefix_ref, kv_cache_hbm, kv_scale_hbm,
+    seg_ref, q_ref, recent_ref, kv_cache_hbm, kv_scale_hbm,
     # outputs
     out_ref, kv_cache_out, kv_scale_out,
     # scratch
-    kv_scratch, sc_scratch, flush_stage, scale_stage, mask_scratch, sems,
-    write_sem, mask_sem,
+    kv_scratch, sc_scratch, flush_stage, scale_stage, sems, write_sem,
     *, block_s: int, scale: float, n_head: int, head_dim: int,
     use_prefix: bool, quantized: bool, w: int, batch: int,
 ):
@@ -132,12 +131,11 @@ def _decode_attn_kernel(
         rv = recent[:, f:]
         r_scores = jnp.dot(rk * q_row, seg,
                            preferred_element_type=jnp.float32) * scale
-        # (window is only w rows — the q_mat trick below isn't worth it here)
         j = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
         r_valid = j <= r_idx
         if use_prefix:
-            r_allow = mask_scratch[0, pl.ds(bnd, w)] != 0
-            r_valid = r_valid & r_allow[:, None]
+            # left-padded caption prefix: positions < pad are masked
+            r_valid = r_valid & (bnd + j >= pad_ref[b])
         r_scores = jnp.where(r_valid, r_scores, -1e30)
         r_max = jnp.max(r_scores, axis=0, keepdims=True)
         m_new = jnp.maximum(m, r_max)
@@ -182,11 +180,6 @@ def _decode_attn_kernel(
                     write_sem.at[1]).wait()
 
     def outer(b, slot):
-        if use_prefix:
-            pm = pltpu.make_async_copy(prefix_ref.at[pl.ds(b, 1)],
-                                       mask_scratch, mask_sem)
-            pm.start()
-            pm.wait()
         bnd = boundary_of(b)
         nblk = nblk_of(b)
         # scale folded into q once per (b, layer); int8 dequant scales fold
@@ -219,8 +212,8 @@ def _decode_attn_kernel(
                 jnp.int32, (block_s, 1), 0)
             valid = s_global < bnd
             if use_prefix:
-                allow = mask_scratch[0, pl.ds(blk * block_s, block_s)] != 0
-                valid = valid & allow[:, None]
+                # left-padded caption prefix: positions < pad are masked
+                valid = valid & (s_global >= pad_ref[b])
             scores = jnp.where(valid, scores, -1e30)
             blk_max = jnp.max(scores, axis=0, keepdims=True)
             m_new = jnp.maximum(m, blk_max)
@@ -247,7 +240,7 @@ def _decode_attn_kernel(
 
 def decode_attention(q: jnp.ndarray, recent: jnp.ndarray,
                      kv_cache: jnp.ndarray, pos: jnp.ndarray, n_head: int,
-                     prefix_allow: Optional[jnp.ndarray] = None,
+                     prefix_pad: Optional[jnp.ndarray] = None,
                      kv_scale: Optional[jnp.ndarray] = None,
                      *, block_s: int = BLOCK_S,
                      interpret: Optional[bool] = None):
@@ -263,7 +256,9 @@ def decode_attention(q: jnp.ndarray, recent: jnp.ndarray,
                           per-position dequant scales (k in lane 0, v in
                           lane 64) and the flush quantizes.
     pos: scalar int32, or [B] int32 for per-slot positions (serving)
-    prefix_allow: optional [B, S] bool/int8 (t2i caption validity)
+    prefix_pad: optional [B] int32 — number of LEFT-padded (masked) caption
+        positions per sample (the t2i convention right-aligns valid tokens,
+        ref sample_t2i.py:92-106, so the mask is always a prefix)
 
     Returns (out [B, F], kv_cache) or (out, kv_cache, kv_scale) when
     quantized.
@@ -286,22 +281,19 @@ def decode_attention(q: jnp.ndarray, recent: jnp.ndarray,
     assert recent.shape == (b, w, 2 * f), (recent.shape, (b, w, 2 * f))
     scale = head_dim ** -0.5
 
-    use_prefix = prefix_allow is not None
-    if prefix_allow is None:
-        prefix_arg = jnp.ones((b, smax), jnp.int8)
-    else:
-        prefix_arg = prefix_allow.astype(jnp.int8)
+    use_prefix = prefix_pad is not None
+    if prefix_pad is None:
+        prefix_pad = jnp.zeros((b,), jnp.int32)
     if not quantized:
         kv_scale = jnp.ones((b, 1, 128), jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(1,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),      # seg mask [F, H]
             pl.BlockSpec(memory_space=pltpu.VMEM),      # q [B, 1, F]
             pl.BlockSpec(memory_space=pltpu.VMEM),      # recent [B, w, 2F]
-            pl.BlockSpec(memory_space=pl.ANY),          # prefix mask
             pl.BlockSpec(memory_space=pl.ANY),          # kv_cache
             pl.BlockSpec(memory_space=pl.ANY),          # kv_scale
         ],
@@ -315,10 +307,8 @@ def decode_attention(q: jnp.ndarray, recent: jnp.ndarray,
             pltpu.VMEM((2, block_s, 128), jnp.float32),       # scale blocks
             pltpu.VMEM((w, 2 * f), kv_cache.dtype),           # flush staging
             pltpu.VMEM((w, 128), jnp.float32),                # scale staging
-            pltpu.VMEM((1, smax), jnp.int8),                  # prefix mask
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
         ],
     )
 
@@ -339,8 +329,9 @@ def decode_attention(q: jnp.ndarray, recent: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (b,)),
+      jnp.broadcast_to(jnp.asarray(prefix_pad, jnp.int32).reshape(-1), (b,)),
       jnp.asarray(_seg_mask(n_head, head_dim)),
-      q[:, None, :], recent, prefix_arg, kv_cache, kv_scale)
+      q[:, None, :], recent, kv_cache, kv_scale)
     if quantized:
         return out[:, 0, :], kv_cache, kv_scale
     return out[:, 0, :], kv_cache

@@ -80,8 +80,10 @@ def generate(params, rng: jax.Array, cond: jnp.ndarray, *,
     else:
         cache = gpt.init_cache(cfg, batch_cfg, max_seq, dtype=cache_dtype)
 
-    # t2i caption-validity mask folded into attention (ref: generate.py:154-163)
-    prefix_mask = prefix_allow = None
+    # t2i caption-validity mask folded into attention (ref: generate.py:154-163);
+    # masks are left-padded prefixes (sample_t2i.py:92-106), so the kernel
+    # path only needs the per-sample pad count
+    prefix_mask = prefix_allow = prefix_pad = None
     if emb_masks is not None:
         m = emb_masks.astype(bool)
         if use_cfg:
@@ -89,6 +91,7 @@ def generate(params, rng: jax.Array, cond: jnp.ndarray, *,
         prefix_mask = m  # [Bc, T]
         prefix_allow = jnp.concatenate(
             [m, jnp.ones((batch_cfg, max_seq - t), bool)], axis=1)
+        prefix_pad = (t - jnp.sum(m, axis=1)).astype(jnp.int32)  # [Bc]
 
     sample_kw = dict(temperature=temperature, top_k=top_k, top_p=top_p,
                      sample_logits=sample_logits)
@@ -129,7 +132,7 @@ def generate(params, rng: jax.Array, cond: jnp.ndarray, *,
             pos = t + i
             logits, cache, recent = gpt.decode_step_pallas(
                 params, cfg, tok, pos, cache, recent,
-                prefix_allow=prefix_allow, compute_dtype=compute_dtype)
+                prefix_pad=prefix_pad, compute_dtype=compute_dtype)
             if use_cfg:
                 enabled = (i <= cfg_interval) if cfg_interval > -1 else True
                 logits = sampling.cfg_mix(logits, cfg_scale, enabled=enabled)

@@ -33,7 +33,7 @@ def _merge(k, v):
     return np.concatenate([k.reshape(*shape, F), v.reshape(*shape, F)], -1)
 
 
-def _run(pos, prefix=None, dtype=np.float32, block_s=64, seed=0):
+def _run(pos, prefix_pad=None, dtype=np.float32, block_s=64, seed=0):
     rng = np.random.RandomState(seed)
     q = rng.randn(B, H, D).astype(np.float32)
     k_hist = rng.randn(B, pos + 1, H, D).astype(np.float32)
@@ -52,9 +52,14 @@ def _run(pos, prefix=None, dtype=np.float32, block_s=64, seed=0):
         jnp.asarray(recent, dtype),
         jnp.asarray(kv_cache, dtype),
         jnp.int32(pos), H,
-        prefix_allow=None if prefix is None else jnp.asarray(prefix),
+        prefix_pad=None if prefix_pad is None else jnp.asarray(
+            prefix_pad, jnp.int32),
         block_s=block_s, interpret=True)
 
+    if prefix_pad is None:
+        prefix = None
+    else:
+        prefix = np.arange(pos + 1)[None, :] >= np.asarray(prefix_pad)[:, None]
     expected = _dense_oracle(q, k_hist, v_hist, prefix)
     return (np.asarray(out, np.float32).reshape(B, H, D), expected,
             np.asarray(kv_upd, np.float32), kv_cache, recent, boundary)
@@ -81,11 +86,15 @@ def test_no_flush_leaves_cache_unchanged():
     np.testing.assert_array_equal(kv_upd, kv_cache)
 
 
-def test_kernel_with_prefix_mask():
-    allow = np.ones((B, S), bool)
-    allow[0, :3] = False
-    allow[1, :5] = False
-    out, expected, _, _, _, _ = _run(70, prefix=allow, seed=1)
+def test_kernel_with_prefix_pad():
+    """Left-padded caption prefix: first pad positions are masked."""
+    out, expected, _, _, _, _ = _run(70, prefix_pad=[3, 5], seed=1)
+    np.testing.assert_allclose(out, expected, atol=2e-5, rtol=1e-4)
+
+
+def test_kernel_prefix_pad_inside_window():
+    # pad boundary falls inside the recent window (pos < 8)
+    out, expected, _, _, _, _ = _run(6, prefix_pad=[2, 4], seed=3)
     np.testing.assert_allclose(out, expected, atol=2e-5, rtol=1e-4)
 
 
