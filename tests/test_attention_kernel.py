@@ -234,3 +234,35 @@ def test_decode_step_pallas_matches_xla():
         np.testing.assert_allclose(np.asarray(lp), np.asarray(lx),
                                    atol=2e-4, rtol=1e-3,
                                    err_msg=f"step {i} (pos {pos})")
+
+
+def test_kernel_odd_head_dim():
+    """head_dim=96 (GPT-3B-style non-power-of-2 heads): the head-segment
+    matmul handles any head_dim as long as F is 128-aligned."""
+    h2, d2 = 4, 96
+    f2 = h2 * d2  # 384, 128-aligned
+    rng = np.random.RandomState(11)
+    pos = 40
+    q = rng.randn(B, h2, d2).astype(np.float32)
+    k_hist = rng.randn(B, pos + 1, h2, d2).astype(np.float32)
+    v_hist = rng.randn(B, pos + 1, h2, d2).astype(np.float32)
+    boundary = (pos // RECENT) * RECENT
+    merged = np.concatenate([k_hist.reshape(B, pos + 1, f2),
+                             v_hist.reshape(B, pos + 1, f2)], -1)
+    kv_cache = np.zeros((B, 128, 2 * f2), np.float32)
+    kv_cache[:, :boundary] = merged[:, :boundary]
+    recent = np.zeros((B, RECENT, 2 * f2), np.float32)
+    recent[:, :pos - boundary + 1] = merged[:, boundary:pos + 1]
+
+    out, _ = decode_attention(
+        jnp.asarray(q.reshape(B, f2)), jnp.asarray(recent),
+        jnp.asarray(kv_cache), jnp.int32(pos), h2, block_s=64,
+        interpret=True)
+
+    scale = d2 ** -0.5
+    scores = np.einsum("bhd,bshd->bhs", q, k_hist) * scale
+    p = np.exp(scores - scores.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    expected = np.einsum("bhs,bshd->bhd", p, v_hist)
+    np.testing.assert_allclose(np.asarray(out).reshape(B, h2, d2), expected,
+                               atol=2e-5, rtol=1e-4)
