@@ -33,7 +33,7 @@ def _conv_bn(p: Params, x: jnp.ndarray, stride=1, padding="SAME") -> jnp.ndarray
     y = jax.lax.conv_general_dilated(
         x, p["kernel"].astype(x.dtype), (stride, stride), padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    scale = (p["bn_scale"] / np.sqrt(p["bn_var"] + 1e-3)).astype(x.dtype)
+    scale = (p["bn_scale"] * jax.lax.rsqrt(p["bn_var"] + 1e-3)).astype(x.dtype)
     bias = (p["bn_bias"] - p["bn_mean"] * scale).astype(x.dtype)
     return jax.nn.relu(y * scale + bias)
 
