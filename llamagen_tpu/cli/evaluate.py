@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import zipfile
 
 import numpy as np
 
@@ -22,9 +23,29 @@ from llamagen_tpu.eval.fid import (activation_statistics, frechet_distance,
                                    inception_score, precision_recall)
 
 
-def load_npz(path: str) -> np.ndarray:
-    with np.load(path) as z:
-        return z["arr_0"]
+def stream_npz(path: str, key: str = "arr_0", batch_size: int = 64):
+    """Yield [b, H, W, 3] batches from an npz member without materializing
+    the whole (often ~10 GB for 50k samples) array in RAM.
+
+    Reads the zip member as a stream: npy header first, then row-aligned
+    chunks (mirrors the reference evaluator's batched reads,
+    evaluator.py:445-583). Works for both compressed and stored members.
+    """
+    with zipfile.ZipFile(path) as zf:
+        name = key if key in zf.namelist() else key + ".npy"
+        with zf.open(name) as f:
+            version = np.lib.format.read_magic(f)
+            if version == (1, 0):
+                shape, fortran, dtype = np.lib.format.read_array_header_1_0(f)
+            else:
+                shape, fortran, dtype = np.lib.format.read_array_header_2_0(f)
+            assert not fortran, "fortran-order npz not supported"
+            n = int(shape[0])
+            row_bytes = int(np.prod(shape[1:])) * dtype.itemsize
+            for start in range(0, n, batch_size):
+                m = min(batch_size, n - start)
+                buf = f.read(row_bytes * m)
+                yield np.frombuffer(buf, dtype).reshape((m,) + shape[1:])
 
 
 def main(argv=None):
@@ -42,11 +63,11 @@ def main(argv=None):
                                            batch_size=args.batch_size)
 
     print("computing reference batch activations...")
-    ref = load_npz(args.ref_batch)
-    ref_pool, ref_spatial, _ = extractor.features(ref)
+    ref_pool, ref_spatial, _ = extractor.features_from_batches(
+        stream_npz(args.ref_batch, batch_size=args.batch_size))
     print("computing sample batch activations...")
-    sample = load_npz(args.sample_batch)
-    pool, spatial, logits = extractor.features(sample)
+    pool, spatial, logits = extractor.features_from_batches(
+        stream_npz(args.sample_batch, batch_size=args.batch_size))
 
     probs = np.exp(logits - logits.max(-1, keepdims=True))
     probs /= probs.sum(-1, keepdims=True)

@@ -21,7 +21,7 @@ import numpy as np
 from llamagen_tpu.cli.common import load_gpt
 from llamagen_tpu.config import gpt_config
 from llamagen_tpu.data.codes import (NpyCodeDataset, PackedCodeDataset,
-                                     SyntheticCodeDataset)
+                                     SyntheticCodeDataset, pack_shards)
 from llamagen_tpu.parallel.mesh import make_mesh
 from llamagen_tpu.train import c2i
 from llamagen_tpu.utils import checkpoint
@@ -85,24 +85,44 @@ def main(argv=None):
             state, start_step = restored, step
             logger.info(f"resumed from step {start_step}")
 
+    num_hosts, host_id = jax.process_count(), jax.process_index()
+    host_batch = args.global_batch_size // num_hosts
+    it = None
     if args.synthetic_steps > 0:
         ds = SyntheticCodeDataset(args.global_batch_size * 4,
                                   cfg.block_size, cfg.vocab_size,
                                   cfg.num_classes, seed=args.seed)
         max_steps = args.synthetic_steps
     elif args.code_path and os.path.isdir(args.code_path) and any(
-            f.endswith(".npz") for f in os.listdir(args.code_path)):
-        ds = PackedCodeDataset(args.code_path)
+            f.endswith(".codes") for f in os.listdir(args.code_path)):
+        # raw shards -> threaded C++ loader (preferred input path)
+        from llamagen_tpu.data.native import NativeCodeLoader
+        it = NativeCodeLoader(args.code_path, host_batch, seed=args.seed,
+                              num_hosts=num_hosts, host_id=host_id)
+        max_steps = args.max_steps
+    elif args.code_path and os.path.isdir(args.code_path) and any(
+            f.endswith((".npz", ".codes.npy"))
+            for f in os.listdir(args.code_path)):
+        ds = PackedCodeDataset(args.code_path, num_hosts=num_hosts,
+                               host_id=host_id)
         max_steps = args.max_steps
     elif args.code_path:
-        ds = NpyCodeDataset(args.code_path, args.label_path or args.code_path)
-        raise SystemExit("npy layout: repack with data.codes.pack_shards "
-                         "first for efficient TPU input")
+        # reference {i}.npy micro-file layout: repack once (cached next to
+        # the source dir), then memmap the packed shards
+        packed = args.code_path.rstrip("/") + "_packed"
+        src = NpyCodeDataset(args.code_path,
+                             args.label_path or args.code_path)
+        if not (os.path.isdir(packed) and any(
+                f.endswith(".codes.npy") for f in os.listdir(packed))):
+            logger.info(f"repacking {len(src)} npy micro-files -> {packed}")
+            pack_shards(src, packed)
+        ds = PackedCodeDataset(packed, num_hosts=num_hosts, host_id=host_id)
+        max_steps = args.max_steps
     else:
         raise SystemExit("need --code-path or --synthetic-steps")
 
-    it = ds.batches(args.global_batch_size, seed=args.seed,
-                    epochs=args.epochs)
+    if it is None:
+        it = ds.batches(host_batch, seed=args.seed, epochs=args.epochs)
     rng = jax.random.PRNGKey(args.seed)
     t0, last_log = time.time(), start_step
     running_loss = 0.0

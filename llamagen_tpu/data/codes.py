@@ -48,7 +48,13 @@ class NpyCodeDataset:
 
 def pack_shards(dataset, out_dir: str, shard_size: int = 100_000,
                 seq_len: Optional[int] = None) -> int:
-    """Repack any (codes, label) dataset into flat memmap shards."""
+    """Repack any (codes, label) dataset into flat memmap-able shards.
+
+    Writes uncompressed `.npy` pairs (`shard_XXXXX.codes.npy` /
+    `shard_XXXXX.labels.npy`): unlike zipped `.npz` members these really do
+    memory-map with `np.load(mmap_mode="r")`, so t2i-scale datasets never
+    materialize in host RAM.
+    """
     os.makedirs(out_dir, exist_ok=True)
     n = len(dataset)
     num_shards = 0
@@ -62,43 +68,83 @@ def pack_shards(dataset, out_dir: str, shard_size: int = 100_000,
             c, lab = dataset[i]
             codes[i - start] = c.reshape(-1)[:L]
             labels[i - start] = lab
-        np.savez(os.path.join(out_dir, f"shard_{num_shards:05d}.npz"),
-                 codes=codes, labels=labels)
+        stem = os.path.join(out_dir, f"shard_{num_shards:05d}")
+        np.save(stem + ".codes.npy", codes)
+        np.save(stem + ".labels.npy", labels)
         num_shards += 1
     return num_shards
 
 
 class PackedCodeDataset:
-    """Reads packed shards into memory-mapped flat arrays."""
+    """Reads packed shards as per-shard memmaps (no RAM materialization).
 
-    def __init__(self, shard_dir: str):
-        files = sorted(f for f in os.listdir(shard_dir) if f.endswith(".npz"))
-        assert files, f"no shards in {shard_dir}"
-        codes, labels = [], []
-        for f in files:
-            z = np.load(os.path.join(shard_dir, f), mmap_mode="r")
-            codes.append(z["codes"])
-            labels.append(z["labels"])
-        self.codes = np.concatenate(codes)
-        self.labels = np.concatenate(labels)
+    Accepts `.codes.npy`/`.labels.npy` pairs (memory-mapped; preferred) or
+    legacy `.npz` shards (zip members cannot be mmapped — those load into
+    RAM, acceptable only for ImageNet-c2i-scale code dumps, ~1.5 GB).
+
+    `num_hosts`/`host_id` stride samples across hosts for multi-host
+    training (each host sees a disjoint deterministic subset per epoch),
+    the TPU analogue of the reference's DistributedSampler rank striding.
+    """
+
+    def __init__(self, shard_dir: str, *, num_hosts: int = 1,
+                 host_id: int = 0):
+        npy = sorted(f for f in os.listdir(shard_dir)
+                     if f.endswith(".codes.npy"))
+        npz = sorted(f for f in os.listdir(shard_dir) if f.endswith(".npz"))
+        self._codes, self._labels = [], []
+        if npy:
+            for f in npy:
+                stem = os.path.join(shard_dir, f[:-len(".codes.npy")])
+                self._codes.append(np.load(stem + ".codes.npy",
+                                           mmap_mode="r"))
+                self._labels.append(np.load(stem + ".labels.npy",
+                                            mmap_mode="r"))
+        elif npz:
+            for f in npz:
+                z = np.load(os.path.join(shard_dir, f))
+                self._codes.append(z["codes"])
+                self._labels.append(z["labels"])
+        else:
+            raise FileNotFoundError(f"no packed shards in {shard_dir}")
+        self._offsets = np.cumsum([0] + [c.shape[0] for c in self._codes])
+        assert 0 <= host_id < num_hosts
+        self.num_hosts = num_hosts
+        self.host_id = host_id
 
     def __len__(self) -> int:
-        return self.codes.shape[0]
+        return int(self._offsets[-1])
+
+    def _gather(self, sel: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        shard = np.searchsorted(self._offsets, sel, side="right") - 1
+        local = sel - self._offsets[shard]
+        codes = np.empty((len(sel), self._codes[0].shape[1]), np.int32)
+        labels = np.empty((len(sel),), np.int32)
+        for s in np.unique(shard):
+            m = shard == s
+            codes[m] = self._codes[s][local[m]]
+            labels[m] = self._labels[s][local[m]]
+        return codes, labels
 
     def batches(self, batch_size: int, *, seed: int = 0, epochs: int = -1,
                 drop_remainder: bool = True) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        """Infinite (or epochs-bounded) shuffled batch iterator."""
+        """Infinite (or epochs-bounded) shuffled batch iterator.
+
+        batch_size is the PER-HOST batch; with num_hosts > 1, every host
+        permutes identically (same seed) and takes its host_id stride.
+        """
         n = len(self)
         epoch = 0
         while epochs < 0 or epoch < epochs:
             order = np.random.RandomState(seed + epoch).permutation(n)
-            for start in range(0, n - (batch_size - 1 if drop_remainder else 0),
+            order = order[self.host_id::self.num_hosts]
+            hn = len(order)
+            for start in range(0, hn - (batch_size - 1 if drop_remainder else 0),
                                batch_size):
                 sel = order[start:start + batch_size]
                 if len(sel) < batch_size and drop_remainder:
                     break
-                yield (self.codes[sel].astype(np.int32),
-                       self.labels[sel].astype(np.int32))
+                yield self._gather(sel)
             epoch += 1
 
 
@@ -117,4 +163,15 @@ class SyntheticCodeDataset:
     def __getitem__(self, idx):
         return self.codes[idx].astype(np.int32), self.labels[idx].astype(np.int32)
 
-    batches = PackedCodeDataset.batches
+    def batches(self, batch_size: int, *, seed: int = 0, epochs: int = -1,
+                drop_remainder: bool = True) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        n = len(self)
+        epoch = 0
+        while epochs < 0 or epoch < epochs:
+            order = np.random.RandomState(seed + epoch).permutation(n)
+            for start in range(0, n - (batch_size - 1 if drop_remainder else 0),
+                               batch_size):
+                sel = order[start:start + batch_size]
+                yield (self.codes[sel].astype(np.int32),
+                       self.labels[sel].astype(np.int32))
+            epoch += 1

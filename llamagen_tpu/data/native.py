@@ -88,12 +88,21 @@ class NativeCodeLoader:
     """Background-threaded shuffled batch stream from raw shards."""
 
     def __init__(self, shard_dir: str, batch_size: int, seed: int = 0,
-                 queue_depth: int = 4):
+                 queue_depth: int = 4, *, num_hosts: int = 1,
+                 host_id: int = 0):
+        """batch_size is per-host; with num_hosts > 1 each host strides a
+        disjoint subset of the shard files (shard-level data parallelism —
+        pack with shard_size small enough that #shards >= #hosts)."""
         self._lib = _load()
         paths = sorted(
             os.path.join(shard_dir, f) for f in os.listdir(shard_dir)
             if f.endswith(".codes"))
         assert paths, f"no .codes shards in {shard_dir}"
+        if num_hosts > 1:
+            assert len(paths) >= num_hosts, (
+                f"{len(paths)} shards < {num_hosts} hosts: repack with a "
+                f"smaller shard_size for shard-level host striding")
+            paths = paths[host_id::num_hosts]
         arr = (ctypes.c_char_p * len(paths))(
             *[p.encode() for p in paths])
         self._h = self._lib.lg_open(arr, len(paths), batch_size, seed,

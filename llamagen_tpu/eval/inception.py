@@ -292,11 +292,19 @@ class FeatureExtractor:
     def features(self, images_uint8: np.ndarray
                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """images [N, H, W, 3] uint8 -> (pool3, spatial, logits) numpy."""
-        pools, spatials, logits = [], [], []
         n = len(images_uint8)
-        for i in range(0, n, self.batch_size):
-            batch = images_uint8[i:i + self.batch_size]
-            x = self._preprocess(batch)
+        return self.features_from_batches(
+            images_uint8[i:i + self.batch_size]
+            for i in range(0, n, self.batch_size))
+
+    def features_from_batches(self, batches
+                              ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Streaming variant: consumes an iterator of uint8 [b, H, W, 3]
+        batches so only the (N x 2048/2023/1008) features are ever resident
+        — never the 50k decoded images."""
+        pools, spatials, logits = [], [], []
+        for batch in batches:
+            x = self._preprocess(np.ascontiguousarray(batch))
             p, s, lg = self._apply(self.params, x)
             pools.append(np.asarray(p))
             spatials.append(np.asarray(s))

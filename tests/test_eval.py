@@ -97,3 +97,35 @@ def test_codebook_pack_roundtrip(tmp_path):
     codes, labels = next(packed.batches(8, seed=0))
     assert codes.shape == (8, 16) and labels.shape == (8,)
     assert codes.dtype == np.int32
+
+
+def test_stream_npz_matches_full_load(tmp_path):
+    from llamagen_tpu.cli.evaluate import stream_npz
+
+    rng = np.random.RandomState(0)
+    arr = rng.randint(0, 256, size=(11, 8, 8, 3), dtype=np.uint8)
+    p = str(tmp_path / "batch.npz")
+    np.savez(p, arr_0=arr)
+    got = np.concatenate(list(stream_npz(p, batch_size=4)))
+    np.testing.assert_array_equal(got, arr)
+    # compressed member too
+    pc = str(tmp_path / "batchc.npz")
+    np.savez_compressed(pc, arr_0=arr)
+    got = np.concatenate(list(stream_npz(pc, batch_size=3)))
+    np.testing.assert_array_equal(got, arr)
+
+
+def test_features_from_batches_matches_features():
+    import jax
+    from llamagen_tpu.eval import inception as inc
+
+    rng = np.random.RandomState(2)
+    images = rng.randint(0, 256, size=(6, 32, 32, 3), dtype=np.uint8)
+    ex = inc.FeatureExtractor.__new__(inc.FeatureExtractor)
+    ex.params = inc.init_params(jax.random.PRNGKey(0))
+    ex.batch_size = 4
+    ex._apply = jax.jit(lambda p, x: inc.apply(p, x))
+    full = ex.features(images)
+    streamed = ex.features_from_batches([images[:4], images[4:]])
+    for a, b in zip(full, streamed):
+        np.testing.assert_allclose(a, b, atol=1e-5)
