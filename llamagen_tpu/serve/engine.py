@@ -35,6 +35,7 @@ import numpy as np
 from llamagen_tpu.config import GPTConfig, find_multiple
 from llamagen_tpu.models import gpt
 from llamagen_tpu.ops import sampling
+from llamagen_tpu.ops.quant_matmul import matmul_any
 
 
 class EngineState(NamedTuple):
@@ -47,6 +48,7 @@ class EngineState(NamedTuple):
     tokens_out: jnp.ndarray     # [P, max_new] output buffer
     rng: jax.Array
     recent: Optional[tuple] = None  # kernel path: per-layer [2P, w, 2F]
+    prefix_pad: Optional[jnp.ndarray] = None  # t2i: [P] left-pad counts
 
 
 @dataclass
@@ -81,12 +83,15 @@ def init_engine_state(cfg: GPTConfig, num_pairs: int, max_new_tokens: int,
         tokens_out=jnp.zeros((num_pairs, max_new_tokens), jnp.int32),
         rng=rng,
         recent=recent,
+        prefix_pad=(jnp.zeros((num_pairs,), jnp.int32)
+                    if cfg.model_type == "t2i" else None),
     )
 
 
 def _decode_step_slots(params, cfg: GPTConfig, emb: jnp.ndarray,
                        pos: jnp.ndarray, cache: gpt.KVCache,
-                       compute_dtype=jnp.bfloat16):
+                       compute_dtype=jnp.bfloat16,
+                       prefix_pad: Optional[jnp.ndarray] = None):
     """One decode step with per-slot positions.
 
     emb: [B, D] input embeddings (token or condition); pos: [B] positions.
@@ -100,6 +105,10 @@ def _decode_step_slots(params, cfg: GPTConfig, emb: jnp.ndarray,
     batch_ids = jnp.arange(b)
 
     mask = jnp.arange(smax)[None, None, :] <= pos[:, None, None]  # [B,1,S]
+    if prefix_pad is not None:
+        # t2i left-padded caption prefix: positions < pad are masked
+        mask = mask & (jnp.arange(smax)[None, None, :]
+                       >= prefix_pad[:, None, None])
     scale = cfg.head_dim ** -0.5
     rep = cfg.n_head // cfg.kv_heads
     q_size = cfg.n_head * cfg.head_dim
@@ -118,7 +127,7 @@ def _decode_step_slots(params, cfg: GPTConfig, emb: jnp.ndarray,
     for l in range(cfg.n_layer):
         p = gpt.layer_params(params, l)
         x = gpt.rms_norm(h, p["attention_norm"], cfg.norm_eps)
-        qkv = x @ p["wqkv"].astype(x.dtype)
+        qkv = matmul_any(p, "wqkv", x)
         q = rope(qkv[:, :q_size].reshape(b, cfg.n_head, cfg.head_dim))
         k = rope(qkv[:, q_size:q_size + kv_size].reshape(b, cfg.kv_heads,
                                                          cfg.head_dim))
@@ -141,20 +150,20 @@ def _decode_step_slots(params, cfg: GPTConfig, emb: jnp.ndarray,
         scores = jnp.where(mask, scores, jnp.float32(-1e30))
         probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
         attn = jnp.einsum("bhs,bshd->bhd", probs, vals.astype(q.dtype))
-        h = h + attn.reshape(b, cfg.dim) @ p["wo"].astype(x.dtype)
+        h = h + matmul_any(p, "wo", attn.reshape(b, cfg.dim)).astype(h.dtype)
         x = gpt.rms_norm(h, p["ffn_norm"], cfg.norm_eps)
-        ffn = jax.nn.silu(x @ p["w1"].astype(x.dtype)) * \
-            (x @ p["w3"].astype(x.dtype))
-        h = h + ffn @ p["w2"].astype(x.dtype)
+        ffn = jax.nn.silu(matmul_any(p, "w1", x)) * matmul_any(p, "w3", x)
+        h = h + matmul_any(p, "w2", ffn)
 
     h = gpt.rms_norm(h, params["norm"], cfg.norm_eps)
-    logits = (h @ params["output"].astype(h.dtype)).astype(jnp.float32)
+    logits = matmul_any(params, "output", h).astype(jnp.float32)
     return logits, gpt.KVCache(kv=tuple(new_kv))
 
 
 def _decode_step_slots_pallas(params, cfg: GPTConfig, emb: jnp.ndarray,
                               pos: jnp.ndarray, cache: gpt.KVCache,
-                              recent, compute_dtype=jnp.bfloat16):
+                              recent, compute_dtype=jnp.bfloat16,
+                              prefix_pad: Optional[jnp.ndarray] = None):
     """Kernel-path slot decode: per-slot positions, in-place HBM cache."""
     from llamagen_tpu.ops import attention as attn_lib
 
@@ -178,7 +187,7 @@ def _decode_step_slots_pallas(params, cfg: GPTConfig, emb: jnp.ndarray,
     for l in range(cfg.n_layer):
         p = gpt.layer_params(params, l)
         x = gpt.rms_norm(h, p["attention_norm"], cfg.norm_eps)
-        qkv = x @ p["wqkv"].astype(x.dtype)
+        qkv = matmul_any(p, "wqkv", x)
         q = rope(qkv[:, :q_size].reshape(b, cfg.n_head, cfg.head_dim)
                  ).reshape(b, q_size)
         k = rope(qkv[:, q_size:2 * q_size].reshape(b, cfg.n_head,
@@ -192,21 +201,21 @@ def _decode_step_slots_pallas(params, cfg: GPTConfig, emb: jnp.ndarray,
         if cache.quantized:
             attn, ckv, csc = attn_lib.decode_attention(
                 q.astype(compute_dtype), r, cache.kv[l], pos, cfg.n_head,
-                kv_scale=cache.kv_scale[l])
+                prefix_pad=prefix_pad, kv_scale=cache.kv_scale[l])
             new_sc.append(csc)
         else:
             attn, ckv = attn_lib.decode_attention(
-                q.astype(compute_dtype), r, cache.kv[l], pos, cfg.n_head)
+                q.astype(compute_dtype), r, cache.kv[l], pos, cfg.n_head,
+                prefix_pad=prefix_pad)
         new_recent.append(r)
         new_kv.append(ckv)
-        h = h + attn.astype(x.dtype) @ p["wo"].astype(x.dtype)
+        h = h + matmul_any(p, "wo", attn.astype(x.dtype)).astype(h.dtype)
         x = gpt.rms_norm(h, p["ffn_norm"], cfg.norm_eps)
-        ffn = jax.nn.silu(x @ p["w1"].astype(x.dtype)) * \
-            (x @ p["w3"].astype(x.dtype))
-        h = h + ffn @ p["w2"].astype(x.dtype)
+        ffn = jax.nn.silu(matmul_any(p, "w1", x)) * matmul_any(p, "w3", x)
+        h = h + matmul_any(p, "w2", ffn)
 
     h = gpt.rms_norm(h, params["norm"], cfg.norm_eps)
-    logits = (h @ params["output"].astype(h.dtype)).astype(jnp.float32)
+    logits = matmul_any(params, "output", h).astype(jnp.float32)
     new_cache = gpt.KVCache(
         kv=tuple(new_kv),
         kv_scale=tuple(new_sc) if cache.quantized else None)
@@ -221,33 +230,42 @@ def make_engine_step(params, cfg: GPTConfig, sp: SamplingParams,
     engine_step(state, admit_mask [P] bool, admit_labels [P]) runs `chunk`
     decode iterations; newly admitted slots go through their condition
     prefill (one step for c2i) and then decode along with everyone else.
+    t2i slots are admitted OUT of band (make_admit_pair + make_scatter_pair
+    run the 120-token caption prefill once per request) so every in-chunk
+    step is pure decode.
     """
-    assert cfg.model_type == "c2i", "serving engine currently targets c2i"
-    table = None  # class embedding table read inside step
+    is_t2i = cfg.model_type == "t2i"
 
     def one_step(params, state: EngineState) -> EngineState:
         p = state.pos  # [P]
-        is_prefill = state.active & (p == 0)
         pair_tok = state.cur_token
-
-        # build per-slot input embeddings: cond half + uncond half
-        emb_table = params["cls_embedding"]["embedding_table"]
-        cond_emb = emb_table[state.labels].astype(compute_dtype)
-        null_emb = emb_table[jnp.full_like(state.labels, cfg.num_classes)
-                             ].astype(compute_dtype)
         tok_emb = params["tok_embeddings"][pair_tok].astype(compute_dtype)
-        emb_cond = jnp.where(is_prefill[:, None], cond_emb, tok_emb)
-        emb_uncond = jnp.where(is_prefill[:, None], null_emb, tok_emb)
-        emb = jnp.concatenate([emb_cond, emb_uncond], axis=0)  # [2P, D]
+
+        if is_t2i:
+            # prefill happened at admission; every step is token decode
+            emb = jnp.concatenate([tok_emb, tok_emb], axis=0)  # [2P, D]
+            pad2 = jnp.concatenate([state.prefix_pad, state.prefix_pad])
+        else:
+            is_prefill = state.active & (p == 0)
+            # build per-slot input embeddings: cond half + uncond half
+            emb_table = params["cls_embedding"]["embedding_table"]
+            cond_emb = emb_table[state.labels].astype(compute_dtype)
+            null_emb = emb_table[jnp.full_like(state.labels, cfg.num_classes)
+                                 ].astype(compute_dtype)
+            emb_cond = jnp.where(is_prefill[:, None], cond_emb, tok_emb)
+            emb_uncond = jnp.where(is_prefill[:, None], null_emb, tok_emb)
+            emb = jnp.concatenate([emb_cond, emb_uncond], axis=0)  # [2P, D]
+            pad2 = None
 
         pos2 = jnp.concatenate([p, p], axis=0)
         if use_kernel:
             logits, cache, recent = _decode_step_slots_pallas(
                 params, cfg, emb, pos2, state.cache, state.recent,
-                compute_dtype)
+                compute_dtype, prefix_pad=pad2)
         else:
             logits, cache = _decode_step_slots(params, cfg, emb, pos2,
-                                               state.cache, compute_dtype)
+                                               state.cache, compute_dtype,
+                                               prefix_pad=pad2)
             recent = state.recent
         mixed = sampling.cfg_mix(logits, sp.cfg_scale) \
             if sp.cfg_scale > 1.0 else jnp.split(logits, 2, axis=0)[0]
@@ -269,10 +287,9 @@ def make_engine_step(params, cfg: GPTConfig, sp: SamplingParams,
         pos = jnp.where(state.active, p + 1, p)
         active = state.active & (n_generated < max_new_tokens)
 
-        return EngineState(cache=cache, pos=pos, active=active,
-                           cur_token=cur_token, labels=state.labels,
-                           n_generated=n_generated, tokens_out=tokens_out,
-                           rng=rng, recent=recent)
+        return state._replace(cache=cache, pos=pos, active=active,
+                              cur_token=cur_token, n_generated=n_generated,
+                              tokens_out=tokens_out, rng=rng, recent=recent)
 
     def engine_chunk(params, state: EngineState, admit_mask, admit_labels
                      ) -> EngineState:
@@ -290,10 +307,119 @@ def make_engine_step(params, cfg: GPTConfig, sp: SamplingParams,
     return jax.jit(engine_chunk, donate_argnums=(1,))
 
 
+def make_admit_pair(cfg: GPTConfig, sp: SamplingParams,
+                    compute_dtype=jnp.bfloat16):
+    """Compile the t2i admission prefill for ONE cond‖uncond pair.
+
+    Runs the full cls_token_num-long caption prefill in a single forward
+    (vs 120 in-loop steps), CFG-mixes the last-position logits, samples the
+    first grid token. Returns (first_token, per-layer kv rows [2, T, 2F]
+    bf16, prefix_pad scalar). Ref: the reference's prefill batching
+    (serve/model_runner.py:248-446) — here a pair-granular compiled program.
+    """
+    t = cfg.cls_token_num
+
+    @jax.jit
+    def admit(params, caption, emb_mask, rng):
+        # caption [1, T, caption_dim]; emb_mask [1, T] bool (left-padded)
+        from llamagen_tpu.ops.generate import build_cfg_batch
+
+        cond = build_cfg_batch(params, cfg, caption.astype(compute_dtype),
+                               True)  # [2, T, C]
+        m = emb_mask.astype(bool)
+        m2 = jnp.concatenate([m, m], axis=0)
+        stage = gpt.init_cache(cfg, 2, find_multiple(t, 8),
+                               dtype=compute_dtype)
+        logits, stage = gpt.prefill(params, cfg, cond, stage,
+                                    prefix_mask=m2,
+                                    compute_dtype=compute_dtype)
+        mixed = sampling.cfg_mix(logits, sp.cfg_scale) \
+            if sp.cfg_scale > 1.0 else logits[:1]
+        first = sampling.sample(rng, mixed, temperature=sp.temperature,
+                                top_k=sp.top_k, top_p=sp.top_p)[0]
+        rows = tuple(ckv[:, :t] for ckv in stage.kv)  # [2, T, 2F] each
+        pad = (t - jnp.sum(m[0]).astype(jnp.int32))
+        return first, rows, pad
+
+    return admit
+
+
+def make_scatter_pair(cfg: GPTConfig, num_pairs: int, use_kernel: bool,
+                      cache_dtype):
+    """Compile the t2i slot installer: place one admitted pair's prefill KV
+    into the engine cache at slots (i, P+i) and reset the bookkeeping.
+
+    Kernel-path placement honors the recent-window convention
+    (ops.attention docstring): rows [0, base) live in the (possibly int8-
+    quantized) HBM cache, rows [base, T) in the bf16 window, where
+    base = (T // w) * w.
+    """
+    t = cfg.cls_token_num
+    f = cfg.kv_heads * cfg.head_dim
+
+    def scatter(state: EngineState, slot, first_tok, rows, pad
+                ) -> EngineState:
+        idx = jnp.stack([slot, slot + num_pairs])  # [2]
+        if use_kernel:
+            from llamagen_tpu.ops.attention import recent_window
+            w = recent_window(cache_dtype)
+        else:
+            w = None
+        base = (t // w) * w if use_kernel else t
+
+        new_kv, new_sc, new_recent = [], [], []
+        for l in range(cfg.n_layer):
+            r = rows[l]  # [2, T, 2F] bf16
+            if cache_dtype == jnp.int8:
+                head = r[:, :base].astype(jnp.float32)
+                ks = jnp.max(jnp.abs(head[..., :f]), axis=-1,
+                             keepdims=True) / 127.0 + 1e-8
+                vs = jnp.max(jnp.abs(head[..., f:]), axis=-1,
+                             keepdims=True) / 127.0 + 1e-8
+                q8 = jnp.concatenate(
+                    [jnp.clip(jnp.round(head[..., :f] / ks), -127, 127),
+                     jnp.clip(jnp.round(head[..., f:] / vs), -127, 127)],
+                    axis=-1).astype(jnp.int8)
+                sc = jnp.concatenate(
+                    [jnp.broadcast_to(ks, (2, base, 64)),
+                     jnp.broadcast_to(vs, (2, base, 64))], axis=-1)
+                new_kv.append(state.cache.kv[l].at[idx, :base].set(q8))
+                new_sc.append(
+                    state.cache.kv_scale[l].at[idx, :base].set(sc))
+            else:
+                new_kv.append(state.cache.kv[l].at[idx, :base].set(
+                    r[:, :base].astype(state.cache.kv[l].dtype)))
+            if use_kernel:
+                rec = state.recent[l]
+                if t > base:
+                    rec = rec.at[idx, :t - base].set(
+                        r[:, base:t].astype(rec.dtype))
+                new_recent.append(rec)
+
+        cache = gpt.KVCache(
+            kv=tuple(new_kv),
+            kv_scale=tuple(new_sc) if cache_dtype == jnp.int8 else None)
+        max_new = state.tokens_out.shape[1]
+        row = jnp.zeros((max_new,), jnp.int32).at[0].set(first_tok)
+        return state._replace(
+            cache=cache,
+            recent=tuple(new_recent) if use_kernel else state.recent,
+            pos=state.pos.at[slot].set(t),
+            active=state.active.at[slot].set(True),
+            cur_token=state.cur_token.at[slot].set(first_tok),
+            n_generated=state.n_generated.at[slot].set(1),
+            tokens_out=state.tokens_out.at[slot].set(row),
+            prefix_pad=state.prefix_pad.at[slot].set(pad))
+
+    return jax.jit(scatter, donate_argnums=(0,))
+
+
 @dataclass
 class Request:
     label: int
     request_id: int
+    caption: Optional[np.ndarray] = None     # t2i: [T, caption_dim]
+    emb_mask: Optional[np.ndarray] = None    # t2i: [T] bool
     result: Optional[np.ndarray] = None
     submitted_at: float = field(default_factory=time.time)
     finished_at: Optional[float] = None
@@ -335,9 +461,27 @@ class ServeEngine:
         self.slot_request: List[Optional[Request]] = [None] * num_pairs
         self.pending: "queue.Queue[Request]" = queue.Queue()
         self._next_id = 0
+        self._admit_rng = jax.random.PRNGKey(seed + 1)
+        if cfg.model_type == "t2i":
+            self._admit_fn = make_admit_pair(cfg, self.sp, compute_dtype)
+            self._scatter_fn = make_scatter_pair(cfg, num_pairs, use_kernel,
+                                                 cache_dtype)
 
     def submit(self, label: int) -> Request:
+        assert self.cfg.model_type == "c2i"
         req = Request(label=int(label), request_id=self._next_id)
+        self._next_id += 1
+        self.pending.put(req)
+        return req
+
+    def submit_caption(self, caption: np.ndarray,
+                       emb_mask: np.ndarray) -> Request:
+        """t2i request: caption [T, caption_dim] T5 features (left-padded,
+        text.t5.left_pad_embeddings) + [T] bool validity mask."""
+        assert self.cfg.model_type == "t2i"
+        req = Request(label=0, request_id=self._next_id,
+                      caption=np.asarray(caption),
+                      emb_mask=np.asarray(emb_mask, bool))
         self._next_id += 1
         self.pending.put(req)
         return req
@@ -349,8 +493,17 @@ class ServeEngine:
             if self.slot_request[i] is None and not self.pending.empty():
                 req = self.pending.get()
                 self.slot_request[i] = req
-                admit_mask[i] = True
-                admit_labels[i] = req.label
+                if self.cfg.model_type == "t2i":
+                    # out-of-band admission: compiled pair prefill + scatter
+                    self._admit_rng, r = jax.random.split(self._admit_rng)
+                    first, rows, pad = self._admit_fn(
+                        self._params, jnp.asarray(req.caption)[None],
+                        jnp.asarray(req.emb_mask)[None], r)
+                    self.state = self._scatter_fn(
+                        self.state, jnp.int32(i), first, rows, pad)
+                else:
+                    admit_mask[i] = True
+                    admit_labels[i] = req.label
         self.state = self.step_fn(self._params, self.state,
                                   jnp.asarray(admit_mask),
                                   jnp.asarray(admit_labels))
@@ -383,6 +536,13 @@ class ServeEngine:
         results in submission order.
         """
         reqs = [self.submit(l) for l in labels]
+        self.run_until_idle()
+        return np.stack([r.result for r in reqs])
+
+    def generate_t2i(self, captions, emb_masks) -> np.ndarray:
+        """Offline t2i batch API: captions [N, T, caption_dim] +
+        emb_masks [N, T] -> token grids [N, max_new_tokens]."""
+        reqs = [self.submit_caption(c, m) for c, m in zip(captions, emb_masks)]
         self.run_until_idle()
         return np.stack([r.result for r in reqs])
 

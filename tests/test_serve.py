@@ -114,3 +114,118 @@ def test_engine_int8_kernel_path():
                        **common).generate([3, 7])
     agree = (out16 == out8).mean()
     assert agree > 0.9, f"int8 greedy agreement too low: {agree}"
+
+
+# ---------------------------------------------------------------------------
+# t2i serving (admission-time caption prefill + prefix_pad decode)
+# ---------------------------------------------------------------------------
+
+T2I_T = 24  # shortened caption window (the math is T-agnostic)
+T2I_CFG = GPTConfig(dim=64, n_layer=2, n_head=4, block_size=16,
+                    vocab_size=128, caption_dim=32, cls_token_num=T2I_T,
+                    model_type="t2i", token_dropout_p=0.0,
+                    resid_dropout_p=0.0, ffn_dropout_p=0.0)
+
+
+@pytest.fixture(scope="module")
+def t2i_params():
+    p = gpt.init_params(jax.random.PRNGKey(2), T2I_CFG)
+    p["output"] = jax.random.normal(jax.random.PRNGKey(3),
+                                    p["output"].shape) * 0.02
+    return p
+
+
+def _t2i_caption(b=2, seed=0):
+    rng = np.random.RandomState(seed)
+    emb = rng.randn(b, T2I_T, T2I_CFG.caption_dim).astype(np.float32)
+    mask = np.ones((b, T2I_T), np.int32)
+    mask[0, :3] = 0
+    emb[0, :3] = 0
+    if b > 1:
+        mask[1, :7] = 0
+        emb[1, :7] = 0
+    return emb, mask
+
+
+# the Pallas kernel needs 128-aligned flattened features
+def _t2i_cfg_for(use_kernel):
+    if not use_kernel:
+        return T2I_CFG
+    import dataclasses
+    return dataclasses.replace(T2I_CFG, dim=128, n_head=2)
+
+
+@pytest.mark.parametrize("use_kernel", [False, True])
+def test_t2i_engine_matches_generate_greedy(t2i_params, use_kernel):
+    """Greedy t2i engine output equals the batch generate() path
+    (mirrors test_engine_matches_generate_greedy for c2i)."""
+    cfg = _t2i_cfg_for(use_kernel)
+    if use_kernel:
+        params = gpt.init_params(jax.random.PRNGKey(2), cfg)
+        params["output"] = jax.random.normal(jax.random.PRNGKey(3),
+                                             params["output"].shape) * 0.02
+    else:
+        params = t2i_params
+    emb, mask = _t2i_caption()
+    if use_kernel:
+        rng = np.random.RandomState(0)
+        emb = rng.randn(2, T2I_T, cfg.caption_dim).astype(np.float32)
+        emb[0, :3] = 0
+        emb[1, :7] = 0
+    eng = ServeEngine(params, cfg, num_pairs=2,
+                      max_new_tokens=MAX_NEW,
+                      sampling_params=SamplingParams(cfg_scale=3.0,
+                                                     temperature=1e-6),
+                      chunk=4, compute_dtype=jnp.float32,
+                      use_kernel=use_kernel)
+    out = eng.generate_t2i(emb, mask)
+    ref = generate(params, jax.random.PRNGKey(0), jnp.asarray(emb),
+                   cfg=cfg, max_new_tokens=MAX_NEW,
+                   emb_masks=jnp.asarray(mask), cfg_scale=3.0,
+                   sample_logits=False, compute_dtype=jnp.float32,
+                   cache_dtype=jnp.float32, use_kernel=use_kernel)
+    np.testing.assert_array_equal(out, np.asarray(ref))
+
+
+def test_t2i_engine_int8_cache_agreement(t2i_params):
+    """int8 KV t2i engine greedily agrees with the bf16-cache engine
+    (kernel path; quantize-at-admission + quantize-at-flush)."""
+    cfg = _t2i_cfg_for(True)
+    params = gpt.init_params(jax.random.PRNGKey(2), cfg)
+    params["output"] = jax.random.normal(jax.random.PRNGKey(3),
+                                         params["output"].shape) * 0.02
+    rng = np.random.RandomState(4)
+    emb = rng.randn(2, T2I_T, cfg.caption_dim).astype(np.float32)
+    _, mask = _t2i_caption(seed=4)
+    emb[0, :3] = 0
+    emb[1, :7] = 0
+    outs = []
+    for cache_dtype in (jnp.float32, jnp.int8):
+        eng = ServeEngine(params, cfg, num_pairs=2,
+                          max_new_tokens=MAX_NEW,
+                          sampling_params=SamplingParams(cfg_scale=3.0,
+                                                         temperature=1e-6),
+                          chunk=4,
+                          compute_dtype=jnp.float32,
+                          cache_dtype=cache_dtype, use_kernel=True)
+        outs.append(eng.generate_t2i(emb, mask))
+    agree = (outs[0] == outs[1]).mean()
+    assert agree >= 0.9, f"int8 t2i agreement {agree}"
+
+
+def test_t2i_slot_reuse(t2i_params):
+    """More requests than slots: reused slots must not leak stale caption
+    KV or prefix pads."""
+    emb, mask = _t2i_caption(b=5, seed=7)
+    eng = ServeEngine(t2i_params, T2I_CFG, num_pairs=2,
+                      max_new_tokens=MAX_NEW,
+                      sampling_params=SamplingParams(cfg_scale=2.0,
+                                                     temperature=1e-6),
+                      chunk=4, compute_dtype=jnp.float32)
+    out = eng.generate_t2i(emb, mask)
+    ref = generate(t2i_params, jax.random.PRNGKey(0), jnp.asarray(emb),
+                   cfg=T2I_CFG, max_new_tokens=MAX_NEW,
+                   emb_masks=jnp.asarray(mask), cfg_scale=2.0,
+                   sample_logits=False, compute_dtype=jnp.float32,
+                   cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(out, np.asarray(ref))
