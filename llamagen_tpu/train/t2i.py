@@ -72,3 +72,60 @@ def make_t2i_train_step(gpt_cfg: GPTConfig, vq_cfg: VQConfig,
             "loss": loss, "grad_norm": optax.global_norm(grads)}
 
     return jax.jit(train_step, donate_argnums=(0,))
+
+
+def build_trainer(gpt_cfg: GPTConfig, vq_cfg: VQConfig, vq_params, mesh, *,
+                  lr: float = 1e-4, weight_decay: float = 5e-2,
+                  beta1: float = 0.9, beta2: float = 0.95,
+                  max_grad_norm: float = 1.0, warmup_steps: int = 0,
+                  use_ema: bool = True, ema_decay: float = 0.9999,
+                  seed: int = 0, param_dtype=jnp.float32,
+                  compute_dtype=jnp.bfloat16, remat: bool = True):
+    """Mesh-sharded t2i trainer (same DP/FSDP/TP semantics as train.c2i;
+    the frozen VQ encoder is replicated). Ref driver:
+    autoregressive/train/train_t2i.py:154-164."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from llamagen_tpu.models import gpt as gpt_mod
+    from llamagen_tpu.parallel import partition
+    from llamagen_tpu.train.c2i import _opt_state_shardings
+    from llamagen_tpu.train.train_state import init_train_state, make_optimizer
+
+    tx = make_optimizer(lr, weight_decay, beta1, beta2, max_grad_norm,
+                        warmup_steps)
+    pspecs = partition.gpt_param_specs(gpt_cfg)
+    param_sharding = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs,
+                                  is_leaf=lambda x: isinstance(x, P))
+    vq_params = jax.device_put(
+        vq_params, jax.tree.map(lambda _: NamedSharding(mesh, P()),
+                                vq_params))
+
+    def init_fn(rng):
+        params = gpt_mod.init_params(rng, gpt_cfg, dtype=param_dtype)
+        return init_train_state(params, tx, use_ema=use_ema)
+
+    abstract = jax.eval_shape(init_fn, jax.random.PRNGKey(seed))
+    out_shardings = TrainState(
+        step=NamedSharding(mesh, P()),
+        params=param_sharding,
+        opt_state=_opt_state_shardings(abstract.opt_state, abstract.params,
+                                       param_sharding, mesh),
+        ema_params=param_sharding if use_ema else None,
+    )
+    state = jax.jit(init_fn, out_shardings=out_shardings)(
+        jax.random.PRNGKey(seed))
+    step_fn = make_t2i_train_step(gpt_cfg, vq_cfg, tx, vq_params,
+                                  ema_decay if use_ema else None,
+                                  compute_dtype, remat)
+    return state, step_fn
+
+
+def shard_batch(batch: T2IBatch, mesh) -> T2IBatch:
+    """Split the batch across (dp, fsdp)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = P(("dp", "fsdp"))
+    put = lambda x: (None if x is None
+                     else jax.device_put(x, NamedSharding(mesh, spec)))
+    return T2IBatch(images=put(batch.images), captions=put(batch.captions),
+                    emb_masks=put(batch.emb_masks), valid=put(batch.valid))

@@ -107,3 +107,55 @@ def test_sample_t2i_cli_random_embeddings(tmp_path):
         "--cfg-scale", "1.5", "--top-k", "10",
         "--precision", "f32", "--out", out])
     assert os.path.exists(out)
+
+
+def test_train_t2i_cli_synthetic(tmp_path):
+    from llamagen_tpu.cli import train_t2i
+
+    train_t2i.main([
+        "--synthetic-steps", "2", "--gpt-model", "GPT-nano",
+        "--vq-model", "VQ-8", "--image-size", "32",
+        "--downsample-size", "8", "--global-batch-size", "8",
+        "--log-every", "1", "--ckpt-every", "1000",
+        "--results-dir", str(tmp_path)])
+    assert os.path.exists(str(tmp_path / "checkpoints"))
+
+
+def test_train_t2i_cli_jsonl(tmp_path):
+    """End-to-end over a real jsonl + T5-feature dir (ref t2i data layout),
+    including one corrupt sample exercising the valid-mask path."""
+    import json
+
+    import numpy as np
+    from PIL import Image
+
+    from llamagen_tpu.cli import train_t2i
+
+    feat_dir = tmp_path / "t5"
+    feat_dir.mkdir()
+    rows = []
+    rng = np.random.RandomState(0)
+    for i in range(8):
+        img_path = str(tmp_path / f"img_{i}.png")
+        if i != 2:  # sample 2: missing image -> dummy_data + valid=0
+            Image.fromarray(
+                rng.randint(0, 255, (40, 40, 3), dtype=np.uint8)
+            ).save(img_path)
+        np.savez(str(feat_dir / f"{i}.npz"),
+                 feature=rng.randn(5, 64).astype(np.float16),
+                 mask=np.ones(5, np.int32))
+        rows.append({"image_path": img_path, "caption_idx": i})
+    jsonl = str(tmp_path / "items.jsonl")
+    with open(jsonl, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    train_t2i.main([
+        "--jsonl", jsonl, "--t5-feature-dir", str(feat_dir),
+        "--gpt-model", "GPT-nano", "--vq-model", "VQ-8",
+        "--image-size", "32", "--downsample-size", "8",
+        "--cls-token-num", "8", "--caption-dim", "64",
+        "--global-batch-size", "8", "--max-steps", "2", "--epochs", "2",
+        "--log-every", "1", "--ckpt-every", "1000",
+        "--results-dir", str(tmp_path / "out")])
+    assert os.path.exists(str(tmp_path / "out" / "checkpoints"))
