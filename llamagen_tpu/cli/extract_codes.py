@@ -36,6 +36,36 @@ def center_crop(img, size):
     return arr[y:y + size, x:x + size]
 
 
+def ten_crop(arr, size):
+    """torchvision TenCrop semantics: tl/tr/bl/br/center of the image and
+    of its horizontal flip (ref: extract_codes_c2i.py:55-62,
+    crop_size = image_size * crop_range then TenCrop(image_size))."""
+    h, w = arr.shape[:2]
+    five = [arr[:size, :size], arr[:size, w - size:],
+            arr[h - size:, :size], arr[h - size:, w - size:],
+            arr[(h - size) // 2:(h - size) // 2 + size,
+                (w - size) // 2:(w - size) // 2 + size]]
+    flipped = arr[:, ::-1]
+    five += [flipped[:size, :size], flipped[:size, w - size:],
+             flipped[h - size:, :size], flipped[h - size:, w - size:],
+             flipped[(h - size) // 2:(h - size) // 2 + size,
+                     (w - size) // 2:(w - size) // 2 + size]]
+    return five
+
+
+def iter_jsonl(jsonl_path):
+    """t2i jsonl rows ({image_path, caption_idx}) -> (path, caption_idx);
+    the stored "label" is the caption index so codes re-join their T5
+    features downstream (ref: extract_codes_t2i.py:115-119)."""
+    import json
+
+    with open(jsonl_path) as f:
+        for i, line in enumerate(f):
+            row = json.loads(line)
+            yield (row.get("image_path") or row.get("image"),
+                   int(row.get("caption_idx", i)))
+
+
 def iter_image_folder(root):
     """ImageFolder layout: root/class_name/img.jpg, labels sorted by name."""
     classes = sorted(d for d in os.listdir(root)
@@ -49,7 +79,10 @@ def iter_image_folder(root):
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--data-path", required=True)
+    p.add_argument("--data-path", default=None,
+                   help="ImageFolder root (class subdirs)")
+    p.add_argument("--jsonl", default=None,
+                   help="t2i jsonl of {image_path, caption_idx} rows")
     p.add_argument("--out-dir", required=True)
     p.add_argument("--vq-model", default="VQ-16")
     p.add_argument("--vq-ckpt", default=None)
@@ -58,6 +91,12 @@ def main(argv=None):
     p.add_argument("--image-size", type=int, default=256)
     p.add_argument("--flip-aug", action="store_true",
                    help="store flipped codes too (ref flip augmentation)")
+    p.add_argument("--ten-crop", action="store_true",
+                   help="ten-crop augmentation (ref extract_codes_c2i)")
+    p.add_argument("--crop-range", type=float, default=1.1,
+                   help="pre-crop scale for --ten-crop (ref default 1.1)")
+    p.add_argument("--num-hosts", type=int, default=None)
+    p.add_argument("--host-id", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--shard-size", type=int, default=100_000)
     args = p.parse_args(argv)
@@ -68,7 +107,12 @@ def main(argv=None):
                                 args.codebook_size, args.codebook_embed_dim)
     latent = args.image_size // vq_cfg.downsample_factor
     seq_len = latent * latent
-    naug = 2 if args.flip_aug else 1
+    assert not (args.flip_aug and args.ten_crop)
+    naug = 10 if args.ten_crop else (2 if args.flip_aug else 1)
+    num_hosts = args.num_hosts if args.num_hosts is not None \
+        else jax.process_count()
+    host_id = args.host_id if args.host_id is not None \
+        else jax.process_index()
 
     encode = jax.jit(lambda x: vq_lib.encode(vq_params, x, vq_cfg)[2])
 
@@ -80,9 +124,10 @@ def main(argv=None):
         nonlocal shard_id, buf_codes, buf_labels
         if not buf_codes:
             return
-        np.savez(os.path.join(args.out_dir, f"shard_{shard_id:05d}.npz"),
-                 codes=np.stack(buf_codes).astype(np.int16),
-                 labels=np.asarray(buf_labels, np.int16))
+        stem = os.path.join(
+            args.out_dir, f"shard_h{host_id:03d}_{shard_id:05d}")
+        np.save(stem + ".codes.npy", np.stack(buf_codes).astype(np.int16))
+        np.save(stem + ".labels.npy", np.asarray(buf_labels, np.int16))
         shard_id += 1
         buf_codes, buf_labels = [], []
 
@@ -105,17 +150,32 @@ def main(argv=None):
         if len(buf_codes) >= args.shard_size:
             flush()
 
-    for path, label in iter_image_folder(args.data_path):
+    if args.jsonl:
+        items = iter_jsonl(args.jsonl)
+    elif args.data_path:
+        items = iter_image_folder(args.data_path)
+    else:
+        raise SystemExit("need --data-path or --jsonl")
+
+    for i, (path, label) in enumerate(items):
+        if i % num_hosts != host_id:  # rank striding (ref :107-113)
+            continue
         try:
             img = Image.open(path).convert("RGB")
         except OSError:
             continue
-        arr = center_crop(img, args.image_size)
-        batch_imgs.append(arr)
-        batch_labels.append(label)
-        if args.flip_aug:
-            batch_imgs.append(arr[:, ::-1])
+        if args.ten_crop:
+            big = center_crop(img, int(args.image_size * args.crop_range))
+            crops = ten_crop(big, args.image_size)
+            batch_imgs.extend(crops)
+            batch_labels.extend([label] * 10)
+        else:
+            arr = center_crop(img, args.image_size)
+            batch_imgs.append(arr)
             batch_labels.append(label)
+            if args.flip_aug:
+                batch_imgs.append(arr[:, ::-1])
+                batch_labels.append(label)
         if len(batch_imgs) >= args.batch_size:
             run_batch()
     run_batch()

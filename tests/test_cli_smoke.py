@@ -71,15 +71,55 @@ def test_extract_and_reconstruct_cli(tmp_path):
         "--vq-model", "VQ-8", "--codebook-size", "64",
         "--codebook-embed-dim", "4", "--image-size", "32",
         "--batch-size", "4"])
-    shards = [f for f in os.listdir(out_dir) if f.endswith(".npz")]
+    shards = [f for f in os.listdir(out_dir) if f.endswith(".codes.npy")]
     assert shards
-    z = np.load(os.path.join(out_dir, shards[0]))
-    assert z["codes"].shape[1] == 16  # 32/8 = 4x4 grid
+    codes = np.load(os.path.join(out_dir, shards[0]))
+    assert codes.shape[1] == 16  # 32/8 = 4x4 grid
+
+    # ten-crop augmentation (ref extract_codes_c2i.py:55-62): 10 per image
+    tc_dir = str(tmp_path / "codes_tc")
+    extract_codes.main([
+        "--data-path", data_dir, "--out-dir", tc_dir,
+        "--vq-model", "VQ-8", "--codebook-size", "64",
+        "--codebook-embed-dim", "4", "--image-size", "32",
+        "--ten-crop", "--batch-size", "20"])
+    tc = [f for f in os.listdir(tc_dir) if f.endswith(".codes.npy")]
+    tc_codes = np.load(os.path.join(tc_dir, tc[0]))
+    assert tc_codes.shape[1:] == (10, 16)
 
     reconstruction_vq.main([
         "--data-path", data_dir, "--vq-model", "VQ-8",
         "--codebook-size", "64", "--codebook-embed-dim", "4",
         "--image-size", "32", "--batch-size", "4", "--max-images", "4"])
+
+
+def test_extract_codes_jsonl(tmp_path):
+    """t2i jsonl extraction end-to-end: codes keyed by caption_idx."""
+    import json
+
+    from llamagen_tpu.cli import extract_codes
+    from llamagen_tpu.data.codes import PackedCodeDataset
+
+    data_dir = str(tmp_path / "imgs")
+    _make_tiny_image_folder(data_dir)
+    paths = []
+    for root, _, files in os.walk(data_dir):
+        paths += [os.path.join(root, f) for f in files]
+    jsonl = str(tmp_path / "items.jsonl")
+    with open(jsonl, "w") as f:
+        for i, p in enumerate(sorted(paths)):
+            f.write(json.dumps({"image_path": p, "caption_idx": i}) + "\n")
+
+    out_dir = str(tmp_path / "codes_t2i")
+    extract_codes.main([
+        "--jsonl", jsonl, "--out-dir", out_dir,
+        "--vq-model", "VQ-8", "--codebook-size", "64",
+        "--codebook-embed-dim", "4", "--image-size", "32",
+        "--batch-size", "4"])
+    ds = PackedCodeDataset(out_dir)
+    codes, caption_idx = next(ds.batches(len(paths), epochs=1))
+    assert sorted(caption_idx.tolist()) == list(range(len(paths)))
+    assert codes.shape == (len(paths), 16)
 
 
 def test_tools_check_codes_cli(tmp_path):
