@@ -30,7 +30,14 @@ def stream_npz(path: str, key: str = "arr_0", batch_size: int = 64):
     Reads the zip member as a stream: npy header first, then row-aligned
     chunks (mirrors the reference evaluator's batched reads,
     evaluator.py:445-583). Works for both compressed and stored members.
+    Bare `.npy` files (cli.sample_c2i_fid's native output) are memory-
+    mapped and sliced.
     """
+    if path.endswith(".npy"):
+        arr = np.load(path, mmap_mode="r")
+        for start in range(0, arr.shape[0], batch_size):
+            yield np.asarray(arr[start:start + batch_size])
+        return
     with zipfile.ZipFile(path) as zf:
         name = key if key in zf.namelist() else key + ".npy"
         with zf.open(name) as f:
