@@ -74,6 +74,9 @@ def main(argv=None):
     p.add_argument("--max-steps", type=int, default=-1)
     p.add_argument("--disc-start", type=int, default=20000)
     p.add_argument("--disc-weight", type=float, default=0.5)
+    p.add_argument("--disc-adaptive-weight", action="store_true",
+                   help="grad-norm-ratio adaptive GAN weight "
+                        "(ref vq_loss.py:109-115)")
     p.add_argument("--disc-type", default="patchgan",
                    choices=["patchgan", "stylegan"])
     p.add_argument("--disc-loss", default="hinge",
@@ -100,6 +103,7 @@ def main(argv=None):
         disc_type=args.disc_type, disc_loss=args.disc_loss,
         gen_adv_loss=args.gen_loss, reconstruction_loss=args.rec_loss,
         perceptual_weight=args.perceptual_weight if args.vgg_weights else 0.0,
+        disc_adaptive_weight=args.disc_adaptive_weight,
         image_size=args.image_size)
 
     lpips_params = None

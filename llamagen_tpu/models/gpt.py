@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from llamagen_tpu.config import GPTConfig
+from llamagen_tpu.ops.quant_matmul import matmul_any
 
 Params = Dict[str, Any]
 
@@ -123,7 +124,7 @@ def init_cache(cfg: GPTConfig, batch: int, max_seq_len: int,
         return KVCache(
             kv=tuple(jnp.zeros((batch, max_seq_len, f2), jnp.int8)
                      for _ in range(cfg.n_layer)),
-            kv_scale=tuple(jnp.ones((batch, max_seq_len, 128), jnp.float32)
+            kv_scale=tuple(jnp.ones((batch, max_seq_len, 128), jnp.bfloat16)
                            for _ in range(cfg.n_layer)))
     return KVCache(kv=tuple(jnp.zeros((batch, max_seq_len, f2), dtype)
                             for _ in range(cfg.n_layer)))
@@ -157,7 +158,8 @@ def quantize_cache(cache: KVCache, cfg: GPTConfig,
         kv8 = jnp.concatenate([k8, v8], axis=-1).astype(jnp.int8)
         sc = jnp.concatenate(
             [jnp.broadcast_to(ks, (batch, src_len, 64)),
-             jnp.broadcast_to(vs, (batch, src_len, 64))], axis=-1)
+             jnp.broadcast_to(vs, (batch, src_len, 64))],
+            axis=-1).astype(jnp.bfloat16)
         pad = max_seq_len - src_len
         n_kv.append(jnp.pad(kv8, ((0, 0), (0, pad), (0, 0))))
         n_sc.append(jnp.pad(sc, ((0, 0), (0, pad), (0, 0)),
@@ -172,7 +174,7 @@ def layer_params(params: Params, l: int) -> Params:
 
 def _split_qkv(p: Params, x: jnp.ndarray, cfg: GPTConfig):
     b, s, _ = x.shape
-    qkv = x @ p["wqkv"].astype(x.dtype)
+    qkv = matmul_any(p, "wqkv", x)
     q_size = cfg.n_head * cfg.head_dim
     kv_size = cfg.kv_heads * cfg.head_dim
     q = qkv[..., :q_size].reshape(b, s, cfg.n_head, cfg.head_dim)
@@ -222,14 +224,14 @@ def _attention(p: Params, x: jnp.ndarray, freqs: jnp.ndarray,
         v = ckv[:, :, f_:].reshape(b_, smax_, hkv, d_).astype(q.dtype)
 
     out = _sdpa(q, k, v, mask, cfg)
-    out = out @ p["wo"].astype(x.dtype)
+    out = matmul_any(p, "wo", out)
     return out, new_cache
 
 
 def _ffn(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """SwiGLU (ref: gpt.py:151-167)."""
-    h = jax.nn.silu(x @ p["w1"].astype(x.dtype)) * (x @ p["w3"].astype(x.dtype))
-    return h @ p["w2"].astype(x.dtype)
+    h = jax.nn.silu(matmul_any(p, "w1", x)) * matmul_any(p, "w3", x)
+    return matmul_any(p, "w2", h)
 
 
 def _dropout(rng, x, p: float):
@@ -352,7 +354,7 @@ def embed_condition(params: Params, cfg: GPTConfig, cond: jnp.ndarray,
 
 def _logits(params: Params, h: jnp.ndarray, cfg: GPTConfig) -> jnp.ndarray:
     h = rms_norm(h, params["norm"], cfg.norm_eps)
-    return (h @ params["output"].astype(h.dtype)).astype(jnp.float32)
+    return matmul_any(params, "output", h).astype(jnp.float32)
 
 
 def forward_train(params: Params, cfg: GPTConfig, cond: jnp.ndarray,
@@ -484,7 +486,7 @@ def decode_step(params: Params, cfg: GPTConfig, token: jnp.ndarray,
     for l in range(cfg.n_layer):
         p = layer_params(params, l)
         x = rms_norm(h, p["attention_norm"], cfg.norm_eps)
-        qkv = x @ p["wqkv"].astype(x.dtype)
+        qkv = matmul_any(p, "wqkv", x)
         q = qkv[:, :q_size].reshape(b, cfg.n_head, cfg.head_dim)
         k = qkv[:, q_size:q_size + kv_size].reshape(b, cfg.kv_heads,
                                                     cfg.head_dim)
@@ -510,15 +512,14 @@ def decode_step(params: Params, cfg: GPTConfig, token: jnp.ndarray,
         scores = jnp.where(mask, scores, jnp.float32(-1e30))
         probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
         attn = jnp.einsum("bhs,bshd->bhd", probs, vals.astype(q.dtype))
-        h = h + attn.reshape(b, cfg.dim) @ p["wo"].astype(x.dtype)
+        h = h + matmul_any(p, "wo", attn.reshape(b, cfg.dim)).astype(h.dtype)
 
         x = rms_norm(h, p["ffn_norm"], cfg.norm_eps)
-        ffn = jax.nn.silu(x @ p["w1"].astype(x.dtype)) * \
-            (x @ p["w3"].astype(x.dtype))
-        h = h + ffn @ p["w2"].astype(x.dtype)
+        ffn = jax.nn.silu(matmul_any(p, "w1", x)) * matmul_any(p, "w3", x)
+        h = h + matmul_any(p, "w2", ffn)
 
     h = rms_norm(h, params["norm"], cfg.norm_eps)
-    logits = (h @ params["output"].astype(h.dtype)).astype(jnp.float32)
+    logits = matmul_any(params, "output", h).astype(jnp.float32)
     return logits, KVCache(kv=tuple(new_kv))
 
 
@@ -549,7 +550,7 @@ def decode_step_pallas(params: Params, cfg: GPTConfig, token: jnp.ndarray,
     for l in range(cfg.n_layer):
         p = layer_params(params, l)
         x = rms_norm(h, p["attention_norm"], cfg.norm_eps)
-        qkv = x @ p["wqkv"].astype(x.dtype)
+        qkv = matmul_any(p, "wqkv", x)
         q = qkv[:, :q_size].reshape(b, cfg.n_head, cfg.head_dim)
         k = qkv[:, q_size:2 * q_size].reshape(b, cfg.n_head, cfg.head_dim)
         v = qkv[:, 2 * q_size:]
@@ -571,15 +572,14 @@ def decode_step_pallas(params: Params, cfg: GPTConfig, token: jnp.ndarray,
                 prefix_pad=prefix_pad, interpret=interpret)
         new_recent.append(r)
         new_kv.append(ckv)
-        h = h + attn.astype(x.dtype) @ p["wo"].astype(x.dtype)
+        h = h + matmul_any(p, "wo", attn.astype(x.dtype)).astype(h.dtype)
 
         x = rms_norm(h, p["ffn_norm"], cfg.norm_eps)
-        ffn = jax.nn.silu(x @ p["w1"].astype(x.dtype)) * \
-            (x @ p["w3"].astype(x.dtype))
-        h = h + ffn @ p["w2"].astype(x.dtype)
+        ffn = jax.nn.silu(matmul_any(p, "w1", x)) * matmul_any(p, "w3", x)
+        h = h + matmul_any(p, "w2", ffn)
 
     h = rms_norm(h, params["norm"], cfg.norm_eps)
-    logits = (h @ params["output"].astype(h.dtype)).astype(jnp.float32)
+    logits = matmul_any(params, "output", h).astype(jnp.float32)
     new_cache = KVCache(
         kv=tuple(new_kv),
         kv_scale=tuple(new_sc) if cache.quantized else None)

@@ -162,7 +162,8 @@ def _decode_attn_kernel(
                 # k scale broadcast in lanes [0, 64), v scale in [64, 128)
                 scale_stage[:] = jnp.concatenate(
                     [jnp.broadcast_to(ksc, (w, 64)),
-                     jnp.broadcast_to(vsc, (w, 64))], axis=1)
+                     jnp.broadcast_to(vsc, (w, 64))],
+                    axis=1).astype(scale_stage.dtype)
                 sw = pltpu.make_async_copy(
                     scale_stage, kv_scale_out.at[b, pl.ds(bnd, w)],
                     write_sem.at[1])
@@ -207,7 +208,7 @@ def _decode_attn_kernel(
             if quantized:
                 # per-row symmetric scales fold into the [S_blk, H] scores
                 # and the [S_blk, H] probabilities — O(S*H), not O(S*F)
-                scores = scores * sc_scratch[slot][:, 0:1]
+                scores = scores * sc_scratch[slot][:, 0:1].astype(jnp.float32)
             s_global = blk * block_s + jax.lax.broadcasted_iota(
                 jnp.int32, (block_s, 1), 0)
             valid = s_global < bnd
@@ -221,7 +222,7 @@ def _decode_attn_kernel(
             p = jnp.exp(scores - m_new)
             l_new = l_acc * alpha + jnp.sum(p, axis=0, keepdims=True)
             if quantized:
-                p_v = p * sc_scratch[slot][:, 64:65]
+                p_v = p * sc_scratch[slot][:, 64:65].astype(jnp.float32)
             else:
                 p_v = p
             p_flat = jnp.dot(p_v, seg.T, preferred_element_type=jnp.float32)
@@ -252,9 +253,10 @@ def decode_attention(q: jnp.ndarray, recent: jnp.ndarray,
                           k|v at slot pos%w before invoking (XLA-side dus)
     kv_cache: [B, S, 2F]  positions [0, w*(pos//w)); ALIASED in place,
                           flushed from the window when pos%w == w-1.
-                          May be int8: then kv_scale [B, S, 128] f32 holds
-                          per-position dequant scales (k in lane 0, v in
-                          lane 64) and the flush quantizes.
+                          May be int8: then kv_scale [B, S, 128] (f32 or
+                          bf16 — bf16 halves the scale DMA traffic) holds
+                          per-position dequant scales (k in lanes [0,64),
+                          v in [64,128)) and the flush quantizes.
     pos: scalar int32, or [B] int32 for per-slot positions (serving)
     prefix_pad: optional [B] int32 — number of LEFT-padded (masked) caption
         positions per sample (the t2i convention right-aligns valid tokens,
@@ -304,9 +306,9 @@ def decode_attention(q: jnp.ndarray, recent: jnp.ndarray,
         ],
         scratch_shapes=[
             pltpu.VMEM((2, block_s, 2 * f), kv_cache.dtype),  # kv blocks
-            pltpu.VMEM((2, block_s, 128), jnp.float32),       # scale blocks
+            pltpu.VMEM((2, block_s, 128), kv_scale.dtype),    # scale blocks
             pltpu.VMEM((w, 2 * f), kv_cache.dtype),           # flush staging
-            pltpu.VMEM((w, 128), jnp.float32),                # scale staging
+            pltpu.VMEM((w, 128), kv_scale.dtype),             # scale staging
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),
         ],

@@ -382,7 +382,8 @@ def make_scatter_pair(cfg: GPTConfig, num_pairs: int, use_kernel: bool,
                     axis=-1).astype(jnp.int8)
                 sc = jnp.concatenate(
                     [jnp.broadcast_to(ks, (2, base, 64)),
-                     jnp.broadcast_to(vs, (2, base, 64))], axis=-1)
+                     jnp.broadcast_to(vs, (2, base, 64))],
+                    axis=-1).astype(state.cache.kv_scale[l].dtype)
                 new_kv.append(state.cache.kv[l].at[idx, :base].set(q8))
                 new_sc.append(
                     state.cache.kv_scale[l].at[idx, :base].set(sc))

@@ -121,11 +121,16 @@ def make_vq_train_step(cfg: VQConfig, loss_cfg: VQLossConfig, tx_gen, tx_disc,
         return jnp.where(step >= loss_cfg.disc_start,
                          jnp.float32(loss_cfg.disc_weight), 0.0)
 
-    def gen_loss(params, disc_params, imgs, step):
-        recons, cb, indices = vq.forward(
-            params, imgs.astype(compute_dtype), cfg, train=True)
+    def _swap_last(params, kernel):
+        """params with the decoder's conv_out kernel replaced (the
+        reference's `last_layer`, vq_train.py passes
+        vq_model.decoder.last_layer into VQLoss)."""
+        dec = dict(params["decoder"])
+        dec["conv_out"] = {**dec["conv_out"], "kernel": kernel}
+        return {**params, "decoder": dec}
+
+    def _nll_and_adv(params, disc_params, imgs_f, recons):
         recons_f = recons.astype(jnp.float32)
-        imgs_f = imgs.astype(jnp.float32)
         rec = rec_loss_fn(loss_cfg.reconstruction_loss, imgs_f, recons_f)
         if lpips_params is not None and loss_cfg.perceptual_weight > 0:
             p = lpips_lib.lpips_mean(lpips_params, imgs_f, recons_f)
@@ -133,16 +138,51 @@ def make_vq_train_step(cfg: VQConfig, loss_cfg: VQLossConfig, tx_gen, tx_disc,
             p = jnp.float32(0.0)
         logits_fake = disc_apply(disc_params, recons)
         adv = g_adv(logits_fake.astype(jnp.float32))
+        return rec, p, adv
+
+    def gen_loss(params, disc_params, imgs, step):
+        z_q, cb, indices = vq.encode(params, imgs.astype(compute_dtype),
+                                     cfg, train=True)
+        recons = vq.decode(params, z_q, cfg)
+        imgs_f = imgs.astype(jnp.float32)
+        rec, p, adv = _nll_and_adv(params, disc_params, imgs_f, recons)
         dw = disc_gate(step)
+
+        if loss_cfg.disc_adaptive_weight:
+            # grad-norm-ratio adaptive GAN weight (ref: vq_loss.py:109-115,
+            # 132-137): d = ||d(nll)/dW_last|| / (||d(adv)/dW_last|| + 1e-4)
+            z_sg = jax.lax.stop_gradient(z_q)
+
+            def nll_of(kernel):
+                r2 = vq.decode(_swap_last(params, kernel), z_sg, cfg)
+                rec2, p2, _ = _nll_and_adv(params, disc_params, imgs_f, r2)
+                return (loss_cfg.reconstruction_weight * rec2
+                        + loss_cfg.perceptual_weight * p2)
+
+            def adv_of(kernel):
+                r2 = vq.decode(_swap_last(params, kernel), z_sg, cfg)
+                return _nll_and_adv(params, disc_params, imgs_f, r2)[2]
+
+            kernel = jax.lax.stop_gradient(
+                params["decoder"]["conv_out"]["kernel"])
+            g_nll = jax.grad(nll_of)(kernel)
+            g_adv_grad = jax.grad(adv_of)(kernel)
+            d_adapt = jnp.linalg.norm(g_nll.reshape(-1)) / (
+                jnp.linalg.norm(g_adv_grad.reshape(-1)) + 1e-4)
+            d_adapt = jax.lax.stop_gradient(jnp.clip(d_adapt, 0.0, 1e4))
+        else:
+            d_adapt = jnp.float32(1.0)
+
         codebook_total = cb["vq"] + cb["commit"] + cb["entropy"]
         loss = (loss_cfg.reconstruction_weight * rec
                 + loss_cfg.perceptual_weight * p
-                + dw * adv
+                + d_adapt * dw * adv
                 + loss_cfg.codebook_weight * codebook_total)
         usage = codebook_usage(indices, cfg.codebook_size)
         metrics = {"rec_loss": rec, "perceptual_loss": p,
                    "gen_adv_loss": adv, "vq_loss": cb["vq"],
                    "commit_loss": cb["commit"], "entropy_loss": cb["entropy"],
+                   "disc_adaptive_weight": d_adapt,
                    "codebook_usage": usage}
         return loss, (recons, metrics)
 

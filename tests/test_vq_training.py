@@ -171,3 +171,76 @@ def test_codebook_usage():
     idx = jnp.asarray(np.array([[0, 1], [1, 2]]))
     usage = vq_train.codebook_usage(idx, 8)
     np.testing.assert_allclose(float(usage), 3 / 8)
+
+
+def test_disc_adaptive_weight():
+    """Grad-norm-ratio adaptive GAN weight (ref: vq_loss.py:109-115).
+
+    Property check: d = ||d(nll)/dW_last|| / (||d(adv)/dW_last|| + eps) is
+    positive/finite, and doubling the reconstruction weight (nll term)
+    exactly doubles it (the ratio is linear in the nll gradient); the main
+    loss composition is nll + d*gate*adv + codebook (vq_loss.py:139-143).
+    """
+    cfg = vq_config("VQ-8", codebook_size=64, codebook_embed_dim=4)
+    import dataclasses
+    cfg = dataclasses.replace(cfg, ch=32, z_channels=32)
+
+    def run(rec_weight):
+        loss_cfg = vq_train.VQLossConfig(
+            disc_start=0, image_size=32, perceptual_weight=0.0,
+            reconstruction_weight=rec_weight, disc_adaptive_weight=True)
+        tx_g = vq_train.make_vq_optimizer(lr=1e-3)
+        tx_d = vq_train.make_vq_optimizer(lr=1e-3)
+        state = vq_train.init_vq_train_state(
+            jax.random.PRNGKey(0), cfg, loss_cfg, tx_g, tx_d)
+        step_fn = vq_train.make_vq_train_step(cfg, loss_cfg, tx_g, tx_d)
+        rng = np.random.RandomState(0)
+        imgs = jnp.asarray(
+            rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32))
+        state, metrics = step_fn(state, imgs)
+        return float(metrics["disc_adaptive_weight"]), state
+
+    d1, state = run(1.0)
+    d2, _ = run(2.0)
+    assert np.isfinite(d1) and d1 > 0
+    assert d2 == pytest.approx(2 * d1, rel=1e-3), (d1, d2)
+
+
+def test_stylegan_logits_parity_vs_reference():
+    """Full logits-parity oracle for the StyleGAN discriminator.
+
+    kornia is not installed, so the test supplies its own filter2d with
+    kornia's exact semantics (reflect border, normalized kernel) to the
+    reference module — validating our _blur + block topology numerically.
+    """
+    import torch
+    import torch.nn.functional as F
+    import conftest
+
+    conftest.add_reference_to_path()
+    from tokenizer.tokenizer_image import discriminator_stylegan as ref_mod
+
+    def filter2d(x, kernel, normalized=True):
+        # kornia.filters.filter2d: border_type='reflect'
+        k = kernel if kernel.dim() == 3 else kernel[None]
+        if normalized:
+            k = k / k.sum()
+        c = x.shape[1]
+        k = k.expand(c, 1, 3, 3).to(x.dtype).contiguous()
+        xp = F.pad(x, (1, 1, 1, 1), mode="reflect")
+        return F.conv2d(xp, k, groups=c).contiguous()
+
+    ref_mod.filter2d = filter2d
+    torch.manual_seed(0)
+    ref = ref_mod.Discriminator(input_nc=3, image_size=64).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    from llamagen_tpu.utils.convert import convert_stylegan
+    params = convert_stylegan(sd)
+
+    rng = np.random.RandomState(0)
+    x = rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_logits = ref(torch.from_numpy(x).permute(0, 3, 1, 2)).numpy()
+    ours = np.asarray(disc_lib.stylegan_apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(ours, ref_logits, atol=2e-3, rtol=1e-3)
