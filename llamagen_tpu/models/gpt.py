@@ -544,7 +544,6 @@ def decode_step_pallas(params: Params, cfg: GPTConfig, token: jnp.ndarray,
     freqs = jax.lax.dynamic_slice_in_dim(
         freqs_cis_2d(cfg), pos, 1, axis=0)[0]
     q_size = cfg.n_head * cfg.head_dim
-    slot = pos % recent[0].shape[1]
 
     new_recent, new_kv, new_sc = [], [], []
     for l in range(cfg.n_layer):
@@ -558,18 +557,16 @@ def decode_step_pallas(params: Params, cfg: GPTConfig, token: jnp.ndarray,
         k = _rope_single(k, freqs).reshape(b, q_size)
 
         kv_new = jnp.concatenate([k, v], axis=-1)
-        r = jax.lax.dynamic_update_slice(
-            recent[l], kv_new.astype(recent[l].dtype)[:, None], (0, slot, 0))
         if cache.quantized:
-            attn, ckv, csc = attn_lib.decode_attention(
-                q.astype(compute_dtype), r, cache.kv[l], pos, cfg.n_head,
-                prefix_pad=prefix_pad, kv_scale=cache.kv_scale[l],
-                interpret=interpret)
+            attn, ckv, csc, r = attn_lib.decode_attention(
+                q.astype(compute_dtype), kv_new, recent[l], cache.kv[l],
+                pos, cfg.n_head, prefix_pad=prefix_pad,
+                kv_scale=cache.kv_scale[l], interpret=interpret)
             new_sc.append(csc)
         else:
-            attn, ckv = attn_lib.decode_attention(
-                q.astype(compute_dtype), r, cache.kv[l], pos, cfg.n_head,
-                prefix_pad=prefix_pad, interpret=interpret)
+            attn, ckv, r = attn_lib.decode_attention(
+                q.astype(compute_dtype), kv_new, recent[l], cache.kv[l],
+                pos, cfg.n_head, prefix_pad=prefix_pad, interpret=interpret)
         new_recent.append(r)
         new_kv.append(ckv)
         h = h + matmul_any(p, "wo", attn.astype(x.dtype)).astype(h.dtype)

@@ -61,16 +61,18 @@ def _decode_attn_kernel(
     # scalar prefetch
     pos_ref, pad_ref,
     # inputs
-    seg_ref, q_ref, recent_ref, kv_cache_hbm, kv_scale_hbm,
+    seg_ref, q_ref, kv_new_ref, recent_in, kv_cache_hbm, kv_scale_hbm,
     # outputs
-    out_ref, kv_cache_out, kv_scale_out,
+    out_ref, kv_cache_out, kv_scale_out, recent_ref,
     # scratch
     kv_scratch, sc_scratch, flush_stage, scale_stage, sems, write_sem,
     *, block_s: int, scale: float, n_head: int, head_dim: int,
     use_prefix: bool, quantized: bool, w: int, batch: int,
 ):
     """grid=(1,): one program walks all batch elements, next DMA always in
-    flight. recent_ref: [B, w, 2F] exact window; kv_cache: [B, S, 2F]."""
+    flight. recent_ref: [B, w, 2F] exact window (aliased in/out; the kernel
+    itself inserts this step's kv_new row — an XLA-side dus cost a third
+    full traversal of the window buffers per step); kv_cache: [B, S, 2F]."""
     f = n_head * head_dim
     seg = seg_ref[:]
 
@@ -183,6 +185,12 @@ def _decode_attn_kernel(
     def outer(b, slot):
         bnd = boundary_of(b)
         nblk = nblk_of(b)
+        # insert this position's k|v row into the rolling window (masked
+        # full-window select: dynamic sublane stores need static 8-aligned
+        # indices on Mosaic, a [w, 2F] where does not)
+        j_w = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+        recent_ref[b] = jnp.where(j_w == pos_ref[b] - bnd, kv_new_ref[b],
+                                  recent_in[b])
         # scale folded into q once per (b, layer); int8 dequant scales fold
         # into the tiny [S_blk, H] scores/probs instead of [S_blk, F] rows
         q_row = q_ref[b, 0].astype(jnp.float32)[None, :] * scale
@@ -239,18 +247,21 @@ def _decode_attn_kernel(
     jax.lax.fori_loop(0, batch, outer, jnp.int32(0))
 
 
-def decode_attention(q: jnp.ndarray, recent: jnp.ndarray,
+def decode_attention(q: jnp.ndarray, kv_new: jnp.ndarray,
+                     recent: jnp.ndarray,
                      kv_cache: jnp.ndarray, pos: jnp.ndarray, n_head: int,
                      prefix_pad: Optional[jnp.ndarray] = None,
                      kv_scale: Optional[jnp.ndarray] = None,
                      *, block_s: int = BLOCK_S,
                      interpret: Optional[bool] = None):
-    """Single-position attention for one layer, cache updated in place.
+    """Single-position attention for one layer; cache AND window updated
+    in place.
 
     q:        [B, F]      (post-RoPE, flattened heads; F = H*head_dim)
+    kv_new:   [B, 2F]     this position's k | v row; the KERNEL inserts it
+                          into the window at slot pos%w (aliased in/out)
     recent:   [B, w, 2F]  rolling window (k | v lanes) holding positions
-                          [w*(pos//w), pos]; the CALLER writes the current
-                          k|v at slot pos%w before invoking (XLA-side dus)
+                          [w*(pos//w), pos)
     kv_cache: [B, S, 2F]  positions [0, w*(pos//w)); ALIASED in place,
                           flushed from the window when pos%w == w-1.
                           May be int8: then kv_scale [B, S, 128] (f32 or
@@ -262,8 +273,8 @@ def decode_attention(q: jnp.ndarray, recent: jnp.ndarray,
         positions per sample (the t2i convention right-aligns valid tokens,
         ref sample_t2i.py:92-106, so the mask is always a prefix)
 
-    Returns (out [B, F], kv_cache) or (out, kv_cache, kv_scale) when
-    quantized.
+    Returns (out [B, F], kv_cache, recent) or
+    (out, kv_cache, kv_scale, recent) when quantized.
     """
     if interpret is None:
         # interpret mode off-TPU: the kernel is testable on CPU transparently
@@ -281,6 +292,7 @@ def decode_attention(q: jnp.ndarray, recent: jnp.ndarray,
     assert smax % block_s == 0, (
         f"cache len {smax} not aligned to block {block_s}")
     assert recent.shape == (b, w, 2 * f), (recent.shape, (b, w, 2 * f))
+    assert kv_new.shape == (b, 2 * f), (kv_new.shape, (b, 2 * f))
     scale = head_dim ** -0.5
 
     use_prefix = prefix_pad is not None
@@ -295,6 +307,7 @@ def decode_attention(q: jnp.ndarray, recent: jnp.ndarray,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),      # seg mask [F, H]
             pl.BlockSpec(memory_space=pltpu.VMEM),      # q [B, 1, F]
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # kv_new [B, 1, 2F]
             pl.BlockSpec(memory_space=pltpu.VMEM),      # recent [B, w, 2F]
             pl.BlockSpec(memory_space=pl.ANY),          # kv_cache
             pl.BlockSpec(memory_space=pl.ANY),          # kv_scale
@@ -303,6 +316,7 @@ def decode_attention(q: jnp.ndarray, recent: jnp.ndarray,
             pl.BlockSpec(memory_space=pltpu.VMEM),      # out [B, 1, F]
             pl.BlockSpec(memory_space=pl.ANY),          # kv_cache (aliased)
             pl.BlockSpec(memory_space=pl.ANY),          # kv_scale (aliased)
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # recent (aliased)
         ],
         scratch_shapes=[
             pltpu.VMEM((2, block_s, 2 * f), kv_cache.dtype),  # kv blocks
@@ -319,21 +333,24 @@ def decode_attention(q: jnp.ndarray, recent: jnp.ndarray,
         head_dim=head_dim, use_prefix=use_prefix, quantized=quantized, w=w,
         batch=b)
 
-    out, kv_cache, kv_scale = pl.pallas_call(
+    out, kv_cache, kv_scale, recent = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, 1, f), q.dtype),
             jax.ShapeDtypeStruct(kv_cache.shape, kv_cache.dtype),
             jax.ShapeDtypeStruct(kv_scale.shape, kv_scale.dtype),
+            jax.ShapeDtypeStruct(recent.shape, recent.dtype),
         ],
-        input_output_aliases={5: 1, 6: 2},  # caches in -> out
+        # caches + window in -> out (inputs counted incl. scalar prefetch)
+        input_output_aliases={6: 1, 7: 2, 5: 3},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (b,)),
       jnp.broadcast_to(jnp.asarray(prefix_pad, jnp.int32).reshape(-1), (b,)),
       jnp.asarray(_seg_mask(n_head, head_dim)),
-      q[:, None, :], recent, kv_cache, kv_scale)
+      q[:, None, :], kv_new.astype(recent.dtype)[:, None, :], recent,
+      kv_cache, kv_scale)
     if quantized:
-        return out[:, 0, :], kv_cache, kv_scale
-    return out[:, 0, :], kv_cache
+        return out[:, 0, :], kv_cache, kv_scale, recent
+    return out[:, 0, :], kv_cache, recent

@@ -84,9 +84,6 @@ def make_tp_decode_step(cfg: GPTConfig, mesh: Mesh, ntp: int,
         h = params["tok_embeddings"][token].astype(compute_dtype)
         freqs = jax.lax.dynamic_slice_in_dim(
             gpt.freqs_cis_2d(cfg), pos, 1, axis=0)[0]
-        w = recent[0].shape[1]
-        slot = pos % w
-
         new_ckv, new_r = [], []
         for l in range(cfg.n_layer):
             p = gpt.layer_params(params, l)
@@ -99,11 +96,9 @@ def make_tp_decode_step(cfg: GPTConfig, mesh: Mesh, ntp: int,
             k = gpt._rope_single(k, freqs).reshape(b, d_local)
 
             kv_new = jnp.concatenate([k, v], axis=-1)
-            r = jax.lax.dynamic_update_slice(
-                recent[l], kv_new.astype(recent[l].dtype)[:, None],
-                (0, slot, 0))
-            attn, ckv = attn_lib.decode_attention(
-                q.astype(compute_dtype), r, cache_kv[l], pos, h_local)
+            attn, ckv, r = attn_lib.decode_attention(
+                q.astype(compute_dtype), kv_new, recent[l], cache_kv[l],
+                pos, h_local)
             new_ckv.append(ckv)
             new_r.append(r)
             # row-parallel wo: partial sums reduced over tp

@@ -171,9 +171,6 @@ def _decode_step_slots_pallas(params, cfg: GPTConfig, emb: jnp.ndarray,
     h = emb.astype(compute_dtype)
     freqs = gpt.freqs_cis_2d(cfg)[pos]  # [B, D//2, 2]
     q_size = cfg.n_head * cfg.head_dim
-    w = recent[0].shape[1]
-    slot = pos % w  # [B]
-    batch_ids = jnp.arange(b)
 
     def rope(x):
         xf = x.astype(jnp.float32).reshape(*x.shape[:-1], -1, 2)
@@ -196,17 +193,16 @@ def _decode_step_slots_pallas(params, cfg: GPTConfig, emb: jnp.ndarray,
         v = qkv[:, 2 * q_size:]
 
         kv_new = jnp.concatenate([k, v], axis=-1)
-        r = recent[l].at[batch_ids, slot].set(
-            kv_new.astype(recent[l].dtype))
         if cache.quantized:
-            attn, ckv, csc = attn_lib.decode_attention(
-                q.astype(compute_dtype), r, cache.kv[l], pos, cfg.n_head,
-                prefix_pad=prefix_pad, kv_scale=cache.kv_scale[l])
+            attn, ckv, csc, r = attn_lib.decode_attention(
+                q.astype(compute_dtype), kv_new, recent[l], cache.kv[l],
+                pos, cfg.n_head, prefix_pad=prefix_pad,
+                kv_scale=cache.kv_scale[l])
             new_sc.append(csc)
         else:
-            attn, ckv = attn_lib.decode_attention(
-                q.astype(compute_dtype), r, cache.kv[l], pos, cfg.n_head,
-                prefix_pad=prefix_pad)
+            attn, ckv, r = attn_lib.decode_attention(
+                q.astype(compute_dtype), kv_new, recent[l], cache.kv[l],
+                pos, cfg.n_head, prefix_pad=prefix_pad)
         new_recent.append(r)
         new_kv.append(ckv)
         h = h + matmul_any(p, "wo", attn.astype(x.dtype)).astype(h.dtype)

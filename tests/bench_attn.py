@@ -28,6 +28,7 @@ def main():
     w = recent_window(jnp.int8)
     q = jnp.asarray(rng.randn(B, F), jnp.bfloat16)
     recent = jnp.asarray(rng.randn(B, w, 2 * F), jnp.bfloat16)
+    kv_new = jnp.asarray(rng.randn(B, 2 * F), jnp.bfloat16)
     caches = [jnp.asarray(rng.randint(-127, 128, size=(B, S, 2 * F)), jnp.int8)
               for _ in range(LAYERS)]
     scales = [jnp.asarray(rng.rand(B, S, 128), jnp.float32)
@@ -39,8 +40,8 @@ def main():
         outs = []
         new_c, new_s = [], []
         for i in range(LAYERS):
-            o, c, s = decode_attention(q, recent, caches[i], pos, H,
-                                       kv_scale=scales[i])
+            o, c, s, _ = decode_attention(q, kv_new, recent, caches[i],
+                                          pos, H, kv_scale=scales[i])
             outs.append(o)
             new_c.append(c)
             new_s.append(s)

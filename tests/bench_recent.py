@@ -26,7 +26,7 @@ def run_variant(name, skip_dus):
     params = quantize_gpt_params(
         gpt.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16))
     B = 16
-    smax = 704
+    smax = 768
     cache = gpt.init_cache(cfg, B, smax, dtype=jnp.int8)
     recent = gpt.init_recent(cfg, B, dtype=jnp.bfloat16, window=32)
     rng = np.random.RandomState(0)

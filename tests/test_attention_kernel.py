@@ -44,17 +44,23 @@ def _run(pos, prefix_pad=None, dtype=np.float32, block_s=64, seed=0):
     kv_cache[:, :boundary] = _merge(k_hist, v_hist)[:, :boundary]
 
     recent = rng.randn(B, RECENT, 2 * F).astype(np.float32)
-    n_recent = pos - boundary + 1
-    recent[:, :n_recent] = _merge(k_hist, v_hist)[:, boundary:pos + 1]
+    merged = _merge(k_hist, v_hist)
+    n_prev = pos - boundary
+    recent[:, :n_prev] = merged[:, boundary:pos]
+    kv_new = merged[:, pos]  # the kernel inserts the current row itself
 
-    out, kv_upd = decode_attention(
+    out, kv_upd, recent_upd = decode_attention(
         jnp.asarray(q.reshape(B, F), dtype),
+        jnp.asarray(kv_new, dtype),
         jnp.asarray(recent, dtype),
         jnp.asarray(kv_cache, dtype),
         jnp.int32(pos), H,
         prefix_pad=None if prefix_pad is None else jnp.asarray(
             prefix_pad, jnp.int32),
         block_s=block_s, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(recent_upd, np.float32)[:, pos - boundary], kv_new,
+        atol=1e-2 if dtype != np.float32 else 1e-6)
 
     if prefix_pad is None:
         prefix = None
@@ -62,7 +68,8 @@ def _run(pos, prefix_pad=None, dtype=np.float32, block_s=64, seed=0):
         prefix = np.arange(pos + 1)[None, :] >= np.asarray(prefix_pad)[:, None]
     expected = _dense_oracle(q, k_hist, v_hist, prefix)
     return (np.asarray(out, np.float32).reshape(B, H, D), expected,
-            np.asarray(kv_upd, np.float32), kv_cache, recent, boundary)
+            np.asarray(kv_upd, np.float32), kv_cache,
+            np.asarray(recent_upd, np.float32), boundary)
 
 
 @pytest.mark.parametrize("pos", [0, 1, 7, 8, 63, 64, 100, 127, 200, 255])
@@ -115,14 +122,17 @@ def test_kernel_per_slot_positions():
 
     kv_cache = np.zeros((B, S, 2 * F), np.float32)
     recent = np.zeros((B, RECENT, 2 * F), np.float32)
+    kv_new = np.zeros((B, 2 * F), np.float32)
     for b in range(B):
         bnd = (positions[b] // RECENT) * RECENT
         merged = _merge(hists[b][0][None], hists[b][1][None])[0]
         kv_cache[b, :bnd] = merged[:bnd]
-        recent[b, :positions[b] - bnd + 1] = merged[bnd:positions[b] + 1]
+        recent[b, :positions[b] - bnd] = merged[bnd:positions[b]]
+        kv_new[b] = merged[positions[b]]
 
-    out, _ = decode_attention(
-        jnp.asarray(q.reshape(B, F)), jnp.asarray(recent),
+    out, _, _ = decode_attention(
+        jnp.asarray(q.reshape(B, F)), jnp.asarray(kv_new),
+        jnp.asarray(recent),
         jnp.asarray(kv_cache), jnp.asarray(positions, jnp.int32), H,
         block_s=64, interpret=True)
     for b in range(B):
@@ -156,11 +166,12 @@ def test_kernel_int8_quantized_cache():
             kv_scale[bb, s, 64:] = vs
 
     recent = np.zeros((B, RECENT_INT8, 2 * F), np.float32)
-    n_rec = pos - boundary + 1
-    recent[:, :n_rec] = merged[:, boundary:pos + 1]
+    recent[:, :pos - boundary] = merged[:, boundary:pos]
+    kv_new = merged[:, pos]
 
-    out, kv_upd, sc_upd = decode_attention(
-        jnp.asarray(q.reshape(B, F)), jnp.asarray(recent),
+    out, kv_upd, sc_upd, _ = decode_attention(
+        jnp.asarray(q.reshape(B, F)), jnp.asarray(kv_new),
+        jnp.asarray(recent),
         jnp.asarray(kv_cache), jnp.int32(pos), H,
         kv_scale=jnp.asarray(kv_scale), block_s=64, interpret=True)
 
@@ -175,21 +186,25 @@ def test_kernel_int8_flush_roundtrip():
     rng = np.random.RandomState(5)
     q = rng.randn(B, F).astype(np.float32)
     recent = rng.randn(B, RECENT_INT8, 2 * F).astype(np.float32)
+    kv_new = rng.randn(B, 2 * F).astype(np.float32)
     kv_cache = np.zeros((B, S, 2 * F), np.int8)
     kv_scale = np.ones((B, S, 128), np.float32)
 
-    out, kv_upd, sc_upd = decode_attention(
-        jnp.asarray(q), jnp.asarray(recent), jnp.asarray(kv_cache),
+    out, kv_upd, sc_upd, _ = decode_attention(
+        jnp.asarray(q), jnp.asarray(kv_new), jnp.asarray(recent),
+        jnp.asarray(kv_cache),
         jnp.int32(pos), H, kv_scale=jnp.asarray(kv_scale), block_s=64,
         interpret=True)
 
+    window = recent.copy()
+    window[:, 31] = kv_new  # the kernel inserts the row before flushing
     kv_upd = np.asarray(kv_upd)
     sc_upd = np.asarray(sc_upd)
     deq_k = kv_upd[:, 64:96, :F].astype(np.float32) * sc_upd[:, 64:96, :1]
     deq_v = (kv_upd[:, 64:96, F:].astype(np.float32)
              * sc_upd[:, 64:96, 64:65])
-    np.testing.assert_allclose(deq_k, recent[:, :, :F], atol=0.05, rtol=0.05)
-    np.testing.assert_allclose(deq_v, recent[:, :, F:], atol=0.05, rtol=0.05)
+    np.testing.assert_allclose(deq_k, window[:, :, :F], atol=0.05, rtol=0.05)
+    np.testing.assert_allclose(deq_v, window[:, :, F:], atol=0.05, rtol=0.05)
 
 
 def test_decode_step_pallas_matches_xla():
@@ -252,10 +267,12 @@ def test_kernel_odd_head_dim():
     kv_cache = np.zeros((B, 128, 2 * f2), np.float32)
     kv_cache[:, :boundary] = merged[:, :boundary]
     recent = np.zeros((B, RECENT, 2 * f2), np.float32)
-    recent[:, :pos - boundary + 1] = merged[:, boundary:pos + 1]
+    recent[:, :pos - boundary] = merged[:, boundary:pos]
+    kv_new = merged[:, pos]
 
-    out, _ = decode_attention(
-        jnp.asarray(q.reshape(B, f2)), jnp.asarray(recent),
+    out, _, _ = decode_attention(
+        jnp.asarray(q.reshape(B, f2)), jnp.asarray(kv_new),
+        jnp.asarray(recent),
         jnp.asarray(kv_cache), jnp.int32(pos), h2, block_s=64,
         interpret=True)
 

