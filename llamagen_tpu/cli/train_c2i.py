@@ -58,6 +58,10 @@ def main(argv=None):
     p.add_argument("--ckpt-every", type=int, default=5000)
     p.add_argument("--results-dir", default="results")
     p.add_argument("--resume", default=None)
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of steps 2..4 here")
+    p.add_argument("--memory-analysis", action="store_true",
+                   help="log the compiler's memory breakdown of the step")
     args = p.parse_args(argv)
 
     latent = args.image_size // args.downsample_size
@@ -127,14 +131,26 @@ def main(argv=None):
     t0, last_log = time.time(), start_step
     running_loss = 0.0
     step = start_step
+    profiling = None
     for codes, labels in it:
         if max_steps > 0 and step >= max_steps:
             break
         batch = c2i.shard_batch(
             c2i.Batch(labels=jnp.asarray(labels), tokens=jnp.asarray(codes)),
             mesh)
+        if args.memory_analysis and step == start_step:
+            from llamagen_tpu.utils import profiling as prof
+            logger.info(prof.format_memory(prof.memory_analysis(
+                lambda s, b, r: step_fn(s, b, r)[1], state, batch, rng)))
+        if args.profile_dir and step == start_step + 2 and profiling is None:
+            jax.profiler.start_trace(args.profile_dir)
+            profiling = True
+            logger.info(f"profiler trace -> {args.profile_dir}")
         state, metrics = step_fn(state, batch, rng)
         step += 1
+        if profiling and step >= start_step + 5:
+            jax.profiler.stop_trace()
+            profiling = False
         running_loss += float(metrics["loss"])
         if step % args.log_every == 0:
             dt = time.time() - t0

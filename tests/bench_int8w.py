@@ -39,11 +39,29 @@ def main():
                        top_p=1.0, cache_dtype=jnp.int8)
         return np.asarray(seq)
 
-    # greedy agreement bf16 vs int8 weights
-    g_ref = run(params, 0, greedy=True)
-    g_q = run(qparams, 0, greedy=True)
-    agree = (g_ref == g_q).mean()
-    print(f"greedy agreement int8-w vs bf16-w: {agree:.4f}")
+    # teacher-forced evidence: identical forced context, per-position
+    # argmax agreement + logits error (rollout agreement is chain-
+    # sensitive: one marginal flip diverges the rest of the stream and
+    # says nothing about per-step fidelity)
+    rng2 = np.random.RandomState(1)
+    tokens = jnp.asarray(rng2.randint(0, cfg.vocab_size,
+                                      size=(batch, cfg.block_size)))
+
+    @jax.jit
+    def tf_compare(p1, p2):
+        l1, _ = gpt.forward_train(p1, cfg, labels, tokens[:, :-1],
+                                  train=False, compute_dtype=jnp.bfloat16)
+        l2, _ = gpt.forward_train(p2, cfg, labels, tokens[:, :-1],
+                                  train=False, compute_dtype=jnp.bfloat16)
+        agree = jnp.mean(jnp.argmax(l1, -1) == jnp.argmax(l2, -1))
+        err = jnp.abs(l2 - l1)
+        return agree, err.max(), err.mean(), jnp.abs(l1).mean()
+
+    agree, emax, emean, scale = [float(np.asarray(x))
+                                 for x in tf_compare(params, qparams)]
+    print(f"teacher-forced argmax agreement int8-w vs bf16-w: {agree:.4f}")
+    print(f"logits err: max {emax:.4f}, mean {emean:.4f}, "
+          f"logit scale {scale:.4f}")
 
     run(qparams, 0)
     run(qparams, 0)

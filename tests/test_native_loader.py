@@ -50,3 +50,43 @@ def test_native_loader_deterministic_seed(tmp_path):
     np.testing.assert_array_equal(la, lb)
     a.close()
     b.close()
+
+
+def test_packed_dataset_host_striding(tmp_path):
+    """num_hosts/host_id sample striding: disjoint, complete, deterministic."""
+    from llamagen_tpu.data.codes import (PackedCodeDataset,
+                                         SyntheticCodeDataset, pack_shards)
+
+    src = SyntheticCodeDataset(32, 8, vocab_size=64, num_classes=8, seed=1)
+    out = str(tmp_path / "packed")
+    pack_shards(src, out, shard_size=10)  # 4 shards, mixed sizes
+
+    seen = []
+    for h in range(4):
+        ds = PackedCodeDataset(out, num_hosts=4, host_id=h)
+        assert len(ds) == 32
+        codes, labels = next(ds.batches(8, seed=0, epochs=1,
+                                        drop_remainder=False))
+        seen.append(codes)
+    allc = np.concatenate(seen)
+    # 4 hosts x 8 samples = all 32 samples exactly once (same permutation)
+    assert allc.shape == (32, 8)
+    ref = np.sort(src.codes.astype(np.int32), axis=0)
+    np.testing.assert_array_equal(np.sort(allc, axis=0), ref)
+
+
+def test_native_loader_host_striding(tmp_path):
+    from llamagen_tpu.data.codes import SyntheticCodeDataset
+    from llamagen_tpu.data.native import NativeCodeLoader, pack_shards_raw
+
+    src = SyntheticCodeDataset(24, 8, vocab_size=64, num_classes=8, seed=2)
+    out = str(tmp_path / "raw")
+    pack_shards_raw(src, out, shard_size=6)  # 4 shards
+
+    totals = []
+    for h in range(2):
+        dl = NativeCodeLoader(out, batch_size=4, seed=0, num_hosts=2,
+                              host_id=h)
+        totals.append(dl.num_samples)
+        dl.close()
+    assert sum(totals) == 24
