@@ -58,6 +58,9 @@ def main(argv=None):
     p.add_argument("--ckpt-every", type=int, default=5000)
     p.add_argument("--results-dir", default="results")
     p.add_argument("--resume", default=None)
+    p.add_argument("--exp-auto", action="store_true",
+                   help="create an auto-numbered {index:03d}-{model} "
+                        "experiment subdir (ref train_c2i.py:71-84)")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of steps 2..4 here")
     p.add_argument("--memory-analysis", action="store_true",
@@ -70,6 +73,10 @@ def main(argv=None):
                      class_dropout_prob=args.class_dropout_prob)
 
     mesh = make_mesh(args.dp, args.fsdp, args.tp)
+    if args.exp_auto:
+        from llamagen_tpu.utils.logger import create_experiment_dir
+        args.results_dir = create_experiment_dir(args.results_dir,
+                                                 args.gpt_model)
     os.makedirs(args.results_dir, exist_ok=True)
     logger = create_logger(args.results_dir)
     logger.info(f"mesh: {mesh}; model {args.gpt_model} "

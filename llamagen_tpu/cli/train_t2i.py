@@ -81,6 +81,9 @@ def main(argv=None):
     p.add_argument("--ckpt-every", type=int, default=5000)
     p.add_argument("--results-dir", default="results_t2i")
     p.add_argument("--resume", default=None)
+    p.add_argument("--exp-auto", action="store_true",
+                   help="create an auto-numbered {index:03d}-{model} "
+                        "experiment subdir (ref train_c2i.py:71-84)")
     args = p.parse_args(argv)
 
     latent = args.image_size // args.downsample_size
@@ -95,6 +98,10 @@ def main(argv=None):
     vq_params, vq_cfg = load_vq(args.vq_ckpt, args.vq_model)
 
     mesh = make_mesh(args.dp, args.fsdp, args.tp)
+    if args.exp_auto:
+        from llamagen_tpu.utils.logger import create_experiment_dir
+        args.results_dir = create_experiment_dir(args.results_dir,
+                                                 args.gpt_model)
     os.makedirs(args.results_dir, exist_ok=True)
     logger = create_logger(args.results_dir)
     logger.info(f"mesh: {mesh}; model {args.gpt_model} t2i "
