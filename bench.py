@@ -41,6 +41,14 @@ def main():
         # the axon tunnel backend, a host transfer does
         return np.asarray(seq)
 
+    import llamagen_tpu.ops.attention as attn
+    import os
+    if os.environ.get("BENCH_BLOCK_S"):
+        attn.BLOCK_S = int(os.environ["BENCH_BLOCK_S"])
+    if os.environ.get("BENCH_INT8W"):
+        from llamagen_tpu.ops.quant_matmul import quantize_gpt_params
+        params = quantize_gpt_params(params)
+
     run(0)  # compile + first-exec warmup
     run(0)
     times = []

@@ -66,6 +66,7 @@ def _decode_attn_kernel(
     out_ref, kv_cache_out, kv_scale_out, recent_ref,
     # scratch
     kv_scratch, sc_scratch, flush_stage, scale_stage, sems, write_sem,
+    recent_sem,
     *, block_s: int, scale: float, n_head: int, head_dim: int,
     use_prefix: bool, quantized: bool, w: int, batch: int,
 ):
@@ -75,6 +76,12 @@ def _decode_attn_kernel(
     full traversal of the window buffers per step); kv_cache: [B, S, 2F]."""
     f = n_head * head_dim
     seg = seg_ref[:]
+    # stage the window into its single VMEM (output) block — keeping the
+    # input in HBM halves the window VMEM footprint (GPT-3B's [16,32,6400]
+    # bf16 window otherwise blows the 16M scoped-vmem limit)
+    rcp = pltpu.make_async_copy(recent_in, recent_ref, recent_sem)
+    rcp.start()
+    rcp.wait()
 
     def boundary_of(b):
         return (pos_ref[b] // w) * w
@@ -190,7 +197,7 @@ def _decode_attn_kernel(
         # indices on Mosaic, a [w, 2F] where does not)
         j_w = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
         recent_ref[b] = jnp.where(j_w == pos_ref[b] - bnd, kv_new_ref[b],
-                                  recent_in[b])
+                                  recent_ref[b])
         # scale folded into q once per (b, layer); int8 dequant scales fold
         # into the tiny [S_blk, H] scores/probs instead of [S_blk, F] rows
         q_row = q_ref[b, 0].astype(jnp.float32)[None, :] * scale
@@ -252,7 +259,7 @@ def decode_attention(q: jnp.ndarray, kv_new: jnp.ndarray,
                      kv_cache: jnp.ndarray, pos: jnp.ndarray, n_head: int,
                      prefix_pad: Optional[jnp.ndarray] = None,
                      kv_scale: Optional[jnp.ndarray] = None,
-                     *, block_s: int = BLOCK_S,
+                     *, block_s: Optional[int] = None,
                      interpret: Optional[bool] = None):
     """Single-position attention for one layer; cache AND window updated
     in place.
@@ -276,6 +283,8 @@ def decode_attention(q: jnp.ndarray, kv_new: jnp.ndarray,
     Returns (out [B, F], kv_cache, recent) or
     (out, kv_cache, kv_scale, recent) when quantized.
     """
+    if block_s is None:
+        block_s = BLOCK_S  # module constant read at call time (tunable)
     if interpret is None:
         # interpret mode off-TPU: the kernel is testable on CPU transparently
         interpret = jax.default_backend() != "tpu"
@@ -308,7 +317,7 @@ def decode_attention(q: jnp.ndarray, kv_new: jnp.ndarray,
             pl.BlockSpec(memory_space=pltpu.VMEM),      # seg mask [F, H]
             pl.BlockSpec(memory_space=pltpu.VMEM),      # q [B, 1, F]
             pl.BlockSpec(memory_space=pltpu.VMEM),      # kv_new [B, 1, 2F]
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # recent [B, w, 2F]
+            pl.BlockSpec(memory_space=pl.ANY),          # recent [B, w, 2F]
             pl.BlockSpec(memory_space=pl.ANY),          # kv_cache
             pl.BlockSpec(memory_space=pl.ANY),          # kv_scale
         ],
@@ -325,6 +334,7 @@ def decode_attention(q: jnp.ndarray, kv_new: jnp.ndarray,
             pltpu.VMEM((w, 128), kv_scale.dtype),             # scale staging
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
         ],
     )
 
