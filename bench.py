@@ -4,6 +4,10 @@ Mirrors the reference serve benchmark (batch of 8 images + 8 CFG-null
 requests of 576 tokens each; `/root/reference/autoregressive/serve/README.md`).
 Baseline: A100 + vLLM GPT-L = 3.48 s for 8 images = 2.299 images/sec.
 
+Configuration: Pallas decode-attention kernel, int8 KV cache (100% greedy
+agreement with bf16 cache), W8A16 int8 weights (numerics documented in
+BENCH.md; set BENCH_BF16W=1 for bf16 weights, ~2.5x baseline).
+
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -45,7 +49,8 @@ def main():
     import os
     if os.environ.get("BENCH_BLOCK_S"):
         attn.BLOCK_S = int(os.environ["BENCH_BLOCK_S"])
-    if os.environ.get("BENCH_INT8W"):
+    if not os.environ.get("BENCH_BF16W"):
+        # W8A16 weights: halved weight-stream bytes (see BENCH.md numerics)
         from llamagen_tpu.ops.quant_matmul import quantize_gpt_params
         params = quantize_gpt_params(params)
 
