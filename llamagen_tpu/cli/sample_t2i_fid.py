@@ -37,6 +37,9 @@ def main(argv=None):
     p.add_argument("--image-size", type=int, default=256)
     p.add_argument("--downsample-size", type=int, default=16)
     p.add_argument("--t5-path", default=None)
+    p.add_argument("--random-t5", action="store_true",
+                   help="deterministic random caption embeddings instead "
+                        "of a T5 checkpoint (offline smoke/e2e runs)")
     p.add_argument("--cls-token-num", type=int, default=120)
     p.add_argument("--cfg-scale", type=float, default=7.5)
     p.add_argument("--top-k", type=int, default=1000)
@@ -63,9 +66,31 @@ def main(argv=None):
                                 dtype=dtype)
     latent = args.image_size // args.downsample_size
 
-    assert args.t5_path, "--t5-path required (local flan-t5-xl checkpoint)"
-    from llamagen_tpu.text.t5 import T5TextEncoder, left_pad_embeddings
-    t5 = T5TextEncoder(args.t5_path, model_max_length=args.cls_token_num)
+    from llamagen_tpu.text.t5 import left_pad_embeddings
+    if args.random_t5:
+        cap_dim = gpt_cfg.caption_dim
+
+        class _RandomT5:
+            """Prompt-hash-seeded embeddings: deterministic, T5-free."""
+
+            def get_text_embeddings(self, texts):
+                t = args.cls_token_num
+                emb = np.zeros((len(texts), t, cap_dim), np.float32)
+                mask = np.zeros((len(texts), t), np.int32)
+                for i, s in enumerate(texts):
+                    r = np.random.RandomState(abs(hash(s)) % (2 ** 31))
+                    n = max(1, min(len(s.split()) + 2, t))
+                    emb[i, :n] = r.randn(n, cap_dim)
+                    mask[i, :n] = 1
+                return emb, mask
+
+        t5 = _RandomT5()
+    else:
+        assert args.t5_path, ("--t5-path required (local flan-t5-xl "
+                              "checkpoint), or use --random-t5")
+        from llamagen_tpu.text.t5 import T5TextEncoder
+        t5 = T5TextEncoder(args.t5_path,
+                           model_max_length=args.cls_token_num)
 
     os.makedirs(args.sample_dir, exist_ok=True)
     results = []

@@ -199,3 +199,30 @@ def test_train_t2i_cli_jsonl(tmp_path):
         "--log-every", "1", "--ckpt-every", "1000",
         "--results-dir", str(tmp_path / "out")])
     assert os.path.exists(str(tmp_path / "out" / "checkpoints"))
+
+
+def test_sample_t2i_fid_and_evaluate_t2i_cli(tmp_path):
+    """Full t2i eval loop: prompt file -> sampled images + result.jsonl ->
+    evaluate_t2i FID (random weights end to end)."""
+    import numpy as np
+
+    from llamagen_tpu.cli import evaluate_t2i, sample_t2i_fid
+
+    prompts = tmp_path / "prompts.txt"
+    prompts.write_text("a red square\na blue circle\nthree green dots\n")
+    sample_dir = str(tmp_path / "out")
+    sample_t2i_fid.main([
+        "--prompt-file", str(prompts), "--random-t5",
+        "--gpt-model", "GPT-nano", "--vq-model", "VQ-8",
+        "--codebook-size", "64", "--codebook-embed-dim", "4",
+        "--image-size", "32", "--downsample-size", "8",
+        "--cls-token-num", "8", "--per-proc-batch-size", "2",
+        "--sample-dir", sample_dir])
+    assert os.path.exists(os.path.join(sample_dir, "result.jsonl"))
+
+    ref = str(tmp_path / "ref.npz")
+    rng = np.random.RandomState(0)
+    np.savez(ref, arr_0=rng.randint(0, 255, (4, 32, 32, 3), dtype=np.uint8))
+    evaluate_t2i.main(["--result", os.path.join(sample_dir, "result.jsonl"),
+                       "--ref-batch", ref, "--batch-size", "2"])
+    assert os.path.exists(os.path.join(sample_dir, "result_eval.txt"))
