@@ -116,9 +116,23 @@ def build_trainer(cfg: GPTConfig, mesh: Mesh, *, lr: float = 1e-4,
 
 
 def shard_batch(batch: Batch, mesh: Mesh) -> Batch:
-    """Split the batch across (dp, fsdp)."""
+    """Split the batch across (dp, fsdp).
+
+    Single-process: `batch` is the global batch (device_put sharded).
+    Multi-host: `batch` holds THIS PROCESS's rows (the per-host stride the
+    data loaders produce) and the global array is assembled from the
+    process-local shards — the reference's DistributedSampler semantics
+    (train_c2i.py:125-140) without any gather.
+    """
+    import numpy as np
+
     spec = P(("dp", "fsdp"))
-    put = lambda x: (None if x is None
-                     else jax.device_put(x, NamedSharding(mesh, spec)))
+    if jax.process_count() > 1:
+        put = lambda x: (None if x is None
+                         else jax.make_array_from_process_local_data(
+                             NamedSharding(mesh, spec), np.asarray(x)))
+    else:
+        put = lambda x: (None if x is None
+                         else jax.device_put(x, NamedSharding(mesh, spec)))
     return Batch(labels=put(batch.labels), tokens=put(batch.tokens),
                  valid=put(batch.valid))

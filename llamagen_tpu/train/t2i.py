@@ -121,11 +121,18 @@ def build_trainer(gpt_cfg: GPTConfig, vq_cfg: VQConfig, vq_params, mesh, *,
 
 
 def shard_batch(batch: T2IBatch, mesh) -> T2IBatch:
-    """Split the batch across (dp, fsdp)."""
+    """Split the batch across (dp, fsdp); multi-host processes pass their
+    own rows (see train.c2i.shard_batch)."""
+    import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     spec = P(("dp", "fsdp"))
-    put = lambda x: (None if x is None
-                     else jax.device_put(x, NamedSharding(mesh, spec)))
+    if jax.process_count() > 1:
+        put = lambda x: (None if x is None
+                         else jax.make_array_from_process_local_data(
+                             NamedSharding(mesh, spec), np.asarray(x)))
+    else:
+        put = lambda x: (None if x is None
+                         else jax.device_put(x, NamedSharding(mesh, spec)))
     return T2IBatch(images=put(batch.images), captions=put(batch.captions),
                     emb_masks=put(batch.emb_masks), valid=put(batch.valid))
