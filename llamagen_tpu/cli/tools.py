@@ -69,6 +69,26 @@ def class_names():
         return json.load(f)
 
 
+def cmd_export_hub(args):
+    """Convert a .pt / orbax checkpoint into a hub-layout directory
+    (config.json + model.safetensors), optionally pushing it
+    (ref: vq_model_hf.py / gpt_hf.py hub mixins)."""
+    from llamagen_tpu.cli.common import load_gpt, load_vq
+    from llamagen_tpu.utils import hub
+
+    if args.kind == "gpt":
+        params, cfg = load_gpt(args.ckpt, args.model,
+                               image_size=args.image_size,
+                               model_type=args.model_type)
+    else:
+        params, cfg = load_vq(args.ckpt, args.model)
+    d = hub.save_pretrained(args.out, params, cfg, model_kind=args.kind)
+    print(f"saved hub layout to {d}")
+    if args.push:
+        url = hub.push_to_hub(d, args.push)
+        print(f"pushed to {url}")
+
+
 def cmd_class_name(args):
     names = class_names()
     for cid in args.ids:
@@ -101,6 +121,17 @@ def main(argv=None):
     k.add_argument("--num", type=int, default=16)
     k.add_argument("--out", default="check_codes.png")
     k.set_defaults(fn=cmd_check_codes)
+
+    h = sub.add_parser("export-hub")
+    h.add_argument("--kind", choices=["gpt", "vq"], required=True)
+    h.add_argument("--model", required=True)
+    h.add_argument("--ckpt", default=None)
+    h.add_argument("--image-size", type=int, default=256)
+    h.add_argument("--model-type", default="c2i")
+    h.add_argument("--out", required=True)
+    h.add_argument("--push", default=None,
+                   help="hub repo id (requires egress + HF credentials)")
+    h.set_defaults(fn=cmd_export_hub)
 
     n = sub.add_parser("class-name")
     n.add_argument("ids", type=int, nargs="+")
