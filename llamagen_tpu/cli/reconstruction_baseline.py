@@ -1,0 +1,160 @@
+"""Baseline-tokenizer reconstruction comparison rig (SD-VAE, consistency
+decoder, taming VQGAN).
+
+Equivalent of the reference comparison rigs
+`/root/reference/tokenizer/vae/reconstruction_vae_ddp.py` (diffusers
+AutoencoderKL), `tokenizer/consistencydecoder/reconstruction_cd_ddp.py`
+(ConsistencyDecoderVAE) and `tokenizer/vqgan/reconstruction_vqgan_ddp.py`
+(taming checkpoints): roundtrip a validation folder through a baseline
+autoencoder and report PSNR/SSIM (+ npz for rFID) on the same protocol as
+`cli.reconstruction_vq`, so tokenizers are comparable apples-to-apples.
+
+Backends:
+  taming        — CompVis taming-transformers VQGAN checkpoint, run on our
+                  VQ implementation via utils.convert.convert_taming_vq
+                  (fully offline)
+  sd-vae        — diffusers AutoencoderKL (gated: needs diffusers + local
+                  weights; torch CPU execution)
+  consistency   — diffusers ConsistencyDecoderVAE (same gating)
+
+  python -m llamagen_tpu.cli.reconstruction_baseline --backend taming \
+      --ckpt vqgan_imagenet_f16_16384.ckpt --data-path /data/val
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from llamagen_tpu.cli.extract_codes import center_crop, iter_image_folder
+from llamagen_tpu.eval.metrics import psnr, ssim
+
+
+def _taming_roundtrip(ckpt, taming_name, cfg_overrides=None):
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from llamagen_tpu.models import vq as vq_lib
+    from llamagen_tpu.utils.convert import convert_taming_vq, taming_vq_config
+
+    cfg = taming_vq_config(taming_name)
+    if cfg_overrides:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, **cfg_overrides)
+    sd = torch.load(ckpt, map_location="cpu")
+    sd = sd.get("state_dict", sd)
+    params = jax.tree.map(jnp.asarray, convert_taming_vq(
+        {k: np.asarray(v) for k, v in sd.items()}, cfg))
+
+    @jax.jit
+    def fn(x):
+        zq, _, _ = vq_lib.encode(params, x, cfg, train=False)
+        return vq_lib.decode(params, zq, cfg)
+
+    return lambda batch: np.asarray(fn(jnp.asarray(batch)), np.float32)
+
+
+def _diffusers_roundtrip(kind, ckpt):
+    try:
+        import torch
+        if kind == "sd-vae":
+            from diffusers import AutoencoderKL
+            model = AutoencoderKL.from_pretrained(ckpt,
+                                                  local_files_only=True)
+        else:
+            from diffusers import ConsistencyDecoderVAE
+            model = ConsistencyDecoderVAE.from_pretrained(
+                ckpt, local_files_only=True)
+    except ImportError as e:
+        raise SystemExit(
+            f"backend '{kind}' needs the diffusers package and local "
+            f"weights ({e}); this environment has no egress — "
+            f"use --backend taming, or supply weights offline")
+    model.eval()
+
+    def fn(batch):
+        with torch.no_grad():
+            x = torch.from_numpy(batch).permute(0, 3, 1, 2)
+            lat = model.encode(x).latent_dist.sample()
+            out = model.decode(lat).sample
+        return out.permute(0, 2, 3, 1).numpy()
+
+    return fn
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--backend", required=True,
+                   choices=["taming", "sd-vae", "consistency"])
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--taming-config", default="vqgan_imagenet_f16_16384")
+    p.add_argument("--taming-overrides", default=None,
+                   help="json dict of VQConfig overrides (tests)")
+    p.add_argument("--data-path", required=True)
+    p.add_argument("--image-size", type=int, default=256)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--max-images", type=int, default=50000)
+    p.add_argument("--npz-out", default=None)
+    args = p.parse_args(argv)
+
+    from PIL import Image
+
+    if args.backend == "taming":
+        import json
+        overrides = (json.loads(args.taming_overrides)
+                     if args.taming_overrides else None)
+        if overrides:
+            for k in ("encoder_ch_mult", "decoder_ch_mult"):
+                if k in overrides:
+                    overrides[k] = tuple(overrides[k])
+        roundtrip = _taming_roundtrip(args.ckpt, args.taming_config,
+                                      overrides)
+    else:
+        roundtrip = _diffusers_roundtrip(args.backend, args.ckpt)
+
+    psnrs, ssims, recon_images = [], [], []
+    batch, n = [], 0
+    want_npz = args.npz_out is not None
+
+    def run_batch():
+        nonlocal n
+        if not batch:
+            return
+        x = np.stack(batch).astype(np.float32) / 127.5 - 1.0
+        recon = np.clip(roundtrip(x), -1, 1)
+        for orig, rec in zip(x, recon):
+            o = (orig + 1) / 2
+            r = (rec + 1) / 2
+            psnrs.append(psnr(o, r))
+            ssims.append(ssim(o, r))
+            if want_npz:
+                recon_images.append((r * 255).astype(np.uint8))
+        n += len(batch)
+        batch.clear()
+        print(f"{n} images: PSNR {np.mean(psnrs):.3f} "
+              f"SSIM {np.mean(ssims):.4f}", flush=True)
+
+    for path, _ in iter_image_folder(args.data_path):
+        if n + len(batch) >= args.max_images:
+            break
+        try:
+            img = Image.open(path).convert("RGB")
+        except OSError:
+            continue
+        batch.append(center_crop(img, args.image_size))
+        if len(batch) >= args.batch_size:
+            run_batch()
+    run_batch()
+
+    print(f"FINAL ({args.backend}): PSNR {np.mean(psnrs):.4f}, "
+          f"SSIM {np.mean(ssims):.5f} over {n} images")
+    if want_npz:
+        np.savez(args.npz_out, arr_0=np.stack(recon_images))
+        print(f"wrote {args.npz_out} for rFID")
+
+
+if __name__ == "__main__":
+    main()

@@ -58,3 +58,38 @@ def test_taming_decode_parity(ref_and_ours):
     np.testing.assert_allclose(
         np.asarray(img), np.transpose(ref_img.numpy(), (0, 2, 3, 1)),
         atol=3e-4, rtol=1e-3)
+
+
+def test_reconstruction_baseline_cli_taming(ref_and_ours, tmp_path):
+    """Baseline comparison rig driven e2e with a taming checkpoint
+    (SD-VAE/consistency backends share the loop, gated on diffusers)."""
+    import json
+    import os
+
+    from PIL import Image
+
+    from llamagen_tpu.cli import reconstruction_baseline
+
+    ref, _, cfg = ref_and_ours
+    ckpt = str(tmp_path / "taming.ckpt")
+    torch.save({"state_dict": ref.state_dict()}, ckpt)
+
+    data = tmp_path / "imgs" / "cls"
+    data.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        Image.fromarray(rng.randint(0, 255, (40, 40, 3), dtype=np.uint8)
+                        ).save(str(data / f"{i}.png"))
+
+    npz = str(tmp_path / "recon.npz")
+    reconstruction_baseline.main([
+        "--backend", "taming", "--ckpt", ckpt,
+        "--taming-config", "vqgan_openimage_f8_256",
+        "--taming-overrides", json.dumps(
+            {"codebook_size": 256, "codebook_embed_dim": 16,
+             "z_channels": 32, "ch": 32}),
+        "--data-path", str(tmp_path / "imgs"), "--image-size", "32",
+        "--batch-size", "2", "--npz-out", npz])
+    assert os.path.exists(npz)
+    arr = np.load(npz)["arr_0"]
+    assert arr.shape == (3, 32, 32, 3)
