@@ -24,7 +24,11 @@ class T2IDataset:
 
     def __init__(self, jsonl_path: str, feature_dir: str, image_size: int,
                  caption_dim: int = 2048, t5_len: int = 120,
-                 left_pad: bool = True):
+                 left_pad: bool = True, retries: int = 0):
+        """retries > 0 enables openimage-style fault tolerance: a bad
+        sample is replaced by a RANDOM other sample up to `retries` times
+        before falling back to dummy_data/valid=0
+        (ref: dataset/openimage.py:24-30 — 20 retries upstream)."""
         self.items = []
         with open(jsonl_path) as f:
             for i, line in enumerate(f):
@@ -37,6 +41,7 @@ class T2IDataset:
         self.caption_dim = caption_dim
         self.t5_len = t5_len
         self.left_pad = left_pad
+        self.retries = retries
 
     def __len__(self) -> int:
         return len(self.items)
@@ -50,6 +55,18 @@ class T2IDataset:
         return img, feat, mask, np.float32(0.0)
 
     def __getitem__(self, idx: int):
+        item = self._load(idx)
+        rng = None
+        for _ in range(self.retries):
+            if item is not None:
+                break
+            # openimage-style retry: random resample (ref openimage.py:24-30)
+            rng = rng or np.random.RandomState(idx)
+            item = self._load(rng.randint(len(self.items)))
+        return item if item is not None else self._dummy()
+
+    def _load(self, idx: int):
+        """One sample, or None when unreadable (caller decides retry/dummy)."""
         from PIL import Image
 
         from llamagen_tpu.cli.extract_codes import center_crop
@@ -65,7 +82,7 @@ class T2IDataset:
                 feat = z["feature"].astype(np.float32)
                 mask = z["mask"].astype(np.int32)
         except (OSError, KeyError, FileNotFoundError):
-            return self._dummy()
+            return None
 
         t = self.t5_len
         if feat.shape[0] < t:

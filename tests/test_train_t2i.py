@@ -73,3 +73,41 @@ def test_t2i_valid_mask_zeroes_bad_samples():
     l_first = t2i.t2i_loss_fn(gpt_params, vq_params, gpt_cfg, vq_cfg,
                               batch_first, None, jnp.float32, False)
     np.testing.assert_allclose(float(l_masked), float(l_first), rtol=1e-5)
+
+
+def test_t2i_dataset_retry_resamples(tmp_path):
+    """openimage-style retry (ref dataset/openimage.py:24-30): a missing
+    image resamples another index instead of yielding dummy/valid=0."""
+    import json
+    import os
+
+    from PIL import Image
+
+    from llamagen_tpu.data.t2i import T2IDataset
+
+    feat = tmp_path / "t5"
+    feat.mkdir()
+    rng = np.random.RandomState(0)
+    rows = []
+    for i in range(4):
+        path = str(tmp_path / f"img{i}.png")
+        if i != 1:  # index 1: missing image
+            Image.fromarray(rng.randint(0, 255, (40, 40, 3), dtype=np.uint8)
+                            ).save(path)
+        np.savez(str(feat / f"{i}.npz"),
+                 feature=rng.randn(4, 8).astype(np.float16),
+                 mask=np.ones(4, np.int32))
+        rows.append({"image_path": path, "caption_idx": i})
+    jsonl = str(tmp_path / "items.jsonl")
+    with open(jsonl, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    # no retries: dummy with valid=0
+    ds0 = T2IDataset(jsonl, str(feat), 32, caption_dim=8, t5_len=4)
+    assert ds0[1][3] == 0.0
+    # retries: a real sample (valid=1) comes back
+    ds = T2IDataset(jsonl, str(feat), 32, caption_dim=8, t5_len=4,
+                    retries=20)
+    img, f, m, valid = ds[1]
+    assert valid == 1.0 and img.shape == (32, 32, 3)
