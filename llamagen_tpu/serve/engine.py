@@ -458,6 +458,9 @@ class ServeEngine:
         self.slot_request: List[Optional[Request]] = [None] * num_pairs
         self.pending: "queue.Queue[Request]" = queue.Queue()
         self._next_id = 0
+        self._latencies: List[float] = []
+        self._completed = 0
+        self._started = time.time()
         self._admit_rng = jax.random.PRNGKey(seed + 1)
         if cfg.model_type == "t2i":
             self._admit_fn = make_admit_pair(cfg, self.sp, compute_dtype)
@@ -517,6 +520,8 @@ class ServeEngine:
                 req = self.slot_request[i]
                 req.result = tokens[i].copy()
                 req.finished_at = time.time()
+                self._latencies.append(req.finished_at - req.submitted_at)
+                self._completed += 1
                 self.slot_request[i] = None
 
     def run_until_idle(self) -> None:
@@ -545,11 +550,21 @@ class ServeEngine:
 
     def stats(self) -> Dict[str, Any]:
         """Engine gauges (the reference reuses vLLM's StatLogger,
-        llm_engine.py:588-659)."""
+        llm_engine.py:588-659: running/waiting counts, e2e latency,
+        throughput)."""
         active = np.asarray(self.state.active)
+        lat = np.asarray(self._latencies) if self._latencies else None
+        elapsed = max(time.time() - self._started, 1e-9)
         return {
             "running": int(active.sum()),
             "waiting": self.pending.qsize(),
             "slots": self.num_pairs,
             "slot_occupancy": float(active.mean()),
+            "completed": self._completed,
+            "throughput_img_per_s": self._completed / elapsed,
+            "e2e_latency_mean_s": float(lat.mean()) if lat is not None else None,
+            "e2e_latency_p50_s": float(np.percentile(lat, 50))
+            if lat is not None else None,
+            "e2e_latency_p99_s": float(np.percentile(lat, 99))
+            if lat is not None else None,
         }

@@ -234,3 +234,13 @@ def test_t2i_slot_reuse(t2i_params):
                    sample_logits=False, compute_dtype=jnp.float32,
                    cache_dtype=jnp.float32)
     np.testing.assert_array_equal(out, np.asarray(ref))
+
+
+def test_engine_latency_stats(params):
+    eng = _engine(params, num_pairs=2, chunk=4)
+    eng.generate([1, 2, 3])
+    st = eng.stats()
+    assert st["completed"] == 3
+    assert st["e2e_latency_mean_s"] > 0
+    assert st["e2e_latency_p99_s"] >= st["e2e_latency_p50_s"]
+    assert st["throughput_img_per_s"] > 0
