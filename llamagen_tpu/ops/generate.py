@@ -43,13 +43,17 @@ def _kernel_supported(cfg: GPTConfig) -> bool:
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_new_tokens", "cfg_scale", "cfg_interval",
-                     "temperature", "top_k", "top_p", "sample_logits",
-                     "compute_dtype", "cache_dtype", "use_kernel"))
+                     "temperature", "top_k", "top_p", "presence_penalty",
+                     "frequency_penalty", "repetition_penalty",
+                     "sample_logits", "compute_dtype", "cache_dtype",
+                     "use_kernel"))
 def generate(params, rng: jax.Array, cond: jnp.ndarray, *,
              cfg: GPTConfig, max_new_tokens: int,
              emb_masks: Optional[jnp.ndarray] = None,
              cfg_scale: float = 1.0, cfg_interval: int = -1,
              temperature: float = 1.0, top_k: int = 0, top_p: float = 1.0,
+             presence_penalty: float = 0.0, frequency_penalty: float = 0.0,
+             repetition_penalty: float = 1.0,
              sample_logits: bool = True, use_kernel: Optional[bool] = None,
              compute_dtype=jnp.bfloat16, cache_dtype=jnp.bfloat16) -> jnp.ndarray:
     """Sample `max_new_tokens` code-grid tokens.
@@ -95,6 +99,17 @@ def generate(params, rng: jax.Array, cond: jnp.ndarray, *,
 
     sample_kw = dict(temperature=temperature, top_k=top_k, top_p=top_p,
                      sample_logits=sample_logits)
+    # OpenAI-style penalties (ref serve/sampler.py:205-226, applied after
+    # the CFG mix like the reference sampler pipeline)
+    use_pen = (presence_penalty != 0.0 or frequency_penalty != 0.0
+               or repetition_penalty != 1.0)
+
+    def penalize(logits, counts):
+        if not use_pen:
+            return logits
+        return sampling.apply_penalties(
+            logits, counts, presence=presence_penalty,
+            frequency=frequency_penalty, repetition=repetition_penalty)
 
     # ---- prefill (ref: generate.py:77-86) ----
     logits, cache = gpt.prefill(params, cfg, cond_combined, cache,
@@ -105,8 +120,11 @@ def generate(params, rng: jax.Array, cond: jnp.ndarray, *,
         cache = gpt.quantize_cache(cache, cfg, max_seq)
     if use_cfg:
         logits = sampling.cfg_mix(logits, cfg_scale)
+    counts = jnp.zeros((batch, cfg.vocab_size), jnp.int32)
+    logits = penalize(logits, counts)
     rng, step_rng = jax.random.split(rng)
     first_token = sampling.sample(step_rng, logits, **sample_kw)  # [B]
+    counts = sampling.update_output_counts(counts, first_token)
 
     # ---- decode loop (ref: generate.py:105-123) ----
     if use_kernel:
@@ -127,7 +145,7 @@ def generate(params, rng: jax.Array, cond: jnp.ndarray, *,
             for ckv in seed_src.kv)
 
         def kstep(carry, i):
-            cache, recent, cur, rng = carry
+            cache, recent, cur, counts, rng = carry
             tok = jnp.concatenate([cur, cur], axis=0) if use_cfg else cur
             pos = t + i
             logits, cache, recent = gpt.decode_step_pallas(
@@ -136,12 +154,14 @@ def generate(params, rng: jax.Array, cond: jnp.ndarray, *,
             if use_cfg:
                 enabled = (i <= cfg_interval) if cfg_interval > -1 else True
                 logits = sampling.cfg_mix(logits, cfg_scale, enabled=enabled)
+            logits = penalize(logits, counts)
             rng, step_rng = jax.random.split(rng)
             nxt = sampling.sample(step_rng, logits, **sample_kw)
-            return (cache, recent, nxt, rng), nxt
+            counts = sampling.update_output_counts(counts, nxt)
+            return (cache, recent, nxt, counts, rng), nxt
 
         _, rest = jax.lax.scan(
-            kstep, (cache, recent, first_token, rng),
+            kstep, (cache, recent, first_token, counts, rng),
             jnp.arange(max_new_tokens - 1))
         if max_new_tokens == 1:
             return first_token[:, None]
@@ -152,7 +172,7 @@ def generate(params, rng: jax.Array, cond: jnp.ndarray, *,
     # largest position, cutting average KV traffic ~2x vs full reads.
     def make_step(extent):
         def step(carry, i):
-            cache, cur, rng = carry
+            cache, cur, counts, rng = carry
             tok = jnp.concatenate([cur, cur], axis=0) if use_cfg else cur
             pos = t + i
             logits, cache = gpt.decode_step(params, cfg, tok, pos, cache,
@@ -165,15 +185,17 @@ def generate(params, rng: jax.Array, cond: jnp.ndarray, *,
                 else:
                     enabled = True
                 logits = sampling.cfg_mix(logits, cfg_scale, enabled=enabled)
+            logits = penalize(logits, counts)
             rng, step_rng = jax.random.split(rng)
             nxt = sampling.sample(step_rng, logits, **sample_kw)
-            return (cache, nxt, rng), nxt
+            counts = sampling.update_output_counts(counts, nxt)
+            return (cache, nxt, counts, rng), nxt
 
         return step
 
     seg = 128
     steps_total = max_new_tokens - 1
-    carry = (cache, first_token, rng)
+    carry = (cache, first_token, counts, rng)
     chunks = []
     i0 = 0
     while i0 < steps_total:

@@ -70,6 +70,42 @@ def sample(rng: jax.Array, logits: jnp.ndarray, *, temperature: float = 1.0,
     return jnp.argmax(logits, axis=-1)
 
 
+def apply_penalties(logits: jnp.ndarray, output_counts: jnp.ndarray,
+                    presence: float = 0.0, frequency: float = 0.0,
+                    repetition: float = 1.0,
+                    prompt_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """OpenAI-style presence/frequency + HF repetition penalties.
+
+    Exactly the reference serving sampler's `_apply_penalties`
+    (`/root/reference/autoregressive/serve/sampler.py:205-226`):
+      repetition: seen tokens get logits/r (if >0) else logits*r
+      frequency:  logits -= frequency * count(token in output)
+      presence:   logits -= presence  * (token in output)
+
+    logits [B, V]; output_counts [B, V] int (per-token emission counts —
+    callers accumulate them across decode steps); prompt_mask optional
+    [B, V] bool (tokens in the prompt; c2i/t2i conditions are not vocab
+    tokens, so None is the LlamaGen-faithful default).
+    """
+    out_mask = output_counts > 0
+    seen = out_mask if prompt_mask is None else (out_mask | prompt_mask)
+    if repetition != 1.0:
+        rep = jnp.where(seen, jnp.float32(repetition), 1.0)
+        logits = jnp.where(logits > 0, logits / rep, logits * rep)
+    if frequency != 0.0:
+        logits = logits - frequency * output_counts.astype(logits.dtype)
+    if presence != 0.0:
+        logits = logits - presence * out_mask.astype(logits.dtype)
+    return logits
+
+
+def update_output_counts(counts: jnp.ndarray,
+                         tokens: jnp.ndarray) -> jnp.ndarray:
+    """counts [B, V] += onehot(tokens [B]) — the decode-loop accumulator."""
+    b = counts.shape[0]
+    return counts.at[jnp.arange(b), tokens].add(1)
+
+
 def cfg_mix(logits: jnp.ndarray, cfg_scale,
             enabled=True) -> jnp.ndarray:
     """Classifier-free-guidance combine on a [cond ‖ uncond] double batch.

@@ -49,20 +49,32 @@ class EngineState(NamedTuple):
     rng: jax.Array
     recent: Optional[tuple] = None  # kernel path: per-layer [2P, w, 2F]
     prefix_pad: Optional[jnp.ndarray] = None  # t2i: [P] left-pad counts
+    output_counts: Optional[jnp.ndarray] = None  # [P, V] penalty counts
 
 
 @dataclass
 class SamplingParams:
-    """Per-engine sampling configuration (ref: serve/sampler.py + CLI flags)."""
+    """Per-engine sampling configuration (ref: serve/sampler.py + CLI
+    flags; penalties follow the reference sampler's vLLM semantics,
+    sampler.py:205-226)."""
     cfg_scale: float = 2.0
     temperature: float = 1.0
     top_k: int = 0
     top_p: float = 1.0
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
+    repetition_penalty: float = 1.0
+
+    @property
+    def uses_penalties(self) -> bool:
+        return (self.presence_penalty != 0.0 or self.frequency_penalty != 0.0
+                or self.repetition_penalty != 1.0)
 
 
 def init_engine_state(cfg: GPTConfig, num_pairs: int, max_new_tokens: int,
                       rng: jax.Array, cache_dtype=jnp.bfloat16,
-                      use_kernel: bool = False) -> EngineState:
+                      use_kernel: bool = False,
+                      track_counts: bool = False) -> EngineState:
     smax = find_multiple(cfg.cls_token_num + max_new_tokens,
                          128 if use_kernel else 8)
     recent = None
@@ -85,6 +97,8 @@ def init_engine_state(cfg: GPTConfig, num_pairs: int, max_new_tokens: int,
         recent=recent,
         prefix_pad=(jnp.zeros((num_pairs,), jnp.int32)
                     if cfg.model_type == "t2i" else None),
+        output_counts=(jnp.zeros((num_pairs, cfg.vocab_size), jnp.int32)
+                       if track_counts else None),
     )
 
 
@@ -265,6 +279,12 @@ def make_engine_step(params, cfg: GPTConfig, sp: SamplingParams,
             recent = state.recent
         mixed = sampling.cfg_mix(logits, sp.cfg_scale) \
             if sp.cfg_scale > 1.0 else jnp.split(logits, 2, axis=0)[0]
+        counts = state.output_counts
+        if counts is not None:
+            mixed = sampling.apply_penalties(
+                mixed, counts, presence=sp.presence_penalty,
+                frequency=sp.frequency_penalty,
+                repetition=sp.repetition_penalty)
 
         rng, step_rng = jax.random.split(state.rng)
         nxt = sampling.sample(step_rng, mixed, temperature=sp.temperature,
@@ -283,9 +303,14 @@ def make_engine_step(params, cfg: GPTConfig, sp: SamplingParams,
         pos = jnp.where(state.active, p + 1, p)
         active = state.active & (n_generated < max_new_tokens)
 
+        if counts is not None:
+            counts = jnp.where(
+                still_going[:, None],
+                sampling.update_output_counts(counts, nxt), counts)
         return state._replace(cache=cache, pos=pos, active=active,
                               cur_token=cur_token, n_generated=n_generated,
-                              tokens_out=tokens_out, rng=rng, recent=recent)
+                              tokens_out=tokens_out, rng=rng, recent=recent,
+                              output_counts=counts)
 
     def engine_chunk(params, state: EngineState, admit_mask, admit_labels
                      ) -> EngineState:
@@ -294,8 +319,11 @@ def make_engine_step(params, cfg: GPTConfig, sp: SamplingParams,
         active = state.active | admit_mask
         labels = jnp.where(admit_mask, admit_labels, state.labels)
         n_generated = jnp.where(admit_mask, 0, state.n_generated)
+        counts = state.output_counts
+        if counts is not None:
+            counts = jnp.where(admit_mask[:, None], 0, counts)
         state = state._replace(pos=pos, active=active, labels=labels,
-                               n_generated=n_generated)
+                               n_generated=n_generated, output_counts=counts)
         state = jax.lax.fori_loop(0, chunk,
                                   lambda i, s: one_step(params, s), state)
         return state
@@ -398,7 +426,11 @@ def make_scatter_pair(cfg: GPTConfig, num_pairs: int, use_kernel: bool,
             kv_scale=tuple(new_sc) if cache_dtype == jnp.int8 else None)
         max_new = state.tokens_out.shape[1]
         row = jnp.zeros((max_new,), jnp.int32).at[0].set(first_tok)
+        counts = state.output_counts
+        if counts is not None:
+            counts = counts.at[slot].set(0).at[slot, first_tok].set(1)
         return state._replace(
+            output_counts=counts,
             cache=cache,
             recent=tuple(new_recent) if use_kernel else state.recent,
             pos=state.pos.at[slot].set(t),
@@ -454,7 +486,8 @@ class ServeEngine:
         self.state = init_engine_state(cfg, num_pairs, max_new_tokens,
                                        jax.random.PRNGKey(seed),
                                        cache_dtype=cache_dtype,
-                                       use_kernel=use_kernel)
+                                       use_kernel=use_kernel,
+                                       track_counts=self.sp.uses_penalties)
         self.slot_request: List[Optional[Request]] = [None] * num_pairs
         self.pending: "queue.Queue[Request]" = queue.Queue()
         self._next_id = 0
