@@ -91,13 +91,20 @@ def _quantize_into(d: dict, key: str) -> None:
     d[key + "_scale"] = s
 
 
-def quantize_gpt_params(params):
+def quantize_gpt_params(params, quantize_head: bool = False):
     """Quantize the weight matrices of a GPT param pytree (W8A16).
 
     Returns a new pytree where each matmul weight `w` is replaced by
     `w_q` (int8, per-layer-stacked like the originals) + `w_scale` (f32);
     norms, embeddings and conditioning keep their dtype. `models.gpt`
     dispatches on key presence (`matmul_any`).
+
+    The output head stays bf16 by default: measured in the looped decode
+    step, XLA fails to fuse the int8->bf16 convert of the single large
+    [D, 16384] head operand and the step pays ~0.65 ms/step for it
+    (GPT-L batch-16), while the per-layer weights fuse cleanly. Keeping
+    the head bf16 costs only its extra 16.8 MB read (~30 us) and took the
+    step 2.43 -> 1.88 ms in the ablation sweep (see BENCH.md).
     """
     out = dict(params)
     layers = dict(out["layers"])
@@ -105,7 +112,7 @@ def quantize_gpt_params(params):
         if key in layers:
             _quantize_into(layers, key)
     out["layers"] = layers
-    if "output" in out:
+    if quantize_head and "output" in out:
         _quantize_into(out, "output")
     return out
 

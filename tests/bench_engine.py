@@ -20,7 +20,9 @@ def main(int8_weights=True):
     cfg = gpt_config("GPT-L", block_size=576, cls_token_num=1)
     params = gpt.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     if int8_weights:
-        params = quantize_gpt_params(params)
+        # at 32 slots the int8 head DOES fuse profitably (batch-dependent
+        # XLA fusion choice; at batch 16 the bf16 head wins — BENCH.md)
+        params = quantize_gpt_params(params, quantize_head=True)
 
     n_req = 48
     eng = ServeEngine(params, cfg, num_pairs=16, max_new_tokens=576,
