@@ -51,7 +51,7 @@ def make_sharded_sampler(gpt_params, gpt_cfg, vq_params, vq_cfg, mesh,
                          compute_dtype=jnp.bfloat16):
     """One jitted program sampling n_devices blocks at once: labels/keys
     sharded over the `dp` axis, each shard running its own block."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map  # jax >= 0.8 top-level API
 
     def one_block(params, vqp, key_data, labels):
         key = jax.random.wrap_key_data(key_data[0])
@@ -65,7 +65,7 @@ def make_sharded_sampler(gpt_params, gpt_cfg, vq_params, vq_cfg, mesh,
     mapped = shard_map(
         one_block, mesh=mesh,
         in_specs=(P(), P(), P("dp"), P("dp")),
-        out_specs=(P("dp"), P("dp")), check_rep=False)
+        out_specs=(P("dp"), P("dp")), check_vma=False)
 
     @jax.jit
     def run(key_data, labels):

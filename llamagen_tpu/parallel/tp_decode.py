@@ -27,7 +27,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map  # jax >= 0.8 top-level API
 
 from llamagen_tpu.config import GPTConfig
 from llamagen_tpu.models import gpt
@@ -122,7 +122,7 @@ def make_tp_decode_step(cfg: GPTConfig, mesh: Mesh, ntp: int,
         local_step, mesh=mesh,
         in_specs=(pspec, P(), P(), kv_spec, kv_spec),
         out_specs=(P(), kv_spec, kv_spec),
-        check_rep=False)
+        check_vma=False)
 
 
 def shard_tp_params(params, cfg: GPTConfig, mesh: Mesh):

@@ -466,7 +466,8 @@ class ServeEngine:
                  sampling_params: Optional[SamplingParams] = None,
                  chunk: int = 64, seed: int = 0,
                  compute_dtype=jnp.bfloat16, cache_dtype=None,
-                 use_kernel: Optional[bool] = None):
+                 use_kernel: Optional[bool] = None,
+                 mesh=None, tp: int = 1):
         from llamagen_tpu.ops.generate import _kernel_supported
 
         if use_kernel is None:
@@ -474,20 +475,36 @@ class ServeEngine:
                           and _kernel_supported(cfg))
         if cache_dtype is None:
             cache_dtype = compute_dtype
-        assert cache_dtype != jnp.int8 or use_kernel
+        assert cache_dtype != jnp.int8 or use_kernel or tp > 1
         self.cfg = cfg
         self.num_pairs = num_pairs
         self.max_new_tokens = max_new_tokens
         self.sp = sampling_params or SamplingParams()
         self.chunk = chunk
         self._params = params
-        self.step_fn = make_engine_step(params, cfg, self.sp, max_new_tokens,
-                                        chunk, compute_dtype, use_kernel)
-        self.state = init_engine_state(cfg, num_pairs, max_new_tokens,
-                                       jax.random.PRNGKey(seed),
-                                       cache_dtype=cache_dtype,
-                                       use_kernel=use_kernel,
-                                       track_counts=self.sp.uses_penalties)
+        if tp > 1:
+            # multi-chip tensor-parallel step (serve/tp_engine.py); params
+            # must be placed with parallel.tp_decode.shard_tp_params(mesh)
+            from llamagen_tpu.serve import tp_engine
+
+            assert mesh is not None, "tp > 1 needs a mesh with a 'tp' axis"
+            self.step_fn = tp_engine.make_tp_engine_step(
+                cfg, self.sp, max_new_tokens, mesh, tp, chunk,
+                compute_dtype,
+                quantized_cache=cache_dtype == jnp.int8)
+            self.state = tp_engine.init_tp_engine_state(
+                cfg, num_pairs, max_new_tokens, jax.random.PRNGKey(seed),
+                mesh, tp, cache_dtype=cache_dtype,
+                track_counts=self.sp.uses_penalties)
+        else:
+            self.step_fn = make_engine_step(params, cfg, self.sp,
+                                            max_new_tokens, chunk,
+                                            compute_dtype, use_kernel)
+            self.state = init_engine_state(cfg, num_pairs, max_new_tokens,
+                                           jax.random.PRNGKey(seed),
+                                           cache_dtype=cache_dtype,
+                                           use_kernel=use_kernel,
+                                           track_counts=self.sp.uses_penalties)
         self.slot_request: List[Optional[Request]] = [None] * num_pairs
         self.pending: "queue.Queue[Request]" = queue.Queue()
         self._next_id = 0

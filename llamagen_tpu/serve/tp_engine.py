@@ -1,0 +1,265 @@
+"""Tensor-parallel continuous-batching engine step (multi-chip serving).
+
+Composes the two proven pieces that were previously only tested apart:
+the slot-based serving engine (`serve.engine`: paired CFG slots, chunked
+compiled steps, admission at chunk boundaries) and Megatron-style decode
+TP (`parallel.tp_decode`: heads + FFN hidden sharded over the mesh `tp`
+axis, attention fully chip-local, two psums per layer + one tiny logits
+all-gather riding the ICI).
+
+The reference plumbs tensor_parallel_size through vLLM but never enables
+it (`/root/reference/autoregressive/serve/gpu_executor.py:61-62` asserts
+world_size == 1); here multi-chip serving is real: a GPT-3B engine spreads
+its 6.2 GB of weights and its KV cache over a v5e slice.
+
+Layout conventions:
+  - engine slots exactly as `serve.engine` ([cond ‖ uncond] halves,
+    per-slot positions, chunked host loop) — the host-side ServeEngine
+    class drives this step unchanged;
+  - per-layer cache/window/scale buffers sharded on their LANE dim with
+    the per-shard-local k|v convention of `parallel.tp_decode` (each
+    chip's lane slice holds ITS heads' k|v — produced locally, consumed
+    locally, never resharded);
+  - everything else (slot bookkeeping, rng, sampled tokens) is replicated;
+    sampling runs identically on every chip so no collective is needed
+    after the logits all-gather.
+
+Weights: bf16 (shard_tp_params head-major wqkv + tp_param_specs). The
+W8A16 path stays single-chip for now — at TP≥2 the per-chip weight bytes
+already halve, which is the same lever.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map  # jax >= 0.8 top-level API
+
+from llamagen_tpu.config import GPTConfig, find_multiple
+from llamagen_tpu.models import gpt
+from llamagen_tpu.ops import sampling
+from llamagen_tpu.parallel.tp_decode import shard_tp_params, tp_param_specs
+from llamagen_tpu.serve.engine import EngineState, SamplingParams
+
+
+def _state_specs(cfg: GPTConfig, quantized: bool,
+                 track_counts: bool) -> EngineState:
+    """PartitionSpec pytree matching EngineState (c2i, kernel path)."""
+    lane = tuple(P(None, None, "tp") for _ in range(cfg.n_layer))
+    return EngineState(
+        cache=gpt.KVCache(kv=lane, kv_scale=lane if quantized else None),
+        pos=P(), active=P(), cur_token=P(), labels=P(), n_generated=P(),
+        tokens_out=P(), rng=P(),
+        recent=lane,
+        prefix_pad=None,
+        output_counts=P() if track_counts else None)
+
+
+def init_tp_engine_state(cfg: GPTConfig, num_pairs: int,
+                         max_new_tokens: int, rng: jax.Array, mesh: Mesh,
+                         ntp: int, cache_dtype=jnp.bfloat16,
+                         track_counts: bool = False) -> EngineState:
+    """Sharded engine state: cache/scale/window lane dims carry `tp`.
+
+    The int8 scale buffer is [B, S, 128*ntp] globally so each chip's shard
+    is the [B, S, 128] layout `ops.attention` expects (k scale in local
+    lane 0, v in 64).
+    """
+    from llamagen_tpu.ops.attention import recent_window
+
+    b = 2 * num_pairs
+    smax = find_multiple(cfg.cls_token_num + max_new_tokens, 128)
+    f2 = 2 * cfg.kv_heads * cfg.head_dim
+    quantized = cache_dtype == jnp.int8
+    w = recent_window(cache_dtype)
+    win_dtype = jnp.bfloat16 if quantized else cache_dtype
+
+    lane = NamedSharding(mesh, P(None, None, "tp"))
+    repl = NamedSharding(mesh, P())
+
+    def mk(shape, dtype, shard, fill=0):
+        return jax.device_put(jnp.full(shape, fill, dtype), shard)
+
+    kv = tuple(mk((b, smax, f2), cache_dtype, lane)
+               for _ in range(cfg.n_layer))
+    sc = (tuple(mk((b, smax, 128 * ntp), jnp.bfloat16, lane, 1)
+                for _ in range(cfg.n_layer)) if quantized else None)
+    recent = tuple(mk((b, w, f2), win_dtype, lane)
+                   for _ in range(cfg.n_layer))
+    return EngineState(
+        cache=gpt.KVCache(kv=kv, kv_scale=sc),
+        pos=mk((num_pairs,), jnp.int32, repl),
+        active=mk((num_pairs,), bool, repl),
+        cur_token=mk((num_pairs,), jnp.int32, repl),
+        labels=mk((num_pairs,), jnp.int32, repl),
+        n_generated=mk((num_pairs,), jnp.int32, repl),
+        tokens_out=mk((num_pairs, max_new_tokens), jnp.int32, repl),
+        rng=jax.device_put(rng, repl),
+        recent=recent,
+        prefix_pad=None,
+        output_counts=(mk((num_pairs, cfg.vocab_size), jnp.int32, repl)
+                       if track_counts else None),
+    )
+
+
+def _local_decode_step(params, cfg: GPTConfig, h_local: int,
+                       emb: jnp.ndarray, pos: jnp.ndarray,
+                       cache: gpt.KVCache, recent, compute_dtype):
+    """Per-chip slot decode: local heads through the Pallas kernel,
+    row-parallel reductions over `tp` (parallel/tp_decode.py:77-117 with
+    per-slot positions and optional int8 cache)."""
+    from llamagen_tpu.ops import attention as attn_lib
+
+    b = emb.shape[0]
+    d_local = h_local * cfg.head_dim
+    h = emb.astype(compute_dtype)
+    freqs = gpt.freqs_cis_2d(cfg)[pos]  # [B, head_dim//2, 2]
+
+    def rope(x):  # x: [B, H_local, head_dim]
+        xf = x.astype(jnp.float32).reshape(*x.shape[:-1], -1, 2)
+        cos = freqs[:, None, :, 0]
+        sin = freqs[:, None, :, 1]
+        real = xf[..., 0] * cos - xf[..., 1] * sin
+        imag = xf[..., 1] * cos + xf[..., 0] * sin
+        return jnp.stack([real, imag], -1).reshape(x.shape).astype(x.dtype)
+
+    new_kv, new_sc, new_r = [], [], []
+    for l in range(cfg.n_layer):
+        p = gpt.layer_params(params, l)
+        x = gpt.rms_norm(h, p["attention_norm"], cfg.norm_eps)
+        qkv = x @ p["wqkv"].astype(x.dtype)  # [B, 3*d_local] (head-major)
+        q = rope(qkv[:, :d_local].reshape(b, h_local, cfg.head_dim)
+                 ).reshape(b, d_local)
+        k = rope(qkv[:, d_local:2 * d_local].reshape(b, h_local,
+                                                     cfg.head_dim)
+                 ).reshape(b, d_local)
+        v = qkv[:, 2 * d_local:]
+
+        kv_new = jnp.concatenate([k, v], axis=-1)
+        if cache.quantized:
+            attn, ckv, csc, r = attn_lib.decode_attention(
+                q.astype(compute_dtype), kv_new, recent[l], cache.kv[l],
+                pos, h_local, kv_scale=cache.kv_scale[l])
+            new_sc.append(csc)
+        else:
+            attn, ckv, r = attn_lib.decode_attention(
+                q.astype(compute_dtype), kv_new, recent[l], cache.kv[l],
+                pos, h_local)
+        new_kv.append(ckv)
+        new_r.append(r)
+        part = attn.astype(x.dtype) @ p["wo"].astype(x.dtype)
+        h = h + jax.lax.psum(part, "tp").astype(h.dtype)
+
+        x = gpt.rms_norm(h, p["ffn_norm"], cfg.norm_eps)
+        ffn = jax.nn.silu(x @ p["w1"].astype(x.dtype)) * \
+            (x @ p["w3"].astype(x.dtype))
+        h = h + jax.lax.psum(ffn @ p["w2"].astype(x.dtype), "tp").astype(
+            h.dtype)
+
+    h = gpt.rms_norm(h, params["norm"], cfg.norm_eps)
+    logits_local = (h @ params["output"].astype(h.dtype)
+                    ).astype(jnp.float32)  # [B, V/ntp]
+    logits = jax.lax.all_gather(logits_local, "tp", axis=1, tiled=True)
+    cache = gpt.KVCache(kv=tuple(new_kv),
+                        kv_scale=tuple(new_sc) if cache.quantized else None)
+    return logits, cache, tuple(new_r)
+
+
+def make_tp_engine_step(cfg: GPTConfig, sp: SamplingParams,
+                        max_new_tokens: int, mesh: Mesh, ntp: int,
+                        chunk: int = 64, compute_dtype=jnp.bfloat16,
+                        quantized_cache: bool = False):
+    """Compile the TP-sharded chunked engine step.
+
+    Same contract as serve.engine.make_engine_step (c2i): the returned
+    engine_step(params, state, admit_mask [P] bool, admit_labels [P]) runs
+    `chunk` decode iterations with in-chunk admission prefill. Params must
+    be placed with parallel.tp_decode.shard_tp_params.
+    """
+    assert cfg.model_type == "c2i", (
+        "TP engine serves c2i (reference serving parity); t2i serving is "
+        "single-chip via serve.engine")
+    assert cfg.n_head % ntp == 0
+    h_local = cfg.n_head // ntp
+    assert (h_local * cfg.head_dim) % 128 == 0, (
+        "per-chip flattened heads must stay 128-lane aligned")
+    track_counts = sp.uses_penalties
+
+    def one_step(params, state: EngineState) -> EngineState:
+        p = state.pos
+        tok_emb = params["tok_embeddings"][state.cur_token].astype(
+            compute_dtype)
+        is_prefill = state.active & (p == 0)
+        emb_table = params["cls_embedding"]["embedding_table"]
+        cond_emb = emb_table[state.labels].astype(compute_dtype)
+        null_emb = emb_table[jnp.full_like(state.labels, cfg.num_classes)
+                             ].astype(compute_dtype)
+        emb_cond = jnp.where(is_prefill[:, None], cond_emb, tok_emb)
+        emb_uncond = jnp.where(is_prefill[:, None], null_emb, tok_emb)
+        emb = jnp.concatenate([emb_cond, emb_uncond], axis=0)  # [2P, D]
+        pos2 = jnp.concatenate([p, p], axis=0)
+
+        logits, cache, recent = _local_decode_step(
+            params, cfg, h_local, emb, pos2, state.cache, state.recent,
+            compute_dtype)
+        mixed = sampling.cfg_mix(logits, sp.cfg_scale) \
+            if sp.cfg_scale > 1.0 else jnp.split(logits, 2, axis=0)[0]
+        counts = state.output_counts
+        if counts is not None:
+            mixed = sampling.apply_penalties(
+                mixed, counts, presence=sp.presence_penalty,
+                frequency=sp.frequency_penalty,
+                repetition=sp.repetition_penalty)
+
+        rng, step_rng = jax.random.split(state.rng)
+        nxt = sampling.sample(step_rng, mixed, temperature=sp.temperature,
+                              top_k=sp.top_k, top_p=sp.top_p)
+
+        still_going = state.active & (state.n_generated < max_new_tokens)
+        write_idx = jnp.clip(state.n_generated, 0, max_new_tokens - 1)
+        tokens_out = jnp.where(
+            still_going[:, None]
+            & (jnp.arange(max_new_tokens)[None, :] == write_idx[:, None]),
+            nxt[:, None], state.tokens_out)
+        n_generated = jnp.where(still_going, state.n_generated + 1,
+                                state.n_generated)
+        cur_token = jnp.where(still_going, nxt, state.cur_token)
+        pos = jnp.where(state.active, p + 1, p)
+        active = state.active & (n_generated < max_new_tokens)
+        if counts is not None:
+            counts = jnp.where(
+                still_going[:, None],
+                sampling.update_output_counts(counts, nxt), counts)
+        return state._replace(cache=cache, pos=pos, active=active,
+                              cur_token=cur_token, n_generated=n_generated,
+                              tokens_out=tokens_out, rng=rng, recent=recent,
+                              output_counts=counts)
+
+    def local_chunk(params, state: EngineState, admit_mask, admit_labels
+                    ) -> EngineState:
+        pos = jnp.where(admit_mask, 0, state.pos)
+        active = state.active | admit_mask
+        labels = jnp.where(admit_mask, admit_labels, state.labels)
+        n_generated = jnp.where(admit_mask, 0, state.n_generated)
+        counts = state.output_counts
+        if counts is not None:
+            counts = jnp.where(admit_mask[:, None], 0, counts)
+        state = state._replace(pos=pos, active=active, labels=labels,
+                               n_generated=n_generated,
+                               output_counts=counts)
+        return jax.lax.fori_loop(0, chunk,
+                                 lambda i, s: one_step(params, s), state)
+
+    sspec = _state_specs(cfg, quantized_cache, track_counts)
+    sharded = shard_map(
+        local_chunk, mesh=mesh,
+        in_specs=(tp_param_specs(cfg), sspec, P(), P()),
+        out_specs=sspec,
+        check_vma=False)
+    return jax.jit(sharded, donate_argnums=(1,))
+
+
+__all__ = ["init_tp_engine_state", "make_tp_engine_step", "shard_tp_params"]

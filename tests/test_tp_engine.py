@@ -1,0 +1,83 @@
+"""Tensor-parallel serving engine: multi-chip continuous batching.
+
+Composes serve.engine's slot conventions with parallel.tp_decode's
+Megatron decomposition on the virtual CPU mesh — the multi-chip serving
+path the reference plumbs but never enables (gpu_executor.py:61-62)."""
+
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401
+
+import jax
+import jax.numpy as jnp
+
+from llamagen_tpu.config import GPTConfig
+from llamagen_tpu.models import gpt
+from llamagen_tpu.ops.generate import generate
+from llamagen_tpu.parallel.mesh import make_mesh
+from llamagen_tpu.parallel.tp_decode import shard_tp_params
+from llamagen_tpu.serve.engine import SamplingParams, ServeEngine
+
+# head_dim 128 keeps the per-chip flattened heads 128-lane aligned at tp=2
+CFG = GPTConfig(dim=256, n_layer=2, n_head=2, block_size=16, num_classes=10,
+                vocab_size=256, cls_token_num=1)
+MAX_NEW = CFG.block_size
+NTP = 2
+
+
+@pytest.fixture(scope="module")
+def setup():
+    mesh = make_mesh(1, 1, NTP, devices=jax.devices()[:NTP])
+    params = gpt.init_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    params["output"] = jax.random.normal(jax.random.PRNGKey(1),
+                                         params["output"].shape) * 0.02
+    tp_params = shard_tp_params(params, CFG, mesh)
+    return mesh, params, tp_params
+
+
+def _tp_engine(setup, cache_dtype=jnp.float32, num_pairs=2, **sp_kw):
+    mesh, _, tp_params = setup
+    sp = SamplingParams(cfg_scale=2.0, temperature=1e-6, **sp_kw)
+    return ServeEngine(tp_params, CFG, num_pairs=num_pairs,
+                       max_new_tokens=MAX_NEW, sampling_params=sp,
+                       chunk=4, compute_dtype=jnp.float32,
+                       cache_dtype=cache_dtype, mesh=mesh, tp=NTP)
+
+
+def test_tp_engine_matches_generate_greedy(setup):
+    """TP-2 engine greedy tokens == single-device generate() trajectory."""
+    _, params, _ = setup
+    labels = [3, 7]
+    out = _tp_engine(setup).generate(labels)
+    ref = generate(params, jax.random.PRNGKey(0), jnp.asarray(labels),
+                   cfg=CFG, max_new_tokens=MAX_NEW, cfg_scale=2.0,
+                   sample_logits=False, compute_dtype=jnp.float32,
+                   cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(out, np.asarray(ref))
+
+
+def test_tp_engine_slot_reuse(setup):
+    """Stale KV in a reused sharded slot must not leak into a new request."""
+    eng = _tp_engine(setup, num_pairs=1)
+    out1 = eng.generate([5])
+    out2 = eng.generate([5])
+    np.testing.assert_array_equal(out1, out2)
+
+
+def test_tp_engine_more_requests_than_slots(setup):
+    eng = _tp_engine(setup, num_pairs=2)
+    out = eng.generate([1, 2, 3, 4, 5])
+    assert out.shape == (5, MAX_NEW)
+    assert (out >= 0).all() and (out < CFG.vocab_size).all()
+    stats = eng.stats()
+    assert stats["running"] == 0 and stats["completed"] == 5
+
+
+def test_tp_engine_int8_cache_close_to_fp(setup):
+    """int8 KV on the TP path: per-chip quantization scales differ from the
+    single-chip layout, so demand strong greedy agreement, not equality."""
+    fp = _tp_engine(setup).generate([3, 7])
+    q = _tp_engine(setup, cache_dtype=jnp.int8).generate([3, 7])
+    agree = (fp == q).mean()
+    assert agree >= 0.85, f"greedy agreement {agree:.3f}"
