@@ -65,6 +65,9 @@ def main(argv=None):
                    help="capture a jax.profiler trace of steps 2..4 here")
     p.add_argument("--memory-analysis", action="store_true",
                    help="log the compiler's memory breakdown of the step")
+    p.add_argument("--wandb", action="store_true",
+                   help="mirror metrics.jsonl to wandb when importable "
+                        "(ref train_c2i_fsdp.py:148-154)")
     args = p.parse_args(argv)
 
     latent = args.image_size // args.downsample_size
@@ -81,6 +84,10 @@ def main(argv=None):
     logger = create_logger(args.results_dir)
     logger.info(f"mesh: {mesh}; model {args.gpt_model} "
                 f"({latent}x{latent} tokens)")
+    from llamagen_tpu.utils.metrics import MetricsLogger
+    mlog = MetricsLogger(args.results_dir, use_wandb=args.wandb,
+                         config=vars(args),
+                         is_main=jax.process_index() == 0)
 
     state, step_fn = c2i.build_trainer(
         cfg, mesh, lr=args.lr, weight_decay=args.weight_decay,
@@ -162,9 +169,14 @@ def main(argv=None):
         if step % args.log_every == 0:
             dt = time.time() - t0
             sps = (step - last_log) / dt
-            logger.info(f"step {step}: loss {running_loss / (step - last_log):.4f} "
+            avg_loss = running_loss / (step - last_log)
+            logger.info(f"step {step}: loss {avg_loss:.4f} "
                         f"({sps:.2f} steps/s, "
                         f"{sps * args.global_batch_size:.0f} samples/s)")
+            mlog.log(step, {"loss": avg_loss, "steps_per_sec": sps,
+                            "samples_per_sec": sps * args.global_batch_size,
+                            "grad_norm": float(metrics["grad_norm"])
+                            if "grad_norm" in metrics else None})
             running_loss, t0, last_log = 0.0, time.time(), step
         if step % args.ckpt_every == 0:
             path = checkpoint.save_step(
@@ -174,6 +186,7 @@ def main(argv=None):
     path = checkpoint.save_step(
         os.path.join(args.results_dir, "checkpoints"), step, state)
     logger.info(f"done at step {step}; final checkpoint {path}")
+    mlog.close()
 
 
 if __name__ == "__main__":

@@ -84,6 +84,8 @@ def main(argv=None):
     p.add_argument("--exp-auto", action="store_true",
                    help="create an auto-numbered {index:03d}-{model} "
                         "experiment subdir (ref train_c2i.py:71-84)")
+    p.add_argument("--wandb", action="store_true",
+                   help="mirror metrics.jsonl to wandb when importable")
     args = p.parse_args(argv)
 
     latent = args.image_size // args.downsample_size
@@ -106,6 +108,10 @@ def main(argv=None):
     logger = create_logger(args.results_dir)
     logger.info(f"mesh: {mesh}; model {args.gpt_model} t2i "
                 f"({latent}x{latent} tokens, T={cfg.cls_token_num})")
+    from llamagen_tpu.utils.metrics import MetricsLogger
+    mlog = MetricsLogger(args.results_dir, use_wandb=args.wandb,
+                         config=vars(args),
+                         is_main=jax.process_index() == 0)
 
     state, step_fn = t2i.build_trainer(
         cfg, vq_cfg, vq_params, mesh, lr=args.lr,
@@ -155,10 +161,13 @@ def main(argv=None):
         if step % args.log_every == 0:
             dt = time.time() - t0
             sps = (step - last_log) / dt
+            avg_loss = running_loss / (step - last_log)
             logger.info(
-                f"step {step}: loss {running_loss / (step - last_log):.4f} "
+                f"step {step}: loss {avg_loss:.4f} "
                 f"({sps:.2f} steps/s, "
                 f"{sps * args.global_batch_size:.0f} samples/s)")
+            mlog.log(step, {"loss": avg_loss, "steps_per_sec": sps,
+                            "samples_per_sec": sps * args.global_batch_size})
             running_loss, t0, last_log = 0.0, time.time(), step
         if step % args.ckpt_every == 0:
             path = checkpoint.save_step(
@@ -168,6 +177,7 @@ def main(argv=None):
     path = checkpoint.save_step(
         os.path.join(args.results_dir, "checkpoints"), step, state)
     logger.info(f"done at step {step}; final checkpoint {path}")
+    mlog.close()
 
 
 if __name__ == "__main__":

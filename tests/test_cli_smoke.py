@@ -46,6 +46,12 @@ def test_train_c2i_cli_synthetic(tmp_path):
         "--global-batch-size", "8", "--log-every", "1",
         "--ckpt-every", "1000", "--results-dir", str(tmp_path)])
     assert os.path.exists(str(tmp_path / "checkpoints"))
+    # metrics stream (ref wandb hookup -> metrics.jsonl + opt-in mirror)
+    import json
+    recs = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    steps = [r["step"] for r in recs if "loss" in r]
+    assert steps == [1, 2, 3]
+    assert all(np.isfinite(r["loss"]) for r in recs if "loss" in r)
 
 
 def test_train_vq_cli_synthetic(tmp_path):
