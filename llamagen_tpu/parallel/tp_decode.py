@@ -33,22 +33,42 @@ from llamagen_tpu.config import GPTConfig
 from llamagen_tpu.models import gpt
 
 
-def tp_param_specs(cfg: GPTConfig):
-    """PartitionSpecs for decode-time TP (heads / ffn-hidden over `tp`)."""
+def tp_param_specs(cfg: GPTConfig, quantized: bool = False):
+    """PartitionSpecs for decode-time TP (heads / ffn-hidden over `tp`).
+
+    quantized=True describes a `quantize_gpt_params` pytree (W8A16 layer
+    weights): int8 tensors shard like their bf16 counterparts; per-output-
+    channel scales shard with the OUTPUT dim — over `tp` for column-
+    parallel weights, replicated for row-parallel ones (the scale commutes
+    with the psum: it is K-independent).
+    """
     layers = {
         "attention_norm": P(),
         "ffn_norm": P(),
-        "wqkv": P(None, None, "tp"),   # column-parallel (head-major layout)
-        "wo": P(None, "tp", None),     # row-parallel
-        "w1": P(None, None, "tp"),
-        "w3": P(None, None, "tp"),
-        "w2": P(None, "tp", None),
     }
+    col, row = P(None, None, "tp"), P(None, "tp", None)
+    if quantized:
+        layers.update({
+            "wqkv_q": col, "wqkv_scale": P(None, "tp"),
+            "wo_q": row, "wo_scale": P(),
+            "w1_q": col, "w1_scale": P(None, "tp"),
+            "w3_q": col, "w3_scale": P(None, "tp"),
+            "w2_q": row, "w2_scale": P(),
+        })
+    else:
+        layers.update({
+            "wqkv": col,   # column-parallel (head-major layout)
+            "wo": row,     # row-parallel
+            "w1": col,
+            "w3": col,
+            "w2": row,
+        })
     return {
         "tok_embeddings": P(),
         "cls_embedding": {"embedding_table": P()},
         "layers": layers,
         "norm": P(),
+        # W8A16 keeps the head bf16 (quant_matmul.quantize_gpt_params)
         "output": P(None, "tp"),       # vocab-parallel logits
     }
 
@@ -64,13 +84,17 @@ def reorder_wqkv_head_major(params, cfg: GPTConfig):
 
 
 def make_tp_decode_step(cfg: GPTConfig, mesh: Mesh, ntp: int,
-                        compute_dtype=jnp.bfloat16):
+                        compute_dtype=jnp.bfloat16,
+                        quantized_weights: bool = False):
     """Build a shard_map'd single-token decode step.
 
     Expects params placed with tp_param_specs and wqkv already head-major
     per shard (each chip's wqkv shard = its heads' q|k|v concatenated —
     see shard_tp_params). Cache shards: per-layer [B, S, F/ntp].
+    quantized_weights: params carry W8A16 layer weights (int8 + scales).
     """
+    from llamagen_tpu.ops.quant_matmul import matmul_any
+
     assert cfg.n_head % ntp == 0, "heads must divide tp"
     h_local = cfg.n_head // ntp
 
@@ -88,7 +112,7 @@ def make_tp_decode_step(cfg: GPTConfig, mesh: Mesh, ntp: int,
         for l in range(cfg.n_layer):
             p = gpt.layer_params(params, l)
             x = gpt.rms_norm(h, p["attention_norm"], cfg.norm_eps)
-            qkv = x @ p["wqkv"].astype(x.dtype)  # [B, 3*d_local]
+            qkv = matmul_any(p, "wqkv", x)  # [B, 3*d_local]
             q = qkv[:, :d_local].reshape(b, h_local, cfg.head_dim)
             k = qkv[:, d_local:2 * d_local].reshape(b, h_local, cfg.head_dim)
             v = qkv[:, 2 * d_local:]
@@ -102,13 +126,12 @@ def make_tp_decode_step(cfg: GPTConfig, mesh: Mesh, ntp: int,
             new_ckv.append(ckv)
             new_r.append(r)
             # row-parallel wo: partial sums reduced over tp
-            part = attn.astype(x.dtype) @ p["wo"].astype(x.dtype)
+            part = matmul_any(p, "wo", attn.astype(x.dtype))
             h = h + jax.lax.psum(part, "tp")
 
             x = gpt.rms_norm(h, p["ffn_norm"], cfg.norm_eps)
-            ffn = jax.nn.silu(x @ p["w1"].astype(x.dtype)) * \
-                (x @ p["w3"].astype(x.dtype))
-            h = h + jax.lax.psum(ffn @ p["w2"].astype(x.dtype), "tp")
+            ffn = jax.nn.silu(matmul_any(p, "w1", x)) * matmul_any(p, "w3", x)
+            h = h + jax.lax.psum(matmul_any(p, "w2", ffn), "tp")
 
         h = gpt.rms_norm(h, params["norm"], cfg.norm_eps)
         logits_local = (h @ params["output"].astype(h.dtype)
@@ -116,7 +139,7 @@ def make_tp_decode_step(cfg: GPTConfig, mesh: Mesh, ntp: int,
         logits = jax.lax.all_gather(logits_local, "tp", axis=1, tiled=True)
         return logits, tuple(new_ckv), tuple(new_r)
 
-    pspec = tp_param_specs(cfg)
+    pspec = tp_param_specs(cfg, quantized=quantized_weights)
     kv_spec = tuple(P(None, None, "tp") for _ in range(cfg.n_layer))
     return shard_map(
         local_step, mesh=mesh,
@@ -125,26 +148,38 @@ def make_tp_decode_step(cfg: GPTConfig, mesh: Mesh, ntp: int,
         check_vma=False)
 
 
-def shard_tp_params(params, cfg: GPTConfig, mesh: Mesh):
-    """Place params for TP decode: wqkv reshaped head-major then sharded."""
+def _head_major(arr: jnp.ndarray, cfg: GPTConfig, ntp: int) -> jnp.ndarray:
+    """Permute a [..., 3*qs] last dim from [Q | K | V] to per-head-group
+    [(q|k|v) of group 0 | group 1 | ...] so a plain `tp` column shard gives
+    each chip whole heads of q, k AND v. Column permutations commute with
+    per-output-channel quantization, so this applies unchanged to w_q and
+    to the [_, 3*qs] scale rows."""
     qs = cfg.n_head * cfg.head_dim
-    w = params["layers"]["wqkv"]
-    L, D, _ = w.shape
-    # head-major: for each head h: [q_h | k_h | v_h] grouped so contiguous
-    # blocks of 3*head_dim*heads_per_shard land on each chip
-    q = w[..., :qs].reshape(L, D, cfg.n_head, cfg.head_dim)
-    k = w[..., qs:2 * qs].reshape(L, D, cfg.n_head, cfg.head_dim)
-    v = w[..., 2 * qs:].reshape(L, D, cfg.n_head, cfg.head_dim)
-    ntp = mesh.shape["tp"]
     hpg = cfg.n_head // ntp
-    qg = q.reshape(L, D, ntp, hpg * cfg.head_dim)
-    kg = k.reshape(L, D, ntp, hpg * cfg.head_dim)
-    vg = v.reshape(L, D, ntp, hpg * cfg.head_dim)
-    wq = jnp.concatenate([qg, kg, vg], axis=-1).reshape(L, D, 3 * qs)
-    params = dict(params)
-    params["layers"] = dict(params["layers"], wqkv=wq)
+    lead = arr.shape[:-1]
+    grp = lead + (ntp, hpg * cfg.head_dim)
+    q = arr[..., :qs].reshape(grp)
+    k = arr[..., qs:2 * qs].reshape(grp)
+    v = arr[..., 2 * qs:].reshape(grp)
+    return jnp.concatenate([q, k, v], axis=-1).reshape(lead + (3 * qs,))
 
-    specs = tp_param_specs(cfg)
+
+def shard_tp_params(params, cfg: GPTConfig, mesh: Mesh):
+    """Place params for TP decode: wqkv reshaped head-major then sharded.
+
+    Accepts either plain (bf16/f32) params or a `quantize_gpt_params`
+    W8A16 pytree (int8 layer weights + scales; head bf16)."""
+    ntp = mesh.shape["tp"]
+    layers = dict(params["layers"])
+    quantized = "wqkv_q" in layers
+    if quantized:
+        layers["wqkv_q"] = _head_major(layers["wqkv_q"], cfg, ntp)
+        layers["wqkv_scale"] = _head_major(layers["wqkv_scale"], cfg, ntp)
+    else:
+        layers["wqkv"] = _head_major(layers["wqkv"], cfg, ntp)
+    params = dict(params, layers=layers)
+
+    specs = tp_param_specs(cfg, quantized=quantized)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         params, specs, is_leaf=lambda x: x is None)

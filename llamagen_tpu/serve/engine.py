@@ -491,7 +491,8 @@ class ServeEngine:
             self.step_fn = tp_engine.make_tp_engine_step(
                 cfg, self.sp, max_new_tokens, mesh, tp, chunk,
                 compute_dtype,
-                quantized_cache=cache_dtype == jnp.int8)
+                quantized_cache=cache_dtype == jnp.int8,
+                quantized_weights="wqkv_q" in params["layers"])
             self.state = tp_engine.init_tp_engine_state(
                 cfg, num_pairs, max_new_tokens, jax.random.PRNGKey(seed),
                 mesh, tp, cache_dtype=cache_dtype,

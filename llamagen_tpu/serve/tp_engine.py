@@ -110,8 +110,10 @@ def _local_decode_step(params, cfg: GPTConfig, h_local: int,
                        cache: gpt.KVCache, recent, compute_dtype):
     """Per-chip slot decode: local heads through the Pallas kernel,
     row-parallel reductions over `tp` (parallel/tp_decode.py:77-117 with
-    per-slot positions and optional int8 cache)."""
+    per-slot positions and optional int8 cache); matmul_any transparently
+    dequantizes W8A16 layer-weight shards."""
     from llamagen_tpu.ops import attention as attn_lib
+    from llamagen_tpu.ops.quant_matmul import matmul_any
 
     b = emb.shape[0]
     d_local = h_local * cfg.head_dim
@@ -130,7 +132,7 @@ def _local_decode_step(params, cfg: GPTConfig, h_local: int,
     for l in range(cfg.n_layer):
         p = gpt.layer_params(params, l)
         x = gpt.rms_norm(h, p["attention_norm"], cfg.norm_eps)
-        qkv = x @ p["wqkv"].astype(x.dtype)  # [B, 3*d_local] (head-major)
+        qkv = matmul_any(p, "wqkv", x)  # [B, 3*d_local] (head-major)
         q = rope(qkv[:, :d_local].reshape(b, h_local, cfg.head_dim)
                  ).reshape(b, d_local)
         k = rope(qkv[:, d_local:2 * d_local].reshape(b, h_local,
@@ -150,14 +152,12 @@ def _local_decode_step(params, cfg: GPTConfig, h_local: int,
                 pos, h_local)
         new_kv.append(ckv)
         new_r.append(r)
-        part = attn.astype(x.dtype) @ p["wo"].astype(x.dtype)
+        part = matmul_any(p, "wo", attn.astype(x.dtype))
         h = h + jax.lax.psum(part, "tp").astype(h.dtype)
 
         x = gpt.rms_norm(h, p["ffn_norm"], cfg.norm_eps)
-        ffn = jax.nn.silu(x @ p["w1"].astype(x.dtype)) * \
-            (x @ p["w3"].astype(x.dtype))
-        h = h + jax.lax.psum(ffn @ p["w2"].astype(x.dtype), "tp").astype(
-            h.dtype)
+        ffn = jax.nn.silu(matmul_any(p, "w1", x)) * matmul_any(p, "w3", x)
+        h = h + jax.lax.psum(matmul_any(p, "w2", ffn), "tp").astype(h.dtype)
 
     h = gpt.rms_norm(h, params["norm"], cfg.norm_eps)
     logits_local = (h @ params["output"].astype(h.dtype)
@@ -171,7 +171,8 @@ def _local_decode_step(params, cfg: GPTConfig, h_local: int,
 def make_tp_engine_step(cfg: GPTConfig, sp: SamplingParams,
                         max_new_tokens: int, mesh: Mesh, ntp: int,
                         chunk: int = 64, compute_dtype=jnp.bfloat16,
-                        quantized_cache: bool = False):
+                        quantized_cache: bool = False,
+                        quantized_weights: bool = False):
     """Compile the TP-sharded chunked engine step.
 
     Same contract as serve.engine.make_engine_step (c2i): the returned
@@ -256,7 +257,8 @@ def make_tp_engine_step(cfg: GPTConfig, sp: SamplingParams,
     sspec = _state_specs(cfg, quantized_cache, track_counts)
     sharded = shard_map(
         local_chunk, mesh=mesh,
-        in_specs=(tp_param_specs(cfg), sspec, P(), P()),
+        in_specs=(tp_param_specs(cfg, quantized=quantized_weights),
+                  sspec, P(), P()),
         out_specs=sspec,
         check_vma=False)
     return jax.jit(sharded, donate_argnums=(1,))

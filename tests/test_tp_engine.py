@@ -74,6 +74,30 @@ def test_tp_engine_more_requests_than_slots(setup):
     assert stats["running"] == 0 and stats["completed"] == 5
 
 
+def test_tp_engine_w8a16_matches_single_device(setup):
+    """W8A16 layer weights sharded over tp: dequant is exact per shard
+    (per-output-channel scales are K-independent and column permutations
+    commute with quantization), so greedy tokens must equal the
+    single-device quantized generate() trajectory."""
+    from llamagen_tpu.ops.quant_matmul import quantize_gpt_params
+
+    mesh, params, _ = setup
+    qparams = quantize_gpt_params(
+        jax.tree.map(lambda x: jnp.asarray(x), params))
+    tp_qparams = shard_tp_params(qparams, CFG, mesh)
+    sp = SamplingParams(cfg_scale=2.0, temperature=1e-6)
+    eng = ServeEngine(tp_qparams, CFG, num_pairs=2, max_new_tokens=MAX_NEW,
+                      sampling_params=sp, chunk=4,
+                      compute_dtype=jnp.float32, cache_dtype=jnp.float32,
+                      mesh=mesh, tp=NTP)
+    out = eng.generate([3, 7])
+    ref = generate(qparams, jax.random.PRNGKey(0), jnp.asarray([3, 7]),
+                   cfg=CFG, max_new_tokens=MAX_NEW, cfg_scale=2.0,
+                   sample_logits=False, compute_dtype=jnp.float32,
+                   cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(out, np.asarray(ref))
+
+
 def test_tp_engine_int8_cache_close_to_fp(setup):
     """int8 KV on the TP path: per-chip quantization scales differ from the
     single-chip layout, so demand strong greedy agreement, not equality."""
