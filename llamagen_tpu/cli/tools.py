@@ -8,6 +8,11 @@ Subcommands:
   check-codes       decode dumped code shards back to images for visual
                     validation (tools/check_image_codes.py)
   class-name        look up ImageNet class names (tools/imagenet_en_cn.py)
+  index-images      scan a dataset tree, drop unreadable images, write
+                    image_paths.json (tools/openimage_json.py)
+  plot-metrics      plot loss/throughput curves from an experiment's
+                    metrics.jsonl (tools/draw_figure.py, pointed at live
+                    training data instead of hard-coded paper numbers)
 
   python -m llamagen_tpu.cli.tools convert-ckpt --kind gpt \
       --in c2i_B_256.pt --out ./c2i_B_256_orbax --gpt-model GPT-B
@@ -89,6 +94,83 @@ def cmd_export_hub(args):
         print(f"pushed to {url}")
 
 
+def cmd_index_images(args):
+    """Validated image index for folder datasets (openimage_json.py:44-69):
+    walk the tree, keep paths whose images actually open, dump json."""
+    import multiprocessing as mp
+
+    exts = {".jpg", ".jpeg", ".png", ".gif", ".bmp", ".tiff", ".webp"}
+    paths = []
+    for root, _, files in os.walk(args.data_path):
+        rel_root = os.path.relpath(root, args.data_path)
+        for f in sorted(files):
+            if os.path.splitext(f)[1].lower() in exts:
+                paths.append(f if rel_root == "." else
+                             os.path.join(rel_root, f))
+    paths.sort()
+
+    def check(chunk):
+        from PIL import Image
+
+        good = []
+        for rel in chunk:
+            try:
+                with Image.open(os.path.join(args.data_path, rel)) as im:
+                    im.verify()
+                good.append(rel)
+            except Exception:
+                pass
+        return good
+
+    workers = args.workers or max(mp.cpu_count() // 2, 4)
+    if workers > 1 and len(paths) > 64:
+        units = [paths[i::workers] for i in range(workers)]
+        with mp.Pool(processes=workers) as pool:
+            valid = sorted(p for sub in pool.map(check, units) for p in sub)
+    else:
+        valid = check(paths)
+    out = args.out or os.path.join(args.data_path, "image_paths.json")
+    with open(out, "w") as fh:
+        json.dump(valid, fh, indent=4)
+    print(f"{len(valid)}/{len(paths)} valid image paths -> {out}")
+
+
+def cmd_plot_metrics(args):
+    """Training-curve figures from metrics.jsonl (draw_figure.py rendered
+    from recorded runs; matplotlib gated)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        raise SystemExit("plot-metrics needs matplotlib")
+
+    fig, axes = plt.subplots(1, 2, figsize=(11, 4))
+    for exp_dir in args.exp_dirs:
+        path = (exp_dir if exp_dir.endswith(".jsonl")
+                else os.path.join(exp_dir, "metrics.jsonl"))
+        steps, losses, sps = [], [], []
+        with open(path) as fh:
+            for line in fh:
+                rec = json.loads(line)
+                if "loss" in rec:
+                    steps.append(rec["step"])
+                    losses.append(rec["loss"])
+                    sps.append(rec.get("samples_per_sec"))
+        label = os.path.basename(os.path.normpath(exp_dir))
+        axes[0].plot(steps, losses, label=label)
+        if any(v is not None for v in sps):
+            axes[1].plot(steps, sps, label=label)
+    axes[0].set_xlabel("step"), axes[0].set_ylabel("loss")
+    axes[1].set_xlabel("step"), axes[1].set_ylabel("samples/s")
+    for ax in axes:
+        ax.legend(framealpha=0.5)
+    fig.tight_layout()
+    fig.savefig(args.out, dpi=args.dpi)
+    print(f"figure -> {args.out}")
+
+
 def cmd_class_name(args):
     names = class_names()
     for cid in args.ids:
@@ -136,6 +218,20 @@ def main(argv=None):
     n = sub.add_parser("class-name")
     n.add_argument("ids", type=int, nargs="+")
     n.set_defaults(fn=cmd_class_name)
+
+    ii = sub.add_parser("index-images")
+    ii.add_argument("--data-path", required=True)
+    ii.add_argument("--out", default=None,
+                    help="default: <data-path>/image_paths.json")
+    ii.add_argument("--workers", type=int, default=0)
+    ii.set_defaults(fn=cmd_index_images)
+
+    pm = sub.add_parser("plot-metrics")
+    pm.add_argument("exp_dirs", nargs="+",
+                    help="experiment dirs (or metrics.jsonl paths)")
+    pm.add_argument("--out", default="metrics.png")
+    pm.add_argument("--dpi", type=int, default=200)
+    pm.set_defaults(fn=cmd_plot_metrics)
 
     args = p.parse_args(argv)
     args.fn(args)

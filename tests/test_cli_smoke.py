@@ -141,6 +141,35 @@ def test_tools_check_codes_cli(tmp_path):
     assert os.path.exists(out)
 
 
+def test_tools_index_images_and_plot_metrics(tmp_path):
+    """index-images drops unreadable files (openimage_json.py:44-69);
+    plot-metrics renders training curves from metrics.jsonl."""
+    import json
+
+    from PIL import Image
+
+    from llamagen_tpu.cli import tools
+
+    d = tmp_path / "imgs"
+    (d / "sub").mkdir(parents=True)
+    img = Image.fromarray(np.zeros((8, 8, 3), np.uint8))
+    img.save(d / "a.png")
+    img.save(d / "sub" / "b.jpg")
+    (d / "bad.png").write_text("not an image")
+    tools.main(["index-images", "--data-path", str(d), "--workers", "1"])
+    idx = json.load(open(d / "image_paths.json"))
+    assert idx == ["a.png", os.path.join("sub", "b.jpg")]
+
+    with open(tmp_path / "metrics.jsonl", "w") as fh:
+        for s in range(1, 4):
+            fh.write(json.dumps({"step": s, "loss": 5.0 / s,
+                                 "samples_per_sec": 100.0}) + "\n")
+    out = str(tmp_path / "fig.png")
+    tools.main(["plot-metrics", str(tmp_path / "metrics.jsonl"),
+                "--out", out])
+    assert os.path.getsize(out) > 1000
+
+
 def test_sample_t2i_cli_random_embeddings(tmp_path):
     from llamagen_tpu.cli import sample_t2i
 
