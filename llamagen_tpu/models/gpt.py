@@ -184,18 +184,36 @@ def _split_qkv(p: Params, x: jnp.ndarray, cfg: GPTConfig):
 
 
 def _sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-          mask: Optional[jnp.ndarray], cfg: GPTConfig) -> jnp.ndarray:
-    """Masked multi-head attention. q: [B,Sq,H,D], k/v: [B,Sk,Hkv,D]."""
+          mask: Optional[jnp.ndarray], cfg: GPTConfig,
+          bf16_scores: bool = False) -> jnp.ndarray:
+    """Masked multi-head attention. q: [B,Sq,H,D], k/v: [B,Sk,Hkv,D].
+
+    bf16_scores (training full-seq path under bf16 compute): materialize
+    the [B,H,S,S] score matrix in bf16 instead of f32 — the MXU still
+    accumulates the dot in f32 and the softmax upcasts, so the only change
+    is bf16 rounding of each score (already the compute precision). Halves
+    the dominant S^2 HBM traffic: measured 18.4 -> 11.0 ms/layer fwd+bwd
+    at batch 256/seq 257 on v5e. (A pallas flash-attention variant was
+    measured at 40 ms/layer — the [B,S,H,D]->[B,H,S,D] transposes and
+    seq padding cost more than the score traffic it saves; see BENCH.md.)
+    """
     if cfg.kv_heads != cfg.n_head:
         rep = cfg.n_head // cfg.kv_heads
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
     scale = cfg.head_dim ** -0.5
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                        preferred_element_type=jnp.float32) * scale
-    if mask is not None:
-        scores = jnp.where(mask, scores, jnp.float32(-1e30))
-    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    if bf16_scores and q.dtype == jnp.bfloat16:
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) * jnp.bfloat16(scale)
+        if mask is not None:
+            scores = jnp.where(mask, scores, jnp.bfloat16(-3e38))
+        probs = jax.nn.softmax(scores.astype(jnp.float32),
+                               axis=-1).astype(q.dtype)
+    else:
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        if mask is not None:
+            scores = jnp.where(mask, scores, jnp.float32(-1e30))
+        probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
     return out.reshape(*q.shape[:2], cfg.n_head * cfg.head_dim)
 
@@ -223,7 +241,9 @@ def _attention(p: Params, x: jnp.ndarray, freqs: jnp.ndarray,
         k = ckv[:, :, :f_].reshape(b_, smax_, hkv, d_).astype(q.dtype)
         v = ckv[:, :, f_:].reshape(b_, smax_, hkv, d_).astype(q.dtype)
 
-    out = _sdpa(q, k, v, mask, cfg)
+    # the cache-less path is forward_train's full-sequence attention:
+    # under bf16 compute, keep the S^2 score buffer bf16 too
+    out = _sdpa(q, k, v, mask, cfg, bf16_scores=cache_kv is None)
     out = matmul_any(p, "wo", out)
     return out, new_cache
 
