@@ -49,7 +49,14 @@ def main():
     import os
     if os.environ.get("BENCH_BLOCK_S"):
         attn.BLOCK_S = int(os.environ["BENCH_BLOCK_S"])
-    if not os.environ.get("BENCH_BF16W"):
+    if os.environ.get("BENCH_W4K"):
+        # W4A16 Pallas kernel (ops/w4_matmul.py): another ~15% over W8A16
+        # at a documented numerics cost — NOT the headline configuration
+        # (BENCH_W4K=pc for per-channel scales, anything else = group-128)
+        from llamagen_tpu.ops.w4_matmul import quantize_gpt_params_w4k
+        params = quantize_gpt_params_w4k(
+            params, per_channel=os.environ["BENCH_W4K"] == "pc")
+    elif not os.environ.get("BENCH_BF16W"):
         # W8A16 weights: halved weight-stream bytes (see BENCH.md numerics)
         from llamagen_tpu.ops.quant_matmul import quantize_gpt_params
         params = quantize_gpt_params(params)

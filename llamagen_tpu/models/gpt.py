@@ -168,8 +168,18 @@ def quantize_cache(cache: KVCache, cfg: GPTConfig,
 
 
 def layer_params(params: Params, l: int) -> Params:
-    """Static per-layer view of the stacked [L, ...] layer weights."""
-    return jax.tree.map(lambda x: x[l], params["layers"])
+    """Static per-layer view of the stacked [L, ...] layer weights.
+
+    W4-kernel block arrays (`*_w4b`, ops/w4_matmul.py) stay UNSLICED with
+    the layer index attached: an XLA slice feeding a pallas ANY operand
+    materializes a full copy of the packed weights, defeating the kernel
+    (the kernel indexes the layer inside its own DMA instead).
+    """
+    out = {k: (v if k.endswith("_w4b") else v[l])
+           for k, v in params["layers"].items()}
+    if any(k.endswith("_w4b") for k in out):
+        out["_w4_layer"] = l
+    return out
 
 
 def _split_qkv(p: Params, x: jnp.ndarray, cfg: GPTConfig):

@@ -221,6 +221,17 @@ def matmul_any(p, key: str, x: jnp.ndarray) -> jnp.ndarray:
     plain decode matmuls (its weight streams run ~2.8x the per-kernel DMA
     rate Mosaic achieves on this stack — see BENCH.md microbenchmarks).
     """
+    if key + "_w4b" in p:
+        from llamagen_tpu.ops.w4_matmul import w4_dequant, w4_matmul
+        blocks, scales = p[key + "_w4b"], p[key + "_w4s"]
+        layer = p.get("_w4_layer", 0)
+        if x.ndim == 2:
+            return w4_matmul(x, blocks, scales, layer=layer).astype(x.dtype)
+        # train/prefill: the weight read amortizes over S tokens — the
+        # XLA dequant fallback is correct and not the bottleneck there
+        if blocks.ndim == 4:
+            blocks = blocks[layer]
+        return x @ w4_dequant(blocks, scales).astype(x.dtype)
     if key + "_q4" in p:
         return int4_matmul(x, p[key + "_q4"], p[key + "_gs"])
     if key + "_q" not in p:

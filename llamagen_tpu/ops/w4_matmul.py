@@ -1,0 +1,264 @@
+"""Pallas W4A16 dequant-matmul: nibble-packed int4 weights, explicit
+double-buffered HBM streaming, MXU bf16 compute.
+
+Why a kernel: XLA's int8 weight path fuses the int8->bf16 convert into
+the matmul's HBM read (ops/quant_matmul.matmul_any), but it does NOT
+fuse the int4 nibble unpack — the XLA W4 path materializes the
+dequantized matrix and runs 9x slower (BENCH.md rejected experiments).
+This kernel streams the packed bytes itself (measured ~694-766 GB/s of
+packed bytes with the in-loop unpack fully hidden under the DMA — at or
+above XLA's ~620 GB/s weight streams) and dequantizes in VMEM, so the
+decode step's weight traffic truly halves vs W8A16. That is the
+single-chip lever for the weights-bound tail of the model zoo (GPT-XXL /
+GPT-3B rows of the serve table).
+
+Layout (built by `pack_w4`):
+  - K-HALF NIBBLE PACKING: original row i < K/2 lives in the LOW nibble
+    of packed row i; row i + K/2 in the HIGH nibble. Unpacking is two
+    int32 shifts on the streamed block (no interleave, no strided VMEM
+    access), and the two matmul operands consume contiguous halves of x.
+  - PRE-BLOCKED WEIGHTS [NB, K2, BN]: each grid step's DMA is one fully
+    contiguous copy (no lane-strided descriptors).
+  - scales: per-channel [1, N] f32, or group scales [NB, 2*NSEG, BN]
+    where each half of K splits into 128-row segments (+ one ragged
+    tail), pre-blocked to match.
+
+Scale modes:
+  - per_channel=True: one dot per half per block, scale folded into the
+    [B, BN] output tile — DMA-bound (~766 GB/s measured).
+  - grouped (default): per-(128-row-group, channel) scales; each group
+    is its own MXU dot with the scale folded into the partial. More
+    accurate (int4 RTN needs group scales), measured ~370 GB/s — the
+    many small dots cost MXU issue latency.
+
+Reference has no analogue (fp16 weights + A100 bandwidth,
+`/root/reference/autoregressive/serve/README.md:16`); this replaces what
+a CUDA build would write as a fused AWQ-style dequant GEMM.
+
+int8 shifts do not legalize in Mosaic and int4 arrays cannot cross the
+host boundary on this backend — hence packed int8 storage + in-kernel
+int32 shifts (see BENCH.md / memory notes).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SEG_ROWS = 128  # group-scale row granularity (also the MXU-friendly size)
+
+
+def _pick_bn(n: int, target: int = 640) -> int:
+    """Largest multiple of 128 that divides N and is <= target."""
+    best = 0
+    for k in range(1, n // 128 + 1):
+        bn = 128 * k
+        if n % bn == 0 and bn <= target:
+            best = bn
+    if best == 0:
+        raise ValueError(f"N={n} has no 128-multiple divisor <= {target}")
+    return best
+
+
+def _segments(k2: int):
+    """128-row segments of one packed half (plus a ragged tail)."""
+    segs = [(i * SEG_ROWS, SEG_ROWS) for i in range(k2 // SEG_ROWS)]
+    if k2 % SEG_ROWS:
+        segs.append((k2 - k2 % SEG_ROWS, k2 % SEG_ROWS))
+    return segs
+
+
+def pack_w4(w: jnp.ndarray, *, per_channel: bool = False,
+            block_n: Optional[int] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[..., K, N] float -> (blocks [..., NB, K2, BN] int8, scales).
+
+    scales: [..., NB, 1, BN] f32 (per_channel) or [..., NB, 2*NSEG, BN]
+    f32 (grouped; group g of half h covers original rows h*K/2 +
+    [g*128, (g+1)*128)). Symmetric RTN to [-7, 7].
+    """
+    *lead, k, n = w.shape
+    assert k % 2 == 0, f"K={k} must be even for K-half packing"
+    k2 = k // 2
+    if block_n:
+        bn = block_n
+    elif per_channel:
+        # cap K2*BN ~1M: the in-kernel i32 unpack intermediate is 4x the
+        # block and the two whole-half operands stay live through the
+        # dots — K2=4352 at BN=640 blows scoped VMEM (measured)
+        bn = _pick_bn(n, target=max(128, min(640, 1_000_000 // k2
+                                             // 128 * 128)))
+    else:
+        # grouped segment dots free each slice as they go; wider blocks
+        # amortize the per-dot MXU issue latency over more bytes
+        bn = _pick_bn(n)
+    nb = n // bn
+    segs = _segments(k2)
+    w32 = jnp.asarray(w, jnp.float32)
+
+    if per_channel:
+        scale = jnp.max(jnp.abs(w32), axis=-2, keepdims=True) / 7.0 + 1e-12
+        q = jnp.clip(jnp.round(w32 / scale), -8, 7).astype(jnp.int8)
+        # pre-blocked [..., NB, 1, BN]: the kernel indexes scales by
+        # block on the MAJOR axis (dynamic lane slicing of VMEM refs is
+        # a Mosaic slow path / unsupported)
+        out_scale = jnp.moveaxis(scale.reshape(*lead, 1, nb, bn), -2, -3)
+    else:
+        parts, sparts = [], []
+        for half in range(2):
+            for (r0, rl) in segs:
+                rows = w32[..., half * k2 + r0: half * k2 + r0 + rl, :]
+                s = jnp.max(jnp.abs(rows), axis=-2, keepdims=True) / 7.0 + 1e-12
+                parts.append(jnp.clip(jnp.round(rows / s), -8, 7))
+                sparts.append(s)
+        q = jnp.concatenate(parts, axis=-2).astype(jnp.int8)
+        # [..., 2*NSEG, N] -> pre-blocked [..., NB, 2*NSEG, BN]
+        sc = jnp.concatenate(sparts, axis=-2)
+        sc = sc.reshape(*lead, 2 * len(segs), nb, bn)
+        out_scale = jnp.moveaxis(sc, -2, -3)  # [..., NB, 2*NSEG, BN]
+
+    lo = q[..., :k2, :] & 0x0F
+    hi = q[..., k2:, :] << 4
+    packed = (lo | hi).astype(jnp.int8)  # [..., K2, N]
+    blocks = jnp.moveaxis(
+        packed.reshape(*lead, k2, nb, bn), -2, -3)  # [..., NB, K2, BN]
+    return blocks, out_scale.astype(jnp.float32)
+
+
+def _w4_kernel(lidx_ref, x_ref, s_ref, w_hbm, o_ref, w_scr, sems,
+               *, nb: int, k2: int, bn: int, batch: int,
+               per_channel: bool, segs):
+    lidx = lidx_ref[0]
+    def cp(slot, blk):
+        return pltpu.make_async_copy(w_hbm.at[lidx, blk], w_scr.at[slot],
+                                     sems.at[slot])
+    cp(0, 0).start()
+    x = x_ref[:]
+
+    def body(blk, carry):
+        slot = jax.lax.rem(blk, 2)
+
+        @pl.when(blk + 1 < nb)
+        def _():
+            cp(1 - slot, blk + 1).start()
+
+        cp(slot, blk).wait()
+        p32 = w_scr[slot].astype(jnp.int32)
+        lo = ((p32 << 28) >> 28).astype(jnp.bfloat16)  # rows [0, K2)
+        hi = (p32 >> 4).astype(jnp.bfloat16)           # rows [K2, K)
+        if per_channel:
+            acc = jnp.dot(x[:, :k2], lo, preferred_element_type=jnp.float32)
+            acc += jnp.dot(x[:, k2:], hi, preferred_element_type=jnp.float32)
+            acc = acc * s_ref[blk, 0, :][None, :]
+        else:
+            nseg = len(segs)
+            acc = jnp.zeros((batch, bn), jnp.float32)
+            for half, wh in ((0, lo), (1, hi)):
+                for gidx, (r0, rl) in enumerate(segs):
+                    xs = x[:, half * k2 + r0: half * k2 + r0 + rl]
+                    partial = jnp.dot(xs, wh[r0:r0 + rl, :],
+                                      preferred_element_type=jnp.float32)
+                    acc = acc + partial * s_ref[blk, half * nseg + gidx, :][None, :]
+        o_ref[blk] = acc.astype(o_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, nb, body, jnp.int32(0), unroll=False)
+
+
+def w4_matmul(x: jnp.ndarray, blocks: jnp.ndarray, scales: jnp.ndarray,
+              *, layer=0, interpret: Optional[bool] = None) -> jnp.ndarray:
+    """x [B, K] @ dequant-int4(blocks, scales[layer]) -> [B, N].
+
+    blocks is [NB, K2, BN] or LAYER-STACKED [L, NB, K2, BN] with `layer`
+    selecting the slice INSIDE the kernel's DMA (`w_hbm.at[l, blk]`).
+    Callers with stacked weights must pass the full array: an XLA-side
+    slice feeding a pallas ANY operand cannot fuse and materializes a
+    full copy of the packed weights per call — measured to cost more
+    than the kernel saves (BENCH.md). scales are per-layer (small; the
+    XLA slice of them is cheap). Per-channel vs grouped mode is inferred
+    from the scales shape. Output is assembled from the kernel's
+    pre-blocked [NB, B, BN] by a (tiny) XLA transpose.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, k = x.shape
+    if blocks.ndim == 3:
+        blocks = blocks[None]
+        layer = 0
+    _, nb, k2, bn = blocks.shape
+    assert k == 2 * k2, (x.shape, blocks.shape)
+    n = nb * bn
+    per_channel = scales.shape[-2] == 1
+    segs = _segments(k2)
+    expect = (nb, 1, bn) if per_channel else (nb, 2 * len(segs), bn)
+    assert scales.shape == expect, (scales.shape, expect)
+
+    kern = functools.partial(
+        _w4_kernel, nb=nb, k2=k2, bn=bn, batch=b,
+        per_channel=per_channel, segs=segs)
+    lidx = jnp.asarray(layer, jnp.int32).reshape(1)
+    out = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((2, k2, bn), jnp.int8),
+                            pltpu.SemaphoreType.DMA((2,))],
+        ),
+        out_shape=jax.ShapeDtypeStruct((nb, b, bn), x.dtype),
+        interpret=interpret,
+    )(lidx, x.astype(jnp.bfloat16), scales, blocks)
+    return out.transpose(1, 0, 2).reshape(b, n)
+
+
+_LAYER_MATMUL_KEYS = ("wqkv", "wo", "w1", "w2", "w3")
+
+
+def quantize_gpt_params_w4k(params, *, per_channel: bool = False):
+    """GPT param pytree -> W4-kernel layout ({key}_w4b blocks +
+    {key}_w4s scales per layer matmul; head/norms/embeddings untouched).
+
+    `models.gpt.matmul_any` routes `_w4b` keys through `w4_matmul` for
+    2-D (decode) activations and through an XLA dequant fallback for
+    3-D (train/prefill) activations, where the weight stream amortizes
+    over S tokens and bf16/int8 paths are the right tool anyway.
+    """
+    out = dict(params)
+    layers = dict(out["layers"])
+    for key in _LAYER_MATMUL_KEYS:
+        if key not in layers:
+            continue
+        blocks, scales = pack_w4(layers[key], per_channel=per_channel)
+        del layers[key]
+        layers[key + "_w4b"] = blocks
+        layers[key + "_w4s"] = scales
+    out["layers"] = layers
+    return out
+
+
+def w4_dequant(blocks: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
+    """XLA dequant of the kernel layout -> [K, N] f32 (fallback/tests)."""
+    nb, k2, bn = blocks.shape
+    n = nb * bn
+    p32 = blocks.astype(jnp.int32)
+    lo = ((p32 << 28) >> 28).astype(jnp.float32)
+    hi = (p32 >> 4).astype(jnp.float32)
+    q = jnp.concatenate([lo, hi], axis=1)          # [NB, K, BN]
+    if scales.shape[-2] == 1:                      # per-channel [NB, 1, BN]
+        return jnp.moveaxis(q * scales, 0, -2).reshape(2 * k2, n)
+    segs = _segments(k2)
+    nseg = len(segs)
+    reps = np.concatenate([np.full(rl, h * nseg + g)
+                           for h in range(2)
+                           for g, (r0, rl) in enumerate(segs)])
+    sc_rows = scales[:, jnp.asarray(reps), :]      # [NB, K, BN]
+    w = q * sc_rows
+    return jnp.moveaxis(w, 0, -2).reshape(2 * k2, n)

@@ -1,0 +1,94 @@
+"""W4A16 Pallas-kernel bench: throughput + teacher-forced numerics.
+
+Usage: python tests/bench_w4k.py [GPT-3B] [--per-channel] [--skip-tf]
+
+The kernel streams nibble-packed weights at ~700 GB/s of packed bytes
+(half of W8A16's traffic); grouped scales cost extra MXU issue latency,
+per-channel runs DMA-bound (ops/w4_matmul.py). Baselines: A100+vLLM
+serve table (`serve/README.md:12-16`).
+"""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_S = {"GPT-B": 2.39, "GPT-L": 3.48, "GPT-XL": 4.84,
+              "GPT-XXL": 6.36, "GPT-3B": 6.26}
+
+
+def main(name="GPT-3B", per_channel=False, skip_tf=False):
+    from llamagen_tpu.config import gpt_config
+    from llamagen_tpu.models import gpt
+    from llamagen_tpu.ops.generate import generate
+    from llamagen_tpu.ops.w4_matmul import quantize_gpt_params_w4k
+
+    cfg = gpt_config(name, block_size=576, cls_token_num=1)
+    params = gpt.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    params = dict(params)
+    params["output"] = (jax.random.normal(
+        jax.random.PRNGKey(7), params["output"].shape) * 0.02
+    ).astype(jnp.bfloat16)
+    qparams = jax.jit(
+        lambda p: quantize_gpt_params_w4k(p, per_channel=per_channel)
+    )(params)
+
+    batch = 8
+    labels = jnp.asarray(np.arange(batch) * 100 % 1000)
+
+    if not skip_tf:
+        rng2 = np.random.RandomState(1)
+        tokens = jnp.asarray(rng2.randint(0, cfg.vocab_size,
+                                          size=(batch, cfg.block_size)))
+
+        @jax.jit
+        def tf_compare(p1, p2):
+            l1, _ = gpt.forward_train(p1, cfg, labels, tokens[:, :-1],
+                                      train=False,
+                                      compute_dtype=jnp.bfloat16)
+            l2, _ = gpt.forward_train(p2, cfg, labels, tokens[:, :-1],
+                                      train=False,
+                                      compute_dtype=jnp.bfloat16)
+            agree = jnp.mean(jnp.argmax(l1, -1) == jnp.argmax(l2, -1))
+            err = jnp.abs(l2 - l1)
+            return agree, err.max(), err.mean(), jnp.abs(l1).mean()
+
+        agree, emax, emean, scale = [float(np.asarray(v))
+                                     for v in tf_compare(params, qparams)]
+        print(f"{name} tf argmax agreement w4k vs bf16: {agree:.4f} "
+              f"(err mean {emean:.4f} max {emax:.4f} scale {scale:.4f})",
+              flush=True)
+    del params
+
+    def run(p, seed):
+        seq = generate(p, jax.random.PRNGKey(seed), labels, cfg=cfg,
+                       max_new_tokens=cfg.block_size, cfg_scale=2.0,
+                       temperature=1.0, top_k=0, top_p=1.0,
+                       cache_dtype=jnp.int8)
+        return np.asarray(seq)
+
+    run(qparams, 0)
+    run(qparams, 0)
+    times = []
+    for i in range(3):
+        t0 = time.time()
+        run(qparams, i + 1)
+        times.append(time.time() - t0)
+    best = min(times)
+    ips = batch / best
+    base = 8.0 / BASELINE_S[name]
+    mode = "per-channel" if per_channel else "group-128"
+    print(f"{name} w4-kernel ({mode}) batch-8: {ips:.3f} img/s "
+          f"({best / cfg.block_size * 1e3:.3f} ms/step, "
+          f"vs_baseline {ips / base:.3f})", flush=True)
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    name = next((a for a in args if a.startswith("GPT-")), "GPT-3B")
+    main(name, per_channel="--per-channel" in args,
+         skip_tf="--skip-tf" in args)
