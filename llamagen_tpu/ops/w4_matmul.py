@@ -222,14 +222,20 @@ def w4_matmul(x: jnp.ndarray, blocks: jnp.ndarray, scales: jnp.ndarray,
 _LAYER_MATMUL_KEYS = ("wqkv", "wo", "w1", "w2", "w3")
 
 
-def quantize_gpt_params_w4k(params, *, per_channel: bool = False):
+def quantize_gpt_params_w4k(params, *, per_channel: bool = False,
+                            int8_head: bool = False):
     """GPT param pytree -> W4-kernel layout ({key}_w4b blocks +
-    {key}_w4s scales per layer matmul; head/norms/embeddings untouched).
+    {key}_w4s scales per layer matmul; norms/embeddings untouched).
 
     `models.gpt.matmul_any` routes `_w4b` keys through `w4_matmul` for
     2-D (decode) activations and through an XLA dequant fallback for
     3-D (train/prefill) activations, where the weight stream amortizes
     over S tokens and bf16/int8 paths are the right tool anyway.
+
+    int8_head=True additionally W8A16-quantizes the output head (via
+    quant_matmul's XLA-fused path): profitable at engine batch sizes
+    (~32 slots) where XLA fuses the int8 head convert, and int8 is the
+    right precision floor for the logits layer (BENCH.md head ablation).
     """
     out = dict(params)
     layers = dict(out["layers"])
@@ -241,6 +247,11 @@ def quantize_gpt_params_w4k(params, *, per_channel: bool = False):
         layers[key + "_w4b"] = blocks
         layers[key + "_w4s"] = scales
     out["layers"] = layers
+    if int8_head and "output" in out:
+        from llamagen_tpu.ops.quant_matmul import quantize_weight
+        q, s = quantize_weight(out.pop("output"))
+        out["output_q"] = q
+        out["output_scale"] = s
     return out
 
 

@@ -1,5 +1,10 @@
-"""Serving-engine throughput bench (not pytest): GPT-L 384, 16 CFG pairs,
-48 queued requests, int8 KV + optional int8 weights."""
+"""Serving-engine throughput bench (not pytest).
+
+Usage: python tests/bench_engine.py [GPT-L] [--pairs 16] [--reqs 48]
+         [--bf16 | --w4k | --w4k-pc]
+
+Default: GPT-L 384, 16 CFG pairs, 48 queued requests, int8 KV + W8A16.
+Baselines: A100+vLLM serve table seconds per 8-image batch."""
 
 import sys
 import time
@@ -10,22 +15,30 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+BASELINE_S = {"GPT-B": 2.39, "GPT-L": 3.48, "GPT-XL": 4.84,
+              "GPT-XXL": 6.36, "GPT-3B": 6.26}
 
-def main(int8_weights=True):
+
+def main(name="GPT-L", pairs=16, n_req=48, int8_weights=True, w4k=None):
     from llamagen_tpu.config import gpt_config
     from llamagen_tpu.models import gpt
     from llamagen_tpu.ops.quant_matmul import quantize_gpt_params
     from llamagen_tpu.serve.engine import SamplingParams, ServeEngine
 
-    cfg = gpt_config("GPT-L", block_size=576, cls_token_num=1)
+    cfg = gpt_config(name, block_size=576, cls_token_num=1)
     params = gpt.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
-    if int8_weights:
+    if w4k:
+        # W4A16 Pallas kernel path; at 32 slots the grouped mode's segment
+        # dots amortize over 2x the batch rows (ops/w4_matmul.py)
+        from llamagen_tpu.ops.w4_matmul import quantize_gpt_params_w4k
+        params = quantize_gpt_params_w4k(params, per_channel=(w4k == "pc"),
+                                         int8_head=True)
+    elif int8_weights:
         # at 32 slots the int8 head DOES fuse profitably (batch-dependent
         # XLA fusion choice; at batch 16 the bf16 head wins — BENCH.md)
         params = quantize_gpt_params(params, quantize_head=True)
 
-    n_req = 48
-    eng = ServeEngine(params, cfg, num_pairs=16, max_new_tokens=576,
+    eng = ServeEngine(params, cfg, num_pairs=pairs, max_new_tokens=576,
                       sampling_params=SamplingParams(cfg_scale=2.0),
                       chunk=64, compute_dtype=jnp.bfloat16,
                       cache_dtype=jnp.int8, use_kernel=True)
@@ -37,11 +50,19 @@ def main(int8_weights=True):
     out = eng.generate(labels)
     dt = time.time() - t0
     ips = n_req / dt
-    print(f"engine GPT-L 384 int8kv{'+int8w' if int8_weights else ''}: "
+    tag = f"+w4k-{w4k}" if w4k else ("+int8w" if int8_weights else "")
+    base = 8.0 / BASELINE_S[name]
+    print(f"engine {name} 384 ({pairs} pairs) int8kv{tag}: "
           f"{n_req} reqs in {dt:.2f}s = {ips:.3f} img/s "
-          f"(vs_baseline {ips / (8.0 / 3.48):.3f})")
+          f"(vs_baseline {ips / base:.3f})")
     assert out.shape == (n_req, 576)
 
 
 if __name__ == "__main__":
-    main(int8_weights=not ("--bf16" in sys.argv))
+    args = sys.argv[1:]
+    w4k = ("pc" if "--w4k-pc" in args
+           else ("g" if "--w4k" in args else None))
+    name = next((a for a in args if a.startswith("GPT-")), "GPT-L")
+    pairs = int(args[args.index("--pairs") + 1]) if "--pairs" in args else 16
+    n_req = int(args[args.index("--reqs") + 1]) if "--reqs" in args else 48
+    main(name, pairs, n_req, int8_weights=not ("--bf16" in args), w4k=w4k)
