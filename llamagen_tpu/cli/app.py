@@ -38,6 +38,13 @@ class DemoBackend:
             args.vq_ckpt, args.vq_model, args.codebook_size,
             args.codebook_embed_dim)
         self.vq_lib = vq_lib
+        if args.quantize == "int8":
+            from llamagen_tpu.ops.quant_matmul import quantize_gpt_params
+            gpt_params = quantize_gpt_params(gpt_params)
+        elif args.quantize in ("w4", "w4-pc"):
+            from llamagen_tpu.ops.w4_matmul import quantize_gpt_params_w4k
+            gpt_params = quantize_gpt_params_w4k(
+                gpt_params, per_channel=args.quantize == "w4-pc")
         self.engine = ServeEngine(
             gpt_params, gpt_cfg, num_pairs=args.num_slots,
             max_new_tokens=self.latent * self.latent,
@@ -107,6 +114,12 @@ def main(argv=None):
     p.add_argument("--top-p", type=float, default=1.0)
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--num-slots", type=int, default=4)
+    p.add_argument("--quantize", default="none",
+                   choices=["none", "int8", "w4", "w4-pc"],
+                   help="weight quantization: int8 = W8A16 (near-exact, "
+                        "the serving default for quality), w4/w4-pc = "
+                        "W4A16 Pallas kernel (faster on weights-bound "
+                        "models, numerics tradeoff — see BENCH.md)")
     p.add_argument("--chunk", type=int, default=64)
     p.add_argument("--port", type=int, default=7860)
     args = p.parse_args(argv)
