@@ -75,6 +75,37 @@ def test_w4_xla_dequant_matches_host():
         np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
+def test_w4k_engine_matches_generate_greedy():
+    """The serving engine's slot path must route W4-kernel params through
+    the same dispatch as generate(): identical quantized weights ->
+    identical greedy trajectories."""
+    from llamagen_tpu.config import GPTConfig
+    from llamagen_tpu.models import gpt
+    from llamagen_tpu.ops.generate import generate
+    from llamagen_tpu.ops.w4_matmul import quantize_gpt_params_w4k
+    from llamagen_tpu.serve.engine import SamplingParams, ServeEngine
+
+    cfg = GPTConfig(dim=128, n_layer=2, n_head=2, block_size=16,
+                    num_classes=10, vocab_size=128, cls_token_num=1)
+    params = gpt.init_params(jax.random.PRNGKey(0), cfg)
+    params = dict(params)
+    params["output"] = jax.random.normal(
+        jax.random.PRNGKey(1), params["output"].shape) * 0.02
+    qp = quantize_gpt_params_w4k(params)
+
+    labels = [3, 7]
+    eng = ServeEngine(qp, cfg, num_pairs=2, max_new_tokens=cfg.block_size,
+                      sampling_params=SamplingParams(cfg_scale=2.0,
+                                                     temperature=1e-6),
+                      chunk=4, compute_dtype=jnp.float32)
+    out = eng.generate(labels)
+    ref = generate(qp, jax.random.PRNGKey(0), jnp.asarray(labels),
+                   cfg=cfg, max_new_tokens=cfg.block_size, cfg_scale=2.0,
+                   sample_logits=False, compute_dtype=jnp.float32,
+                   cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(out, np.asarray(ref))
+
+
 def test_w4k_gpt_generates_and_tracks_bf16():
     """quantize_gpt_params_w4k end to end through the decode scan: the
     kernel path must produce logits tracking bf16 (correlation bar — int4
