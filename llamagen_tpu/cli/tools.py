@@ -5,6 +5,9 @@ Subcommands:
                     (tools/convert_pytorch_lightning_to_torch.py equivalent
                     for our runtime: one-time conversion so serving/training
                     never needs torch)
+  quantize-ckpt     pre-quantize a GPT checkpoint for serving (W8A16 or
+                    the W4A16 kernel layout; 2x / 4x smaller, loads into
+                    every decode path unchanged)
   check-codes       decode dumped code shards back to images for visual
                     validation (tools/check_image_codes.py)
   class-name        look up ImageNet class names (tools/imagenet_en_cn.py)
@@ -43,6 +46,36 @@ def cmd_convert_ckpt(args):
                             args.codebook_embed_dim, dtype=jnp.float32)
     checkpoint.save(args.output, params)
     print(f"converted {args.input} -> {args.output}")
+
+
+def cmd_quantize_ckpt(args):
+    """Pre-quantize a GPT checkpoint for serving (no reference analogue —
+    the reference serves fp16 and relies on A100 bandwidth).
+
+    int8 = W8A16 (near-exact, the quality serving default); w4 / w4-pc =
+    the W4A16 Pallas-kernel layout (faster on weights-bound models, see
+    BENCH.md numerics). The output is an ordinary orbax params dir whose
+    key layout (`*_q` / `*_w4b`) every decode path dispatches on — load
+    it with the usual --gpt-ckpt flags; storage drops 2x / 4x."""
+    import jax.numpy as jnp
+
+    from llamagen_tpu.cli.common import load_gpt
+    from llamagen_tpu.utils import checkpoint
+
+    params, _ = load_gpt(args.input, args.gpt_model, args.image_size,
+                         args.downsample_size, model_type=args.model_type,
+                         dtype=jnp.bfloat16)
+    if args.mode == "int8":
+        from llamagen_tpu.ops.quant_matmul import quantize_gpt_params
+        params = quantize_gpt_params(params,
+                                     quantize_head=args.quantize_head)
+    else:
+        from llamagen_tpu.ops.w4_matmul import quantize_gpt_params_w4k
+        params = quantize_gpt_params_w4k(
+            params, per_channel=args.mode == "w4-pc",
+            int8_head=args.quantize_head)
+    checkpoint.save(args.output, params)
+    print(f"quantized ({args.mode}) {args.input} -> {args.output}")
 
 
 def cmd_check_codes(args):
@@ -193,6 +226,17 @@ def main(argv=None):
     c.add_argument("--codebook-size", type=int, default=16384)
     c.add_argument("--codebook-embed-dim", type=int, default=8)
     c.set_defaults(fn=cmd_convert_ckpt)
+
+    q = sub.add_parser("quantize-ckpt")
+    q.add_argument("--in", dest="input", required=True)
+    q.add_argument("--out", dest="output", required=True)
+    q.add_argument("--mode", default="int8", choices=["int8", "w4", "w4-pc"])
+    q.add_argument("--gpt-model", default="GPT-B")
+    q.add_argument("--model-type", default="c2i", choices=["c2i", "t2i"])
+    q.add_argument("--image-size", type=int, default=256)
+    q.add_argument("--downsample-size", type=int, default=16)
+    q.add_argument("--quantize-head", action="store_true")
+    q.set_defaults(fn=cmd_quantize_ckpt)
 
     k = sub.add_parser("check-codes")
     k.add_argument("--codes", required=True, help=".npy or packed .npz")

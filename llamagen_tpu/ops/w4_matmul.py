@@ -19,9 +19,11 @@ Layout (built by `pack_w4`):
     access), and the two matmul operands consume contiguous halves of x.
   - PRE-BLOCKED WEIGHTS [NB, K2, BN]: each grid step's DMA is one fully
     contiguous copy (no lane-strided descriptors).
-  - scales: per-channel [1, N] f32, or group scales [NB, 2*NSEG, BN]
-    where each half of K splits into 128-row segments (+ one ragged
-    tail), pre-blocked to match.
+  - scales: per-channel [NB, 1, BN] f32, or group scales
+    [NB, 2*NSEG, BN] where each half of K splits into 128-row segments
+    (+ one ragged tail) — pre-blocked so the kernel indexes them on the
+    MAJOR axis only (dynamic lane slicing of VMEM refs is a Mosaic
+    slow path / unsupported).
 
 Scale modes:
   - per_channel=True: one dot per half per block, scale folded into the

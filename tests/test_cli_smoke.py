@@ -141,6 +141,37 @@ def test_tools_check_codes_cli(tmp_path):
     assert os.path.exists(out)
 
 
+def test_tools_quantize_ckpt_cli(tmp_path):
+    """quantize-ckpt produces an orbax dir whose key layout every decode
+    path dispatches on; a round-trip restore must generate."""
+    import jax
+    import jax.numpy as jnp
+
+    from llamagen_tpu.cli import tools
+    from llamagen_tpu.cli.common import load_gpt
+    from llamagen_tpu.models import gpt as gpt_lib
+    from llamagen_tpu.ops.generate import generate
+    from llamagen_tpu.utils import checkpoint
+
+    cfg_kw = dict(image_size=64, downsample_size=16)  # 4x4 grid
+    params, cfg = load_gpt(None, "GPT-nano", **cfg_kw)
+    src = str(tmp_path / "src_ckpt")
+    checkpoint.save(src, params)
+
+    for mode, key in (("int8", "wqkv_q"), ("w4", "wqkv_w4b")):
+        out = str(tmp_path / f"ckpt_{mode}")
+        tools.main(["quantize-ckpt", "--in", src, "--out", out,
+                    "--mode", mode, "--gpt-model", "GPT-nano",
+                    "--image-size", "64"])
+        qp, qcfg = load_gpt(out, "GPT-nano", **cfg_kw)
+        assert key in qp["layers"], sorted(qp["layers"])
+        seq = np.asarray(generate(
+            qp, jax.random.PRNGKey(0), jnp.asarray([1, 2]), cfg=qcfg,
+            max_new_tokens=qcfg.block_size, cfg_scale=2.0,
+            compute_dtype=jnp.float32, cache_dtype=jnp.float32))
+        assert seq.shape == (2, qcfg.block_size)
+
+
 def test_tools_index_images_and_plot_metrics(tmp_path):
     """index-images drops unreadable files (openimage_json.py:44-69);
     plot-metrics renders training curves from metrics.jsonl."""
