@@ -171,6 +171,12 @@ def shard_tp_params(params, cfg: GPTConfig, mesh: Mesh):
     W8A16 pytree (int8 layer weights + scales; head bf16)."""
     ntp = mesh.shape["tp"]
     layers = dict(params["layers"])
+    if any(k.endswith("_w4b") for k in layers):
+        raise NotImplementedError(
+            "TP decode does not take W4-kernel params: the nibble-packed "
+            "block layout would need per-shard repacking (and N/tp is not "
+            "128-aligned for every zoo size). Use quantize_gpt_params "
+            "(W8A16) for TP — it shards transparently.")
     quantized = "wqkv_q" in layers
     if quantized:
         layers["wqkv_q"] = _head_major(layers["wqkv_q"], cfg, ntp)

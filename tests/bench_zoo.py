@@ -6,8 +6,10 @@ Replicates the reference serve table row by row
 
     GPT-B 2.39s | GPT-L 3.48s | GPT-XL 4.84s | GPT-XXL 6.36s | GPT-3B 6.26s
 
-Usage: python tests/bench_zoo.py GPT-XL [GPT-XXL ...]
-int8 KV + W8A16 layer weights (bf16 head), the bench.py configuration.
+Usage: python tests/bench_zoo.py GPT-XL [GPT-XXL ...] [--w4k | --w4k-pc]
+int8 KV + W8A16 layer weights (bf16 head), the bench.py configuration;
+--w4k / --w4k-pc switch to the W4A16 Pallas kernel (grouped /
+per-channel scales — numerics tradeoff, BENCH.md).
 """
 
 import json
@@ -25,16 +27,22 @@ BASELINE_S = {"GPT-B": 2.39, "GPT-L": 3.48, "GPT-XL": 4.84,
               "GPT-XXL": 6.36, "GPT-3B": 6.26}
 
 
-def main(models):
+def main(models, w4k=None):
     from llamagen_tpu.config import gpt_config
     from llamagen_tpu.models import gpt
-    from llamagen_tpu.ops.generate import generate
     from llamagen_tpu.ops.quant_matmul import quantize_gpt_params
+    from llamagen_tpu.ops.generate import generate
+    from llamagen_tpu.ops.w4_matmul import quantize_gpt_params_w4k
 
     for name in models:
         cfg = gpt_config(name, block_size=576, cls_token_num=1)
-        params = quantize_gpt_params(
-            gpt.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16))
+        raw = gpt.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+        if w4k:
+            params = quantize_gpt_params_w4k(raw,
+                                             per_channel=(w4k == "pc"))
+        else:
+            params = quantize_gpt_params(raw)
+        del raw
         labels = jnp.asarray(np.arange(8) * 100 % 1000)
 
         def run(seed):
@@ -62,4 +70,7 @@ def main(models):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:] or ["GPT-XL", "GPT-XXL"])
+    args = sys.argv[1:]
+    w4k = ("pc" if "--w4k-pc" in args else ("g" if "--w4k" in args else None))
+    models = [a for a in args if a.startswith("GPT-")]
+    main(models or ["GPT-XL", "GPT-XXL"], w4k=w4k)

@@ -75,6 +75,24 @@ def test_w4_xla_dequant_matches_host():
         np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
+def test_w4k_rejected_on_tp_path():
+    """TP decode must refuse W4-kernel params loudly (per-shard repacking
+    is unimplemented and N/tp is not 128-aligned for every zoo size)."""
+    from llamagen_tpu.config import GPTConfig
+    from llamagen_tpu.models import gpt
+    from llamagen_tpu.ops.w4_matmul import quantize_gpt_params_w4k
+    from llamagen_tpu.parallel.mesh import make_mesh
+    from llamagen_tpu.parallel.tp_decode import shard_tp_params
+
+    cfg = GPTConfig(dim=256, n_layer=1, n_head=2, block_size=16,
+                    num_classes=10, vocab_size=128, cls_token_num=1)
+    qp = quantize_gpt_params_w4k(
+        gpt.init_params(jax.random.PRNGKey(0), cfg))
+    mesh = make_mesh(1, 1, 2, devices=jax.devices()[:2])
+    with pytest.raises(NotImplementedError, match="W4-kernel"):
+        shard_tp_params(qp, cfg, mesh)
+
+
 def test_w4k_engine_matches_generate_greedy():
     """The serving engine's slot path must route W4-kernel params through
     the same dispatch as generate(): identical quantized weights ->
