@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(int8_weights=True):
+def main(int8_weights=True, w4k=None):
     from llamagen_tpu.config import gpt_config
     from llamagen_tpu.models import gpt
     from llamagen_tpu.ops.quant_matmul import quantize_gpt_params
@@ -24,7 +24,10 @@ def main(int8_weights=True):
     cfg = gpt_config("GPT-XL", block_size=256, cls_token_num=120,
                      model_type="t2i", caption_dim=2048)
     params = gpt.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
-    if int8_weights:
+    if w4k:
+        from llamagen_tpu.ops.w4_matmul import quantize_gpt_params_w4k
+        params = quantize_gpt_params_w4k(params, per_channel=(w4k == "pc"))
+    elif int8_weights:
         params = quantize_gpt_params(params)
 
     n_req = 24
@@ -45,11 +48,13 @@ def main(int8_weights=True):
     t0 = time.time()
     out = eng.generate_t2i(caps, masks)
     dt = time.time() - t0
-    print(f"t2i engine GPT-XL 256 (120-tok captions, int8kv"
-          f"{'+int8w' if int8_weights else ''}): {n_req} reqs in {dt:.2f}s "
-          f"= {n_req / dt:.3f} img/s")
+    tag = f"+w4k-{w4k}" if w4k else ("+int8w" if int8_weights else "")
+    print(f"t2i engine GPT-XL 256 (120-tok captions, int8kv{tag}): "
+          f"{n_req} reqs in {dt:.2f}s = {n_req / dt:.3f} img/s")
     assert out.shape == (n_req, 256)
 
 
 if __name__ == "__main__":
-    main(int8_weights=not ("--bf16" in sys.argv))
+    w4k = ("pc" if "--w4k-pc" in sys.argv
+           else ("g" if "--w4k" in sys.argv else None))
+    main(int8_weights=not ("--bf16" in sys.argv), w4k=w4k)
