@@ -93,14 +93,19 @@ def pack_w4(w: jnp.ndarray, *, per_channel: bool = False,
         # cap K2*BN ~1M: the in-kernel i32 unpack intermediate is 4x the
         # block and the two whole-half operands stay live through the
         # dots — K2=4352 at BN=640 blows scoped VMEM (measured)
-        bn = _pick_bn(n, target=max(128, min(640, 1_000_000 // k2
-                                             // 128 * 128)))
+        target = min(640, 1_000_000 // k2 // 128 * 128)
+        if target < 128:
+            # BN cannot shrink below 128: the budget is unsatisfiable —
+            # fail loudly rather than compile into a scoped-VMEM OOM
+            raise ValueError(
+                f"K={k} too large for the per-channel W4 kernel's VMEM "
+                f"budget (K2*128 > 1M bytes); use grouped scales or W8A16")
+        bn = _pick_bn(n, target=target)
     else:
         # grouped segment dots free each slice as they go; wider blocks
         # amortize the per-dot MXU issue latency over more bytes
         bn = _pick_bn(n)
     nb = n // bn
-    segs = _segments(k2)
     w32 = jnp.asarray(w, jnp.float32)
 
     if per_channel:
@@ -111,6 +116,7 @@ def pack_w4(w: jnp.ndarray, *, per_channel: bool = False,
         # a Mosaic slow path / unsupported)
         out_scale = jnp.moveaxis(scale.reshape(*lead, 1, nb, bn), -2, -3)
     else:
+        segs = _segments(k2)
         parts, sparts = [], []
         for half in range(2):
             for (r0, rl) in segs:
@@ -192,6 +198,12 @@ def w4_matmul(x: jnp.ndarray, blocks: jnp.ndarray, scales: jnp.ndarray,
     if blocks.ndim == 3:
         blocks = blocks[None]
         layer = 0
+    if isinstance(layer, int):
+        # the in-kernel DMA index is NOT bounds-checked on TPU — an
+        # out-of-range layer would silently stream garbage HBM
+        assert 0 <= layer < blocks.shape[0], (layer, blocks.shape)
+    else:
+        layer = jnp.clip(layer, 0, blocks.shape[0] - 1)
     _, nb, k2, bn = blocks.shape
     assert k == 2 * k2, (x.shape, blocks.shape)
     n = nb * bn
@@ -221,7 +233,9 @@ def w4_matmul(x: jnp.ndarray, blocks: jnp.ndarray, scales: jnp.ndarray,
     return out.transpose(1, 0, 2).reshape(b, n)
 
 
-_LAYER_MATMUL_KEYS = ("wqkv", "wo", "w1", "w2", "w3")
+# single source of truth for which layer weights are matmuls (shared
+# with the W8A16 path so the two quantizers can never diverge)
+from llamagen_tpu.ops.quant_matmul import _LAYER_MATMUL_KEYS  # noqa: E402
 
 
 def quantize_gpt_params_w4k(params, *, per_channel: bool = False,
