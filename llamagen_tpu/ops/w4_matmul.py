@@ -89,21 +89,10 @@ def pack_w4(w: jnp.ndarray, *, per_channel: bool = False,
     k2 = k // 2
     if block_n:
         bn = block_n
-    elif per_channel:
-        # cap K2*BN ~1M: the in-kernel i32 unpack intermediate is 4x the
-        # block and the two whole-half operands stay live through the
-        # dots — K2=4352 at BN=640 blows scoped VMEM (measured)
-        target = min(640, 1_000_000 // k2 // 128 * 128)
-        if target < 128:
-            # BN cannot shrink below 128: the budget is unsatisfiable —
-            # fail loudly rather than compile into a scoped-VMEM OOM
-            raise ValueError(
-                f"K={k} too large for the per-channel W4 kernel's VMEM "
-                f"budget (K2*128 > 1M bytes); use grouped scales or W8A16")
-        bn = _pick_bn(n, target=target)
     else:
-        # grouped segment dots free each slice as they go; wider blocks
-        # amortize the per-dot MXU issue latency over more bytes
+        # wide blocks amortize per-DMA cost; the kernel bounds its i32
+        # unpack live-range by chunking rows (per-channel) / segment
+        # slices (grouped), so BN need not shrink with K2
         bn = _pick_bn(n)
     nb = n // bn
     w32 = jnp.asarray(w, jnp.float32)
@@ -156,14 +145,28 @@ def _w4_kernel(lidx_ref, x_ref, s_ref, w_hbm, o_ref, w_scr, sems,
             cp(1 - slot, blk + 1).start()
 
         cp(slot, blk).wait()
-        p32 = w_scr[slot].astype(jnp.int32)
-        lo = ((p32 << 28) >> 28).astype(jnp.bfloat16)  # rows [0, K2)
-        hi = (p32 >> 4).astype(jnp.bfloat16)           # rows [K2, K)
         if per_channel:
-            acc = jnp.dot(x[:, :k2], lo, preferred_element_type=jnp.float32)
-            acc += jnp.dot(x[:, k2:], hi, preferred_element_type=jnp.float32)
+            # chunk the unpack+dot over row groups: the i32 intermediate
+            # is 4x the int8 rows, and unpacking the whole block at once
+            # blows scoped VMEM at K2*BN ~ 2.8M (w2-class matrices); a
+            # static chunk loop bounds the live range so BN stays wide
+            # (fewer, bigger DMAs — measured 533 -> wider-block stream)
+            ch = max(256, min(k2, 500_000 // bn // 8 * 8))
+            acc = jnp.zeros((batch, bn), jnp.float32)
+            for c0 in range(0, k2, ch):
+                rows = min(ch, k2 - c0)
+                p32 = w_scr[slot, c0:c0 + rows, :].astype(jnp.int32)
+                lo = ((p32 << 28) >> 28).astype(jnp.bfloat16)
+                hi = (p32 >> 4).astype(jnp.bfloat16)
+                acc += jnp.dot(x[:, c0:c0 + rows], lo,
+                               preferred_element_type=jnp.float32)
+                acc += jnp.dot(x[:, k2 + c0:k2 + c0 + rows], hi,
+                               preferred_element_type=jnp.float32)
             acc = acc * s_ref[blk, 0, :][None, :]
         else:
+            p32 = w_scr[slot].astype(jnp.int32)
+            lo = ((p32 << 28) >> 28).astype(jnp.bfloat16)  # rows [0, K2)
+            hi = (p32 >> 4).astype(jnp.bfloat16)           # rows [K2, K)
             nseg = len(segs)
             acc = jnp.zeros((batch, bn), jnp.float32)
             for half, wh in ((0, lo), (1, hi)):
