@@ -12,10 +12,21 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
 
 import jax
+
+# Persistent compilation cache: the W8A16 kernel-path compile dominates a
+# cold run (~5 min on the one-core host); with the cache warm (populated by
+# any prior run, incl. during development) the whole benchmark takes <1 min.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -46,7 +57,6 @@ def main():
         return np.asarray(seq)
 
     import llamagen_tpu.ops.attention as attn
-    import os
     if os.environ.get("BENCH_BLOCK_S"):
         attn.BLOCK_S = int(os.environ["BENCH_BLOCK_S"])
     if os.environ.get("BENCH_W4K"):
@@ -61,10 +71,9 @@ def main():
         from llamagen_tpu.ops.quant_matmul import quantize_gpt_params
         params = quantize_gpt_params(params)
 
-    run(0)  # compile + first-exec warmup
-    run(0)
+    run(0)  # compile (persistent-cached) + first-exec warmup
     times = []
-    for i in range(3):
+    for i in range(2):
         t0 = time.time()
         run(i + 1)
         times.append(time.time() - t0)

@@ -127,6 +127,22 @@ def cmd_export_hub(args):
         print(f"pushed to {url}")
 
 
+def _check_images(data_path, chunk):
+    """Pool worker for cmd_index_images — module-level so it pickles
+    (a local closure crashes mp.Pool with 'Can't get local object')."""
+    from PIL import Image
+
+    good = []
+    for rel in chunk:
+        try:
+            with Image.open(os.path.join(data_path, rel)) as im:
+                im.verify()
+            good.append(rel)
+        except Exception:
+            pass
+    return good
+
+
 def cmd_index_images(args):
     """Validated image index for folder datasets (openimage_json.py:44-69):
     walk the tree, keep paths whose images actually open, dump json."""
@@ -142,26 +158,14 @@ def cmd_index_images(args):
                              os.path.join(rel_root, f))
     paths.sort()
 
-    def check(chunk):
-        from PIL import Image
-
-        good = []
-        for rel in chunk:
-            try:
-                with Image.open(os.path.join(args.data_path, rel)) as im:
-                    im.verify()
-                good.append(rel)
-            except Exception:
-                pass
-        return good
-
     workers = args.workers or max(mp.cpu_count() // 2, 4)
     if workers > 1 and len(paths) > 64:
-        units = [paths[i::workers] for i in range(workers)]
+        units = [(args.data_path, paths[i::workers]) for i in range(workers)]
         with mp.Pool(processes=workers) as pool:
-            valid = sorted(p for sub in pool.map(check, units) for p in sub)
+            valid = sorted(
+                p for sub in pool.starmap(_check_images, units) for p in sub)
     else:
-        valid = check(paths)
+        valid = _check_images(args.data_path, paths)
     out = args.out or os.path.join(args.data_path, "image_paths.json")
     with open(out, "w") as fh:
         json.dump(valid, fh, indent=4)

@@ -70,6 +70,60 @@ def sample(rng: jax.Array, logits: jnp.ndarray, *, temperature: float = 1.0,
     return jnp.argmax(logits, axis=-1)
 
 
+def filter_logits_per_slot(logits: jnp.ndarray, top_k: jnp.ndarray,
+                           top_p: jnp.ndarray) -> jnp.ndarray:
+    """Per-row top-k/top-p filtering with TRACED parameters.
+
+    Serving-engine variant of filter_logits: top_k [B] int32 (0 = off) and
+    top_p [B] f32 (>= 1.0 = off) are arrays, so one compiled program serves
+    requests with different sampling settings (the reference hot-swaps a
+    new Sampler per request, `/root/reference/app.py:54`; on TPU a re-trace
+    would recompile, so the params are data instead). One descending sort
+    serves both filters. Matches the static filters' tie semantics
+    (threshold comparisons are `<`, ties at the boundary kept).
+    """
+    v = logits.shape[-1]
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    # top-k threshold: sorted value at index k-1 (k<=0 disables)
+    kk = jnp.clip(top_k, 0, v)
+    kth = jnp.take_along_axis(sorted_logits,
+                              jnp.maximum(kk - 1, 0)[:, None], axis=-1)
+    kth = jnp.where((kk > 0)[:, None], kth, NEG_INF)
+    # top-p threshold: smallest kept logit in sorted order
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    exclusive = jnp.cumsum(probs, axis=-1) - probs
+    keep_sorted = exclusive <= top_p[:, None]
+    pth = jnp.min(
+        jnp.where(keep_sorted, sorted_logits, jnp.float32(jnp.inf)), axis=-1,
+        keepdims=True)
+    pth = jnp.where((top_p >= 1.0)[:, None], NEG_INF, pth)
+    thr = jnp.maximum(kth, pth)
+    return jnp.where(logits < thr, NEG_INF, logits)
+
+
+def sample_per_slot(rng: jax.Array, logits: jnp.ndarray,
+                    temperature: jnp.ndarray, top_k: jnp.ndarray,
+                    top_p: jnp.ndarray) -> jnp.ndarray:
+    """Per-row traced-parameter sampling: logits [B, V] -> ids [B].
+
+    temperature [B] f32 (0 = greedy argmax), top_k [B] int32 (0 = off),
+    top_p [B] f32 (>=1 = off). Same distribution as sample() when the
+    rows are uniform (parity-tested)."""
+    logits = logits.astype(jnp.float32) \
+        / jnp.maximum(temperature, 1e-5)[:, None]
+    logits = filter_logits_per_slot(logits, top_k, top_p)
+    drawn = jax.random.categorical(rng, logits, axis=-1)
+    greedy = jnp.argmax(logits, axis=-1)
+    return jnp.where(temperature <= 0.0, greedy, drawn)
+
+
+def cfg_mix_per_slot(logits: jnp.ndarray,
+                     cfg_scale: jnp.ndarray) -> jnp.ndarray:
+    """cfg_mix with a per-pair traced scale [B] (scale 1.0 = plain cond)."""
+    cond, uncond = jnp.split(logits, 2, axis=0)
+    return uncond + (cond - uncond) * cfg_scale[:, None]
+
+
 def apply_penalties(logits: jnp.ndarray, output_counts: jnp.ndarray,
                     presence: float = 0.0, frequency: float = 0.0,
                     repetition: float = 1.0,

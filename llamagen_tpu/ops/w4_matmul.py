@@ -145,12 +145,12 @@ def _w4_kernel(lidx_ref, x_ref, s_ref, w_hbm, o_ref, w_scr, sems,
             cp(1 - slot, blk + 1).start()
 
         cp(slot, blk).wait()
+        # chunk the unpack+dot over row groups in BOTH modes: the i32
+        # intermediate is 4x the int8 rows, and unpacking the whole block
+        # at once blows scoped VMEM at K2*BN ~ 2.8M (w2-class matrices); a
+        # static chunk loop bounds the live range so BN stays wide
+        # (fewer, bigger DMAs — measured 533 -> wider-block stream)
         if per_channel:
-            # chunk the unpack+dot over row groups: the i32 intermediate
-            # is 4x the int8 rows, and unpacking the whole block at once
-            # blows scoped VMEM at K2*BN ~ 2.8M (w2-class matrices); a
-            # static chunk loop bounds the live range so BN stays wide
-            # (fewer, bigger DMAs — measured 533 -> wider-block stream)
             ch = max(256, min(k2, 500_000 // bn // 8 * 8))
             acc = jnp.zeros((batch, bn), jnp.float32)
             for c0 in range(0, k2, ch):
@@ -164,17 +164,29 @@ def _w4_kernel(lidx_ref, x_ref, s_ref, w_hbm, o_ref, w_scr, sems,
                                preferred_element_type=jnp.float32)
             acc = acc * s_ref[blk, 0, :][None, :]
         else:
-            p32 = w_scr[slot].astype(jnp.int32)
-            lo = ((p32 << 28) >> 28).astype(jnp.bfloat16)  # rows [0, K2)
-            hi = (p32 >> 4).astype(jnp.bfloat16)           # rows [K2, K)
+            # group scales are folded into the WEIGHT rows (a cheap
+            # broadcast multiply hidden under the DMA), so each chunk is
+            # ONE wide dot per half instead of one dot per 128-row
+            # segment — the segment-dot formulation measured ~370 GB/s
+            # effective from MXU issue latency on 26-68 small dots/block
             nseg = len(segs)
             acc = jnp.zeros((batch, bn), jnp.float32)
-            for half, wh in ((0, lo), (1, hi)):
-                for gidx, (r0, rl) in enumerate(segs):
-                    xs = x[:, half * k2 + r0: half * k2 + r0 + rl]
-                    partial = jnp.dot(xs, wh[r0:r0 + rl, :],
-                                      preferred_element_type=jnp.float32)
-                    acc = acc + partial * s_ref[blk, half * nseg + gidx, :][None, :]
+            ch = max(SEG_ROWS, min(k2, 500_000 // bn // SEG_ROWS * SEG_ROWS))
+            for c0 in range(0, k2, ch):
+                rows = min(ch, k2 - c0)
+                p32 = w_scr[slot, c0:c0 + rows, :].astype(jnp.int32)
+                in_chunk = [(g, r0, rl) for g, (r0, rl) in enumerate(segs)
+                            if c0 <= r0 < c0 + rows]
+                for half, wh in ((0, ((p32 << 28) >> 28).astype(jnp.bfloat16)),
+                                 (1, (p32 >> 4).astype(jnp.bfloat16))):
+                    sexp = jnp.concatenate(
+                        [jnp.broadcast_to(
+                            s_ref[blk, half * nseg + g, :][None, :], (rl, bn))
+                         for g, r0, rl in in_chunk], axis=0)
+                    acc += jnp.dot(
+                        x[:, half * k2 + c0:half * k2 + c0 + rows],
+                        wh * sexp.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
         o_ref[blk] = acc.astype(o_ref.dtype)
         return carry
 

@@ -24,9 +24,11 @@ Layout conventions:
     sampling runs identically on every chip so no collective is needed
     after the logits all-gather.
 
-Weights: bf16 (shard_tp_params head-major wqkv + tp_param_specs). The
-W8A16 path stays single-chip for now — at TP≥2 the per-chip weight bytes
-already halve, which is the same lever.
+Weights: bf16 or W8A16 (shard_tp_params head-major wqkv + tp_param_specs
+with quantized=True; matmul_any dequantizes each chip's int8 shard in its
+fused weight stream). W4-kernel params are rejected by parallel.tp_decode
+— the pre-blocked [NB, K2, BN] layout does not slice along heads/hidden;
+repack per-shard with pack_w4 if W4-on-TP is ever needed.
 """
 
 from __future__ import annotations
@@ -184,6 +186,10 @@ def make_tp_engine_step(cfg: GPTConfig, sp: SamplingParams,
         "TP engine serves c2i (reference serving parity); t2i serving is "
         "single-chip via serve.engine")
     assert cfg.n_head % ntp == 0
+    assert cfg.kv_heads == cfg.n_head, (
+        "TP serving does not support GQA: _local_decode_step splits the "
+        "fused qkv into equal thirds and the cache lanes assume "
+        "kv_heads == n_head (mirrors ops.generate._kernel_supported)")
     h_local = cfg.n_head // ntp
     assert (h_local * cfg.head_dim) % 128 == 0, (
         "per-chip flattened heads must stay 128-lane aligned")
