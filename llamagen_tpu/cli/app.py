@@ -2,13 +2,14 @@
 
 Equivalent of the reference Gradio demo (`/root/reference/app.py`): serves
 class-conditional generation over HTTP, backed by the continuous-batching
-ServeEngine (the reference hot-swaps the vLLM sampler per request,
-app.py:54; here cfg_scale is a per-engine setting and the engine is shared
-across requests). Uses Gradio when installed, otherwise a dependency-free
-stdlib HTTP server with the same endpoints.
+ServeEngine. The reference hot-swaps the vLLM sampler per request
+(app.py:54); here cfg_scale / temperature / top-k / top-p are PER-REQUEST
+traced data in one compiled engine program — mixed guidance scales serve
+concurrently with zero recompiles. Uses Gradio when installed, otherwise a
+dependency-free stdlib HTTP server with the same endpoints.
 
   python -m llamagen_tpu.cli.app --gpt-ckpt c2i_B_256.pt --vq-ckpt vq.pt
-  curl "localhost:7860/generate?class_id=207&seed=0" -o golden_retriever.png
+  curl "localhost:7860/generate?class_id=207&cfg_scale=3.5" -o dog.png
 """
 
 from __future__ import annotations
@@ -53,13 +54,25 @@ class DemoBackend:
                                            top_p=args.top_p,
                                            temperature=args.temperature),
             chunk=args.chunk)
+        self._default_sp = self.engine.sp
         self._lock = threading.Lock()
 
-    def generate_png(self, class_id: int) -> bytes:
+    def generate_png(self, class_id: int, cfg_scale=None, temperature=None,
+                     top_k=None, top_p=None) -> bytes:
         from PIL import Image
+        from llamagen_tpu.serve.engine import SamplingParams
 
+        d = self._default_sp
+        sp = SamplingParams(
+            cfg_scale=d.cfg_scale if cfg_scale is None else float(cfg_scale),
+            temperature=(d.temperature if temperature is None
+                         else float(temperature)),
+            top_k=d.top_k if top_k is None else int(top_k),
+            top_p=d.top_p if top_p is None else float(top_p))
         with self._lock:  # engine host loop is single-driver
-            tokens = self.engine.generate([class_id])[0]
+            req = self.engine.submit(class_id, sp=sp)
+            self.engine.run_until_idle()
+            tokens = req.result
         idx = jnp.asarray(tokens.reshape(1, self.latent, self.latent))
         img = self.vq_lib.decode_code(self.vq_params, idx, self.vq_cfg)
         arr = np.asarray(img.astype(jnp.float32))[0]
@@ -76,7 +89,10 @@ def serve_http(backend: DemoBackend, port: int):
             if url.path == "/generate":
                 q = urllib.parse.parse_qs(url.query)
                 class_id = int(q.get("class_id", ["207"])[0])
-                png = backend.generate_png(class_id)
+                opt = {k: q[k][0] for k in
+                       ("cfg_scale", "temperature", "top_k", "top_p")
+                       if k in q}
+                png = backend.generate_png(class_id, **opt)
                 self.send_response(200)
                 self.send_header("Content-Type", "image/png")
                 self.end_headers()
@@ -128,15 +144,17 @@ def main(argv=None):
     try:
         import gradio as gr
 
-        def infer(class_id):
-            png = backend.generate_png(int(class_id))
+        def infer(class_id, cfg_scale):
+            png = backend.generate_png(int(class_id), cfg_scale=cfg_scale)
             from PIL import Image
             return Image.open(io.BytesIO(png))
 
-        demo = gr.Interface(fn=infer,
-                            inputs=gr.Number(label="ImageNet class id"),
-                            outputs=gr.Image(),
-                            title="LlamaGen-TPU c2i demo")
+        demo = gr.Interface(
+            fn=infer,
+            inputs=[gr.Number(label="ImageNet class id"),
+                    gr.Slider(1.0, 10.0, value=4.0, label="cfg scale")],
+            outputs=gr.Image(),
+            title="LlamaGen-TPU c2i demo")
         demo.launch(server_port=args.port)
     except ImportError:
         serve_http(backend, args.port)

@@ -29,10 +29,14 @@ class NpyCodeDataset:
     label dir `{code_path}/imagenet{size}_labels`.
     """
 
-    def __init__(self, feature_dir: str, label_dir: str):
+    def __init__(self, feature_dir: str, label_dir: str, *, seed: int = 0):
         self.feature_dir = feature_dir
         self.label_dir = label_dir
         self.num = len([f for f in os.listdir(feature_dir) if f.endswith(".npy")])
+        # Own RNG stream (seeded): the aug pick must not depend on the global
+        # numpy RNG so runs are reproducible per (seed, access order) — every
+        # other data path in this repo is deterministically seeded.
+        self._rng = np.random.RandomState(seed)
 
     def __len__(self) -> int:
         return self.num
@@ -41,7 +45,7 @@ class NpyCodeDataset:
         codes = np.load(os.path.join(self.feature_dir, f"{idx}.npy"))
         labels = np.load(os.path.join(self.label_dir, f"{idx}.npy"))
         # pick one augmentation (ref: dataset/imagenet.py random aug choice)
-        aug = np.random.randint(codes.shape[1]) if codes.ndim == 3 else 0
+        aug = self._rng.randint(codes.shape[1]) if codes.ndim == 3 else 0
         code = codes[0, aug] if codes.ndim == 3 else codes.reshape(-1)
         return code.astype(np.int32), labels.reshape(-1)[0].astype(np.int32)
 

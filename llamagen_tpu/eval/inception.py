@@ -11,6 +11,16 @@ Weights: supply the pytorch-fid state dict
 weights a random-init network is used (architecture/shape tests only —
 metric values are then meaningless).
 
+Comparability caveat: the reference's published FID table is computed with
+the ADM suite's TF1 frozen graph (`evaluator.py:16-24`); the pytorch-fid
+port followed here is the same 2015 weights but is known to yield slightly
+different absolute FID values (resize kernels + pooling edge handling
+differ at the ~0.01-0.05 FID level on ImageNet-scale sets). Numbers from
+this harness are self-consistent and comparable to the large pytorch-fid
+literature, but a direct digit-for-digit comparison against the
+reference's README table carries that backend delta; quantify it with real
+weights before publishing cross-framework tables (see PARITY.md).
+
 Outputs per image batch:
   pool3   [N, 2048]  — FID features
   spatial [N, 7*17*17] — first 7 channels of Mixed_6e (sFID features,

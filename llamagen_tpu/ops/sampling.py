@@ -111,10 +111,34 @@ def sample_per_slot(rng: jax.Array, logits: jnp.ndarray,
     rows are uniform (parity-tested)."""
     logits = logits.astype(jnp.float32) \
         / jnp.maximum(temperature, 1e-5)[:, None]
-    logits = filter_logits_per_slot(logits, top_k, top_p)
+    # runtime gate: when every slot has filtering off (the common serving
+    # configuration, top_k=0/top_p=1), skip the [B, V] sort entirely —
+    # lax.cond executes one branch, so the per-slot engine step pays the
+    # sort only when some request actually asked for top-k/top-p
+    filters_off = jnp.all((top_k <= 0) & (top_p >= 1.0))
+    logits = jax.lax.cond(
+        filters_off, lambda l: l,
+        lambda l: filter_logits_per_slot(l, top_k, top_p), logits)
     drawn = jax.random.categorical(rng, logits, axis=-1)
     greedy = jnp.argmax(logits, axis=-1)
     return jnp.where(temperature <= 0.0, greedy, drawn)
+
+
+def apply_penalties_per_slot(logits: jnp.ndarray, output_counts: jnp.ndarray,
+                             presence: jnp.ndarray, frequency: jnp.ndarray,
+                             repetition: jnp.ndarray) -> jnp.ndarray:
+    """apply_penalties with TRACED per-row parameters [B] (serving engine).
+
+    Same vLLM semantics as apply_penalties; a row with
+    presence=frequency=0, repetition=1 is exactly a no-op, so mixed
+    batches where only some requests carry penalties are correct.
+    """
+    out_mask = output_counts > 0
+    rep = jnp.where(out_mask, repetition[:, None].astype(jnp.float32), 1.0)
+    logits = jnp.where(logits > 0, logits / rep, logits * rep)
+    logits = logits - frequency[:, None] * output_counts.astype(logits.dtype)
+    logits = logits - presence[:, None] * out_mask.astype(logits.dtype)
+    return logits
 
 
 def cfg_mix_per_slot(logits: jnp.ndarray,

@@ -38,6 +38,23 @@ from llamagen_tpu.ops import sampling
 from llamagen_tpu.ops.quant_matmul import matmul_any
 
 
+class SlotSampling(NamedTuple):
+    """Per-slot TRACED sampling parameters.
+
+    The reference hot-swaps `Sampler(cfg_scale)` on the live model per
+    request (`/root/reference/app.py:54`); on TPU a re-trace would
+    recompile the chunk program (~minutes), so the parameters are data:
+    [P] arrays carried in EngineState, written at admission.
+    """
+    cfg_scale: jnp.ndarray    # [P] f32 (1.0 = no guidance)
+    temperature: jnp.ndarray  # [P] f32 (<= 0 = greedy argmax)
+    top_k: jnp.ndarray        # [P] i32 (0 = off)
+    top_p: jnp.ndarray        # [P] f32 (>= 1 = off)
+    presence: jnp.ndarray     # [P] f32
+    frequency: jnp.ndarray    # [P] f32
+    repetition: jnp.ndarray   # [P] f32 (1.0 = off)
+
+
 class EngineState(NamedTuple):
     cache: gpt.KVCache          # per-layer [2P, Smax, F]
     pos: jnp.ndarray            # [P] next write position (pair-shared)
@@ -50,6 +67,7 @@ class EngineState(NamedTuple):
     recent: Optional[tuple] = None  # kernel path: per-layer [2P, w, 2F]
     prefix_pad: Optional[jnp.ndarray] = None  # t2i: [P] left-pad counts
     output_counts: Optional[jnp.ndarray] = None  # [P, V] penalty counts
+    sp_slots: Optional[SlotSampling] = None  # per-slot sampling params
 
 
 @dataclass
@@ -71,10 +89,21 @@ class SamplingParams:
                 or self.repetition_penalty != 1.0)
 
 
+def slot_sampling_full(sp: SamplingParams, num_pairs: int) -> SlotSampling:
+    """Broadcast one SamplingParams to all slots."""
+    f = lambda v, dt=jnp.float32: jnp.full((num_pairs,), v, dt)
+    return SlotSampling(
+        cfg_scale=f(sp.cfg_scale), temperature=f(sp.temperature),
+        top_k=f(sp.top_k, jnp.int32), top_p=f(sp.top_p),
+        presence=f(sp.presence_penalty), frequency=f(sp.frequency_penalty),
+        repetition=f(sp.repetition_penalty))
+
+
 def init_engine_state(cfg: GPTConfig, num_pairs: int, max_new_tokens: int,
                       rng: jax.Array, cache_dtype=jnp.bfloat16,
                       use_kernel: bool = False,
-                      track_counts: bool = False) -> EngineState:
+                      track_counts: bool = False,
+                      sp: Optional[SamplingParams] = None) -> EngineState:
     smax = find_multiple(cfg.cls_token_num + max_new_tokens,
                          128 if use_kernel else 8)
     recent = None
@@ -99,6 +128,7 @@ def init_engine_state(cfg: GPTConfig, num_pairs: int, max_new_tokens: int,
                     if cfg.model_type == "t2i" else None),
         output_counts=(jnp.zeros((num_pairs, cfg.vocab_size), jnp.int32)
                        if track_counts else None),
+        sp_slots=slot_sampling_full(sp or SamplingParams(), num_pairs),
     )
 
 
@@ -232,17 +262,21 @@ def _decode_step_slots_pallas(params, cfg: GPTConfig, emb: jnp.ndarray,
     return logits, new_cache, tuple(new_recent)
 
 
-def make_engine_step(params, cfg: GPTConfig, sp: SamplingParams,
-                     max_new_tokens: int, chunk: int = 64,
-                     compute_dtype=jnp.bfloat16, use_kernel: bool = False):
+def make_engine_step(params, cfg: GPTConfig, max_new_tokens: int,
+                     chunk: int = 64, compute_dtype=jnp.bfloat16,
+                     use_kernel: bool = False, track_counts: bool = False):
     """Compile the chunked engine step.
 
-    engine_step(state, admit_mask [P] bool, admit_labels [P]) runs `chunk`
-    decode iterations; newly admitted slots go through their condition
-    prefill (one step for c2i) and then decode along with everyone else.
-    t2i slots are admitted OUT of band (make_admit_pair + make_scatter_pair
-    run the 120-token caption prefill once per request) so every in-chunk
-    step is pure decode.
+    engine_step(state, admit_mask [P] bool, admit_labels [P],
+    admit_sp SlotSampling, n_steps i32) runs `n_steps <= chunk` decode
+    iterations (the loop bound is TRACED — one compiled program serves any
+    chunk length, so the host can stop exactly when the next slot
+    finishes; no finished slot idles through the rest of a fixed chunk).
+    Newly admitted slots take their per-request sampling params from
+    `admit_sp` and go through their condition prefill (one step for c2i),
+    then decode along with everyone else. t2i slots are admitted OUT of
+    band (make_admit_pair + make_scatter_pair run the 120-token caption
+    prefill once per request) so every in-chunk step is pure decode.
     """
     is_t2i = cfg.model_type == "t2i"
 
@@ -277,18 +311,17 @@ def make_engine_step(params, cfg: GPTConfig, sp: SamplingParams,
                                                state.cache, compute_dtype,
                                                prefix_pad=pad2)
             recent = state.recent
-        mixed = sampling.cfg_mix(logits, sp.cfg_scale) \
-            if sp.cfg_scale > 1.0 else jnp.split(logits, 2, axis=0)[0]
+        ss = state.sp_slots
+        mixed = sampling.cfg_mix_per_slot(logits, ss.cfg_scale)
         counts = state.output_counts
         if counts is not None:
-            mixed = sampling.apply_penalties(
-                mixed, counts, presence=sp.presence_penalty,
-                frequency=sp.frequency_penalty,
-                repetition=sp.repetition_penalty)
+            mixed = sampling.apply_penalties_per_slot(
+                mixed, counts, presence=ss.presence,
+                frequency=ss.frequency, repetition=ss.repetition)
 
         rng, step_rng = jax.random.split(state.rng)
-        nxt = sampling.sample(step_rng, mixed, temperature=sp.temperature,
-                              top_k=sp.top_k, top_p=sp.top_p)  # [P]
+        nxt = sampling.sample_per_slot(step_rng, mixed, ss.temperature,
+                                       ss.top_k, ss.top_p)  # [P]
 
         # write sampled token for active unfinished slots
         still_going = state.active & (state.n_generated < max_new_tokens)
@@ -312,39 +345,43 @@ def make_engine_step(params, cfg: GPTConfig, sp: SamplingParams,
                               tokens_out=tokens_out, rng=rng, recent=recent,
                               output_counts=counts)
 
-    def engine_chunk(params, state: EngineState, admit_mask, admit_labels
-                     ) -> EngineState:
+    def engine_chunk(params, state: EngineState, admit_mask, admit_labels,
+                     admit_sp: SlotSampling, n_steps) -> EngineState:
         # admission: reset slot bookkeeping (cache slots get overwritten)
         pos = jnp.where(admit_mask, 0, state.pos)
         active = state.active | admit_mask
         labels = jnp.where(admit_mask, admit_labels, state.labels)
         n_generated = jnp.where(admit_mask, 0, state.n_generated)
+        sp_slots = SlotSampling(*(jnp.where(admit_mask, a, s) for a, s
+                                  in zip(admit_sp, state.sp_slots)))
         counts = state.output_counts
         if counts is not None:
             counts = jnp.where(admit_mask[:, None], 0, counts)
         state = state._replace(pos=pos, active=active, labels=labels,
-                               n_generated=n_generated, output_counts=counts)
-        state = jax.lax.fori_loop(0, chunk,
+                               n_generated=n_generated, output_counts=counts,
+                               sp_slots=sp_slots)
+        state = jax.lax.fori_loop(0, jnp.minimum(n_steps, chunk),
                                   lambda i, s: one_step(params, s), state)
         return state
 
     return jax.jit(engine_chunk, donate_argnums=(1,))
 
 
-def make_admit_pair(cfg: GPTConfig, sp: SamplingParams,
-                    compute_dtype=jnp.bfloat16):
+def make_admit_pair(cfg: GPTConfig, compute_dtype=jnp.bfloat16):
     """Compile the t2i admission prefill for ONE cond‖uncond pair.
 
     Runs the full cls_token_num-long caption prefill in a single forward
-    (vs 120 in-loop steps), CFG-mixes the last-position logits, samples the
-    first grid token. Returns (first_token, per-layer kv rows [2, T, 2F]
-    bf16, prefix_pad scalar). Ref: the reference's prefill batching
-    (serve/model_runner.py:248-446) — here a pair-granular compiled program.
+    (vs 120 in-loop steps), CFG-mixes the last-position logits with the
+    request's TRACED cfg_scale, samples the first grid token with its
+    traced temperature/top-k/top-p. Returns (first_token, per-layer kv
+    rows [2, T, 2F] bf16, prefix_pad scalar). Ref: the reference's prefill
+    batching (serve/model_runner.py:248-446) — a pair-granular compiled
+    program whose sampling params are data, not constants.
     """
     t = cfg.cls_token_num
 
     @jax.jit
-    def admit(params, caption, emb_mask, rng):
+    def admit(params, caption, emb_mask, rng, sp_row: SlotSampling):
         # caption [1, T, caption_dim]; emb_mask [1, T] bool (left-padded)
         from llamagen_tpu.ops.generate import build_cfg_batch
 
@@ -357,10 +394,11 @@ def make_admit_pair(cfg: GPTConfig, sp: SamplingParams,
         logits, stage = gpt.prefill(params, cfg, cond, stage,
                                     prefix_mask=m2,
                                     compute_dtype=compute_dtype)
-        mixed = sampling.cfg_mix(logits, sp.cfg_scale) \
-            if sp.cfg_scale > 1.0 else logits[:1]
-        first = sampling.sample(rng, mixed, temperature=sp.temperature,
-                                top_k=sp.top_k, top_p=sp.top_p)[0]
+        mixed = sampling.cfg_mix_per_slot(
+            logits, sp_row.cfg_scale.reshape(1))
+        first = sampling.sample_per_slot(
+            rng, mixed, sp_row.temperature.reshape(1),
+            sp_row.top_k.reshape(1), sp_row.top_p.reshape(1))[0]
         rows = tuple(ckv[:, :t] for ckv in stage.kv)  # [2, T, 2F] each
         pad = (t - jnp.sum(m[0]).astype(jnp.int32))
         return first, rows, pad
@@ -381,8 +419,8 @@ def make_scatter_pair(cfg: GPTConfig, num_pairs: int, use_kernel: bool,
     t = cfg.cls_token_num
     f = cfg.kv_heads * cfg.head_dim
 
-    def scatter(state: EngineState, slot, first_tok, rows, pad
-                ) -> EngineState:
+    def scatter(state: EngineState, slot, first_tok, rows, pad,
+                sp_row: SlotSampling) -> EngineState:
         idx = jnp.stack([slot, slot + num_pairs])  # [2]
         if use_kernel:
             from llamagen_tpu.ops.attention import recent_window
@@ -438,7 +476,9 @@ def make_scatter_pair(cfg: GPTConfig, num_pairs: int, use_kernel: bool,
             cur_token=state.cur_token.at[slot].set(first_tok),
             n_generated=state.n_generated.at[slot].set(1),
             tokens_out=state.tokens_out.at[slot].set(row),
-            prefix_pad=state.prefix_pad.at[slot].set(pad))
+            prefix_pad=state.prefix_pad.at[slot].set(pad),
+            sp_slots=SlotSampling(*(f.at[slot].set(v) for f, v
+                                    in zip(state.sp_slots, sp_row))))
 
     return jax.jit(scatter, donate_argnums=(0,))
 
@@ -449,8 +489,10 @@ class Request:
     request_id: int
     caption: Optional[np.ndarray] = None     # t2i: [T, caption_dim]
     emb_mask: Optional[np.ndarray] = None    # t2i: [T] bool
+    sp: Optional[SamplingParams] = None      # per-request override
     result: Optional[np.ndarray] = None
     submitted_at: float = field(default_factory=time.time)
+    first_token_at: Optional[float] = None   # TTFT (chunk-granular)
     finished_at: Optional[float] = None
 
 
@@ -467,7 +509,7 @@ class ServeEngine:
                  chunk: int = 64, seed: int = 0,
                  compute_dtype=jnp.bfloat16, cache_dtype=None,
                  use_kernel: Optional[bool] = None,
-                 mesh=None, tp: int = 1):
+                 mesh=None, tp: int = 1, track_penalties: bool = False):
         from llamagen_tpu.ops.generate import _kernel_supported
 
         if use_kernel is None:
@@ -482,6 +524,7 @@ class ServeEngine:
         self.sp = sampling_params or SamplingParams()
         self.chunk = chunk
         self._params = params
+        track_counts = self.sp.uses_penalties or track_penalties
         if tp > 1:
             # multi-chip tensor-parallel step (serve/tp_engine.py); params
             # must be placed with parallel.tp_decode.shard_tp_params(mesh)
@@ -489,82 +532,152 @@ class ServeEngine:
 
             assert mesh is not None, "tp > 1 needs a mesh with a 'tp' axis"
             self.step_fn = tp_engine.make_tp_engine_step(
-                cfg, self.sp, max_new_tokens, mesh, tp, chunk,
+                cfg, max_new_tokens, mesh, tp, chunk,
                 compute_dtype,
                 quantized_cache=cache_dtype == jnp.int8,
-                quantized_weights="wqkv_q" in params["layers"])
+                quantized_weights="wqkv_q" in params["layers"],
+                track_counts=track_counts)
             self.state = tp_engine.init_tp_engine_state(
                 cfg, num_pairs, max_new_tokens, jax.random.PRNGKey(seed),
                 mesh, tp, cache_dtype=cache_dtype,
-                track_counts=self.sp.uses_penalties)
+                track_counts=track_counts, sp=self.sp)
         else:
-            self.step_fn = make_engine_step(params, cfg, self.sp,
+            self.step_fn = make_engine_step(params, cfg,
                                             max_new_tokens, chunk,
-                                            compute_dtype, use_kernel)
+                                            compute_dtype, use_kernel,
+                                            track_counts=track_counts)
             self.state = init_engine_state(cfg, num_pairs, max_new_tokens,
                                            jax.random.PRNGKey(seed),
                                            cache_dtype=cache_dtype,
                                            use_kernel=use_kernel,
-                                           track_counts=self.sp.uses_penalties)
+                                           track_counts=track_counts,
+                                           sp=self.sp)
         self.slot_request: List[Optional[Request]] = [None] * num_pairs
+        # host mirror of per-slot progress: lets the host compute the exact
+        # number of steps until the next slot finishes WITHOUT a device
+        # sync before each chunk (n_generated advances deterministically)
+        self._slot_remaining = np.zeros((num_pairs,), np.int64)
         self.pending: "queue.Queue[Request]" = queue.Queue()
         self._next_id = 0
         self._latencies: List[float] = []
+        self._ttfts: List[float] = []
         self._completed = 0
         self._started = time.time()
         self._admit_rng = jax.random.PRNGKey(seed + 1)
         if cfg.model_type == "t2i":
-            self._admit_fn = make_admit_pair(cfg, self.sp, compute_dtype)
+            self._admit_fn = make_admit_pair(cfg, compute_dtype)
             self._scatter_fn = make_scatter_pair(cfg, num_pairs, use_kernel,
                                                  cache_dtype)
 
-    def submit(self, label: int) -> Request:
+    def submit(self, label: int,
+               sp: Optional[SamplingParams] = None) -> Request:
+        """c2i request; `sp` optionally overrides the engine-default
+        sampling params for THIS request only (traced per-slot — mixed
+        cfg_scale/temperature/top-k/top-p batches run in one compiled
+        program, no recompile; ref hot-swap: /root/reference/app.py:54).
+        Per-request penalties additionally need the engine constructed
+        with track_penalties=True (the counts buffer is structural)."""
         assert self.cfg.model_type == "c2i"
-        req = Request(label=int(label), request_id=self._next_id)
+        req = Request(label=int(label), request_id=self._next_id, sp=sp)
         self._next_id += 1
         self.pending.put(req)
         return req
 
-    def submit_caption(self, caption: np.ndarray,
-                       emb_mask: np.ndarray) -> Request:
+    def submit_caption(self, caption: np.ndarray, emb_mask: np.ndarray,
+                       sp: Optional[SamplingParams] = None) -> Request:
         """t2i request: caption [T, caption_dim] T5 features (left-padded,
         text.t5.left_pad_embeddings) + [T] bool validity mask."""
         assert self.cfg.model_type == "t2i"
         req = Request(label=0, request_id=self._next_id,
                       caption=np.asarray(caption),
-                      emb_mask=np.asarray(emb_mask, bool))
+                      emb_mask=np.asarray(emb_mask, bool), sp=sp)
         self._next_id += 1
         self.pending.put(req)
         return req
 
+    def _sp_row(self, req: Request) -> SlotSampling:
+        sp = req.sp or self.sp
+        if sp.uses_penalties and self.state.output_counts is None:
+            raise ValueError(
+                "per-request penalties need ServeEngine(track_penalties="
+                "True) (or engine-default penalties) so the counts buffer "
+                "exists in the compiled program")
+        return SlotSampling(
+            cfg_scale=jnp.float32(sp.cfg_scale),
+            temperature=jnp.float32(sp.temperature),
+            top_k=jnp.int32(sp.top_k), top_p=jnp.float32(sp.top_p),
+            presence=jnp.float32(sp.presence_penalty),
+            frequency=jnp.float32(sp.frequency_penalty),
+            repetition=jnp.float32(sp.repetition_penalty))
+
     def _admit_and_step(self):
         admit_mask = np.zeros((self.num_pairs,), bool)
         admit_labels = np.zeros((self.num_pairs,), np.int32)
+        admit_sp = {f: np.zeros((self.num_pairs,),
+                                np.int32 if f == "top_k" else np.float32)
+                    for f in SlotSampling._fields}
+        newly_admitted: List[Request] = []
         for i in range(self.num_pairs):
             if self.slot_request[i] is None and not self.pending.empty():
                 req = self.pending.get()
                 self.slot_request[i] = req
+                newly_admitted.append(req)
                 if self.cfg.model_type == "t2i":
                     # out-of-band admission: compiled pair prefill + scatter
                     self._admit_rng, r = jax.random.split(self._admit_rng)
+                    row = self._sp_row(req)
                     first, rows, pad = self._admit_fn(
                         self._params, jnp.asarray(req.caption)[None],
-                        jnp.asarray(req.emb_mask)[None], r)
+                        jnp.asarray(req.emb_mask)[None], r, row)
                     self.state = self._scatter_fn(
-                        self.state, jnp.int32(i), first, rows, pad)
+                        self.state, jnp.int32(i), first, rows, pad, row)
+                    self._slot_remaining[i] = self.max_new_tokens - 1
                 else:
                     admit_mask[i] = True
                     admit_labels[i] = req.label
-        self.state = self.step_fn(self._params, self.state,
-                                  jnp.asarray(admit_mask),
-                                  jnp.asarray(admit_labels))
+                    sp = req.sp or self.sp
+                    if sp.uses_penalties and \
+                            self.state.output_counts is None:
+                        raise ValueError(
+                            "per-request penalties need ServeEngine("
+                            "track_penalties=True)")
+                    for f in SlotSampling._fields:
+                        admit_sp[f][i] = {
+                            "cfg_scale": sp.cfg_scale,
+                            "temperature": sp.temperature,
+                            "top_k": sp.top_k, "top_p": sp.top_p,
+                            "presence": sp.presence_penalty,
+                            "frequency": sp.frequency_penalty,
+                            "repetition": sp.repetition_penalty}[f]
+                    self._slot_remaining[i] = self.max_new_tokens
+        # exact-step chunking: run only until the next slot finishes (or
+        # the chunk cap) so finished slots never idle-decode (the vLLM
+        # engine harvests every step, llm_engine.py:511-581; here the
+        # traced loop bound gives the same effect at compiled-step cost)
+        busy = self._slot_remaining > 0
+        n_steps = int(min(self._slot_remaining[busy].min(), self.chunk)) \
+            if busy.any() else self.chunk
+        self.state = self.step_fn(
+            self._params, self.state, jnp.asarray(admit_mask),
+            jnp.asarray(admit_labels),
+            SlotSampling(**{f: jnp.asarray(v)
+                            for f, v in admit_sp.items()}),
+            jnp.int32(n_steps))
+        self._slot_remaining = np.maximum(
+            self._slot_remaining - (self._slot_remaining > 0) * n_steps, 0)
+        now = time.time()
+        for req in newly_admitted:
+            # first token lands within the admission chunk (chunk-granular
+            # TTFT, the finest the compiled-chunk design observes)
+            req.first_token_at = now
 
     def _harvest(self):
-        n_gen = np.asarray(self.state.n_generated)
-        active = np.asarray(self.state.active)
+        if not any(self.slot_request):
+            return
+        # host bookkeeping says which slots are done; one sync for tokens
         done_slots = [i for i in range(self.num_pairs)
-                      if self.slot_request[i] is not None and not active[i]
-                      and n_gen[i] >= self.max_new_tokens]
+                      if self.slot_request[i] is not None
+                      and self._slot_remaining[i] == 0]
         if done_slots:
             tokens = np.asarray(self.state.tokens_out)
             for i in done_slots:
@@ -572,6 +685,8 @@ class ServeEngine:
                 req.result = tokens[i].copy()
                 req.finished_at = time.time()
                 self._latencies.append(req.finished_at - req.submitted_at)
+                if req.first_token_at is not None:
+                    self._ttfts.append(req.first_token_at - req.submitted_at)
                 self._completed += 1
                 self.slot_request[i] = None
 
@@ -605,7 +720,14 @@ class ServeEngine:
         throughput)."""
         active = np.asarray(self.state.active)
         lat = np.asarray(self._latencies) if self._latencies else None
+        ttft = np.asarray(self._ttfts) if self._ttfts else None
         elapsed = max(time.time() - self._started, 1e-9)
+        # TPOT (time per output token after the first), vLLM StatLogger
+        # parity (llm_engine.py:588-659); chunk-granular like TTFT
+        tpot = None
+        if lat is not None and ttft is not None and len(lat) == len(ttft) \
+                and self.max_new_tokens > 1:
+            tpot = (lat - ttft) / (self.max_new_tokens - 1)
         return {
             "running": int(active.sum()),
             "waiting": self.pending.qsize(),
@@ -618,4 +740,8 @@ class ServeEngine:
             if lat is not None else None,
             "e2e_latency_p99_s": float(np.percentile(lat, 99))
             if lat is not None else None,
+            "ttft_mean_s": float(ttft.mean()) if ttft is not None else None,
+            "ttft_p50_s": float(np.percentile(ttft, 50))
+            if ttft is not None else None,
+            "tpot_mean_s": float(tpot.mean()) if tpot is not None else None,
         }

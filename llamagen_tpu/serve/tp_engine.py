@@ -44,7 +44,12 @@ from llamagen_tpu.config import GPTConfig, find_multiple
 from llamagen_tpu.models import gpt
 from llamagen_tpu.ops import sampling
 from llamagen_tpu.parallel.tp_decode import shard_tp_params, tp_param_specs
-from llamagen_tpu.serve.engine import EngineState, SamplingParams
+from llamagen_tpu.serve.engine import (EngineState, SamplingParams,
+                                       SlotSampling, slot_sampling_full)
+
+
+def _slot_sp_specs() -> SlotSampling:
+    return SlotSampling(*(P() for _ in SlotSampling._fields))
 
 
 def _state_specs(cfg: GPTConfig, quantized: bool,
@@ -57,13 +62,15 @@ def _state_specs(cfg: GPTConfig, quantized: bool,
         tokens_out=P(), rng=P(),
         recent=lane,
         prefix_pad=None,
-        output_counts=P() if track_counts else None)
+        output_counts=P() if track_counts else None,
+        sp_slots=_slot_sp_specs())
 
 
 def init_tp_engine_state(cfg: GPTConfig, num_pairs: int,
                          max_new_tokens: int, rng: jax.Array, mesh: Mesh,
                          ntp: int, cache_dtype=jnp.bfloat16,
-                         track_counts: bool = False) -> EngineState:
+                         track_counts: bool = False,
+                         sp: Optional[SamplingParams] = None) -> EngineState:
     """Sharded engine state: cache/scale/window lane dims carry `tp`.
 
     The int8 scale buffer is [B, S, 128*ntp] globally so each chip's shard
@@ -104,6 +111,8 @@ def init_tp_engine_state(cfg: GPTConfig, num_pairs: int,
         prefix_pad=None,
         output_counts=(mk((num_pairs, cfg.vocab_size), jnp.int32, repl)
                        if track_counts else None),
+        sp_slots=jax.device_put(
+            slot_sampling_full(sp or SamplingParams(), num_pairs), repl),
     )
 
 
@@ -170,17 +179,20 @@ def _local_decode_step(params, cfg: GPTConfig, h_local: int,
     return logits, cache, tuple(new_r)
 
 
-def make_tp_engine_step(cfg: GPTConfig, sp: SamplingParams,
+def make_tp_engine_step(cfg: GPTConfig,
                         max_new_tokens: int, mesh: Mesh, ntp: int,
                         chunk: int = 64, compute_dtype=jnp.bfloat16,
                         quantized_cache: bool = False,
-                        quantized_weights: bool = False):
+                        quantized_weights: bool = False,
+                        track_counts: bool = False):
     """Compile the TP-sharded chunked engine step.
 
     Same contract as serve.engine.make_engine_step (c2i): the returned
-    engine_step(params, state, admit_mask [P] bool, admit_labels [P]) runs
-    `chunk` decode iterations with in-chunk admission prefill. Params must
-    be placed with parallel.tp_decode.shard_tp_params.
+    engine_step(params, state, admit_mask [P] bool, admit_labels [P],
+    admit_sp SlotSampling, n_steps i32) runs `n_steps <= chunk` decode
+    iterations with in-chunk admission prefill and per-slot traced
+    sampling params. Params must be placed with
+    parallel.tp_decode.shard_tp_params.
     """
     assert cfg.model_type == "c2i", (
         "TP engine serves c2i (reference serving parity); t2i serving is "
@@ -193,7 +205,6 @@ def make_tp_engine_step(cfg: GPTConfig, sp: SamplingParams,
     h_local = cfg.n_head // ntp
     assert (h_local * cfg.head_dim) % 128 == 0, (
         "per-chip flattened heads must stay 128-lane aligned")
-    track_counts = sp.uses_penalties
 
     def one_step(params, state: EngineState) -> EngineState:
         p = state.pos
@@ -212,18 +223,17 @@ def make_tp_engine_step(cfg: GPTConfig, sp: SamplingParams,
         logits, cache, recent = _local_decode_step(
             params, cfg, h_local, emb, pos2, state.cache, state.recent,
             compute_dtype)
-        mixed = sampling.cfg_mix(logits, sp.cfg_scale) \
-            if sp.cfg_scale > 1.0 else jnp.split(logits, 2, axis=0)[0]
+        ss = state.sp_slots
+        mixed = sampling.cfg_mix_per_slot(logits, ss.cfg_scale)
         counts = state.output_counts
         if counts is not None:
-            mixed = sampling.apply_penalties(
-                mixed, counts, presence=sp.presence_penalty,
-                frequency=sp.frequency_penalty,
-                repetition=sp.repetition_penalty)
+            mixed = sampling.apply_penalties_per_slot(
+                mixed, counts, presence=ss.presence,
+                frequency=ss.frequency, repetition=ss.repetition)
 
         rng, step_rng = jax.random.split(state.rng)
-        nxt = sampling.sample(step_rng, mixed, temperature=sp.temperature,
-                              top_k=sp.top_k, top_p=sp.top_p)
+        nxt = sampling.sample_per_slot(step_rng, mixed, ss.temperature,
+                                       ss.top_k, ss.top_p)
 
         still_going = state.active & (state.n_generated < max_new_tokens)
         write_idx = jnp.clip(state.n_generated, 0, max_new_tokens - 1)
@@ -245,26 +255,28 @@ def make_tp_engine_step(cfg: GPTConfig, sp: SamplingParams,
                               tokens_out=tokens_out, rng=rng, recent=recent,
                               output_counts=counts)
 
-    def local_chunk(params, state: EngineState, admit_mask, admit_labels
-                    ) -> EngineState:
+    def local_chunk(params, state: EngineState, admit_mask, admit_labels,
+                    admit_sp: SlotSampling, n_steps) -> EngineState:
         pos = jnp.where(admit_mask, 0, state.pos)
         active = state.active | admit_mask
         labels = jnp.where(admit_mask, admit_labels, state.labels)
         n_generated = jnp.where(admit_mask, 0, state.n_generated)
+        sp_slots = SlotSampling(*(jnp.where(admit_mask, a, s) for a, s
+                                  in zip(admit_sp, state.sp_slots)))
         counts = state.output_counts
         if counts is not None:
             counts = jnp.where(admit_mask[:, None], 0, counts)
         state = state._replace(pos=pos, active=active, labels=labels,
                                n_generated=n_generated,
-                               output_counts=counts)
-        return jax.lax.fori_loop(0, chunk,
+                               output_counts=counts, sp_slots=sp_slots)
+        return jax.lax.fori_loop(0, jnp.minimum(n_steps, chunk),
                                  lambda i, s: one_step(params, s), state)
 
     sspec = _state_specs(cfg, quantized_cache, track_counts)
     sharded = shard_map(
         local_chunk, mesh=mesh,
         in_specs=(tp_param_specs(cfg, quantized=quantized_weights),
-                  sspec, P(), P()),
+                  sspec, P(), P(), _slot_sp_specs(), P()),
         out_specs=sspec,
         check_vma=False)
     return jax.jit(sharded, donate_argnums=(1,))

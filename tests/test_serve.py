@@ -244,3 +244,71 @@ def test_engine_latency_stats(params):
     assert st["e2e_latency_mean_s"] > 0
     assert st["e2e_latency_p99_s"] >= st["e2e_latency_p50_s"]
     assert st["throughput_img_per_s"] > 0
+
+
+def test_per_request_sampling_params(params):
+    """Two requests with DIFFERENT cfg_scale run in one engine instance
+    (one compiled program, params are traced data — VERDICT r2 #4) and
+    each matches the single-scale generate() trajectory."""
+    eng = ServeEngine(params, CFG, num_pairs=2, max_new_tokens=MAX_NEW,
+                      sampling_params=SamplingParams(cfg_scale=2.0,
+                                                     temperature=1e-6),
+                      chunk=4, compute_dtype=jnp.float32)
+    r_a = eng.submit(3, sp=SamplingParams(cfg_scale=1.5, temperature=1e-6))
+    r_b = eng.submit(7, sp=SamplingParams(cfg_scale=4.0, temperature=1e-6))
+    eng.run_until_idle()
+    for label, req, scale in [(3, r_a, 1.5), (7, r_b, 4.0)]:
+        ref = generate(params, jax.random.PRNGKey(0), jnp.asarray([label]),
+                       cfg=CFG, max_new_tokens=MAX_NEW, cfg_scale=scale,
+                       sample_logits=False, compute_dtype=jnp.float32,
+                       cache_dtype=jnp.float32)
+        np.testing.assert_array_equal(req.result[None], np.asarray(ref))
+
+
+def test_per_request_topk_gating(params):
+    """Mixed filtered/unfiltered requests coexist; a top_k=1 request is
+    exactly greedy while its neighbour samples freely."""
+    eng = ServeEngine(params, CFG, num_pairs=2, max_new_tokens=MAX_NEW,
+                      sampling_params=SamplingParams(cfg_scale=2.0),
+                      chunk=4, compute_dtype=jnp.float32)
+    r_k = eng.submit(3, sp=SamplingParams(cfg_scale=2.0, top_k=1,
+                                          temperature=1.0))
+    eng.submit(7)  # engine-default params
+    eng.run_until_idle()
+    ref = generate(params, jax.random.PRNGKey(0), jnp.asarray([3]),
+                   cfg=CFG, max_new_tokens=MAX_NEW, cfg_scale=2.0,
+                   sample_logits=False, compute_dtype=jnp.float32,
+                   cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(r_k.result[None], np.asarray(ref))
+
+
+def test_t2i_per_request_cfg_scale(t2i_params):
+    """t2i: per-request cfg_scale through admission prefill + decode."""
+    emb, mask = _t2i_caption()
+    eng = ServeEngine(t2i_params, T2I_CFG, num_pairs=2,
+                      max_new_tokens=MAX_NEW,
+                      sampling_params=SamplingParams(cfg_scale=2.0,
+                                                     temperature=1e-6),
+                      chunk=4, compute_dtype=jnp.float32)
+    reqs = [eng.submit_caption(emb[i], mask[i],
+                               sp=SamplingParams(cfg_scale=s,
+                                                 temperature=1e-6))
+            for i, s in enumerate([1.5, 5.0])]
+    eng.run_until_idle()
+    for i, (req, scale) in enumerate(zip(reqs, [1.5, 5.0])):
+        ref = generate(t2i_params, jax.random.PRNGKey(0),
+                       jnp.asarray(emb[i:i + 1]), cfg=T2I_CFG,
+                       max_new_tokens=MAX_NEW,
+                       emb_masks=jnp.asarray(mask[i:i + 1]),
+                       cfg_scale=scale, sample_logits=False,
+                       compute_dtype=jnp.float32, cache_dtype=jnp.float32)
+        np.testing.assert_array_equal(req.result[None], np.asarray(ref))
+
+
+def test_ttft_tpot_stats(params):
+    eng = _engine(params, num_pairs=2, chunk=4)
+    eng.generate([1, 2, 3])
+    st = eng.stats()
+    assert st["ttft_mean_s"] is not None and st["ttft_mean_s"] >= 0
+    assert st["tpot_mean_s"] is not None and st["tpot_mean_s"] > 0
+    assert st["ttft_p50_s"] <= st["e2e_latency_p50_s"]

@@ -105,3 +105,19 @@ def test_tp_engine_int8_cache_close_to_fp(setup):
     q = _tp_engine(setup, cache_dtype=jnp.int8).generate([3, 7])
     agree = (fp == q).mean()
     assert agree >= 0.85, f"greedy agreement {agree:.3f}"
+
+
+def test_tp_engine_per_request_cfg_scale(setup):
+    """Per-request traced sampling params on the TP path: two different
+    cfg_scales in one compiled TP program, each matching generate()."""
+    _, params, _ = setup
+    eng = _tp_engine(setup)
+    r_a = eng.submit(3, sp=SamplingParams(cfg_scale=1.5, temperature=1e-6))
+    r_b = eng.submit(7, sp=SamplingParams(cfg_scale=4.0, temperature=1e-6))
+    eng.run_until_idle()
+    for label, req, scale in [(3, r_a, 1.5), (7, r_b, 4.0)]:
+        ref = generate(params, jax.random.PRNGKey(0), jnp.asarray([label]),
+                       cfg=CFG, max_new_tokens=MAX_NEW, cfg_scale=scale,
+                       sample_logits=False, compute_dtype=jnp.float32,
+                       cache_dtype=jnp.float32)
+        np.testing.assert_array_equal(req.result[None], np.asarray(ref))
