@@ -12,7 +12,10 @@ Subcommands:
                     validation (tools/check_image_codes.py)
   class-name        look up ImageNet class names (tools/imagenet_en_cn.py)
   index-images      scan a dataset tree, drop unreadable images, write
-                    image_paths.json (tools/openimage_json.py)
+                    image_paths.json — the `tools/openimage_json.py`
+                    equivalent (alias: `openimage-json`); generalizes the
+                    reference's hard-coded openimages_0001..0047 folder
+                    walk to any tree and its 47-process pool to --workers
   plot-metrics      plot loss/throughput curves from an experiment's
                     metrics.jsonl (tools/draw_figure.py, pointed at live
                     training data instead of hard-coded paper numbers)
@@ -267,12 +270,15 @@ def main(argv=None):
     n.add_argument("ids", type=int, nargs="+")
     n.set_defaults(fn=cmd_class_name)
 
-    ii = sub.add_parser("index-images")
-    ii.add_argument("--data-path", required=True)
-    ii.add_argument("--out", default=None,
-                    help="default: <data-path>/image_paths.json")
-    ii.add_argument("--workers", type=int, default=0)
-    ii.set_defaults(fn=cmd_index_images)
+    # "openimage-json" is an alias: this IS the openimage_json.py
+    # equivalent (same output file consumed by data.t2i's json datasets)
+    for alias in ("index-images", "openimage-json"):
+        ii = sub.add_parser(alias)
+        ii.add_argument("--data-path", required=True)
+        ii.add_argument("--out", default=None,
+                        help="default: <data-path>/image_paths.json")
+        ii.add_argument("--workers", type=int, default=0)
+        ii.set_defaults(fn=cmd_index_images)
 
     pm = sub.add_parser("plot-metrics")
     pm.add_argument("exp_dirs", nargs="+",

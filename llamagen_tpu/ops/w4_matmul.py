@@ -68,21 +68,56 @@ def _pick_bn(n: int, target: int = 640) -> int:
     return best
 
 
-def _segments(k2: int):
-    """128-row segments of one packed half (plus a ragged tail)."""
-    segs = [(i * SEG_ROWS, SEG_ROWS) for i in range(k2 // SEG_ROWS)]
-    if k2 % SEG_ROWS:
-        segs.append((k2 - k2 % SEG_ROWS, k2 % SEG_ROWS))
+def _segments(k2: int, seg_rows: int = SEG_ROWS):
+    """seg_rows-row segments of one packed half (plus a ragged tail)."""
+    segs = [(i * seg_rows, seg_rows) for i in range(k2 // seg_rows)]
+    if k2 % seg_rows:
+        segs.append((k2 - k2 % seg_rows, k2 % seg_rows))
     return segs
 
 
+def _infer_seg_rows(k2: int, nseg: int) -> int:
+    """Recover the group row-size from the scales shape (2*NSEG axis).
+
+    The candidates are the supported group sizes; the mapping
+    nseg = ceil(k2/seg) is injective across them for every real model
+    shape — assert loudly if a new shape ever makes it ambiguous."""
+    cands = [s for s in (64, 128, 256, 512)
+             if len(_segments(k2, s)) == nseg]
+    # different candidates may induce the SAME segmentation (tiny K2 in
+    # tests: one ragged segment) — that ambiguity is harmless
+    seglists = {tuple(_segments(k2, s)) for s in cands}
+    assert len(seglists) == 1, (
+        f"ambiguous/unknown group size for K2={k2}, NSEG={nseg}: {cands}")
+    return cands[0]
+
+
+def _pack_blocks(q, lead, k2, nb, bn):
+    """Quantized levels [..., K, N] int -> nibble-packed [..., NB, K2, BN]."""
+    lo = q[..., :k2, :].astype(jnp.int8) & 0x0F
+    hi = q[..., k2:, :].astype(jnp.int8) << 4
+    packed = (lo | hi).astype(jnp.int8)  # [..., K2, N]
+    return jnp.moveaxis(
+        packed.reshape(*lead, k2, nb, bn), -2, -3)  # [..., NB, K2, BN]
+
+
+def _block_scales(sc, lead, nb, bn):
+    """Row-layout scales [..., R, N] -> pre-blocked [..., NB, R, BN]
+    (the kernel indexes scales by block on the MAJOR axis only)."""
+    r = sc.shape[-2]
+    return jnp.moveaxis(sc.reshape(*lead, r, nb, bn), -2, -3)
+
+
 def pack_w4(w: jnp.ndarray, *, per_channel: bool = False,
-            block_n: Optional[int] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+            block_n: Optional[int] = None,
+            group_size: int = SEG_ROWS) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """[..., K, N] float -> (blocks [..., NB, K2, BN] int8, scales).
 
     scales: [..., NB, 1, BN] f32 (per_channel) or [..., NB, 2*NSEG, BN]
     f32 (grouped; group g of half h covers original rows h*K/2 +
-    [g*128, (g+1)*128)). Symmetric RTN to [-7, 7].
+    [g*group_size, (g+1)*group_size)). Symmetric RTN to [-7, 7].
+    group_size 64 doubles the scale resolution at ~identical kernel cost
+    (scales are folded into weight rows before the dots).
     """
     *lead, k, n = w.shape
     assert k % 2 == 0, f"K={k} must be even for K-half packing"
@@ -99,13 +134,10 @@ def pack_w4(w: jnp.ndarray, *, per_channel: bool = False,
 
     if per_channel:
         scale = jnp.max(jnp.abs(w32), axis=-2, keepdims=True) / 7.0 + 1e-12
-        q = jnp.clip(jnp.round(w32 / scale), -8, 7).astype(jnp.int8)
-        # pre-blocked [..., NB, 1, BN]: the kernel indexes scales by
-        # block on the MAJOR axis (dynamic lane slicing of VMEM refs is
-        # a Mosaic slow path / unsupported)
-        out_scale = jnp.moveaxis(scale.reshape(*lead, 1, nb, bn), -2, -3)
+        q = jnp.clip(jnp.round(w32 / scale), -8, 7)
+        out_scale = _block_scales(scale, lead, nb, bn)
     else:
-        segs = _segments(k2)
+        segs = _segments(k2, group_size)
         parts, sparts = [], []
         for half in range(2):
             for (r0, rl) in segs:
@@ -113,18 +145,31 @@ def pack_w4(w: jnp.ndarray, *, per_channel: bool = False,
                 s = jnp.max(jnp.abs(rows), axis=-2, keepdims=True) / 7.0 + 1e-12
                 parts.append(jnp.clip(jnp.round(rows / s), -8, 7))
                 sparts.append(s)
-        q = jnp.concatenate(parts, axis=-2).astype(jnp.int8)
-        # [..., 2*NSEG, N] -> pre-blocked [..., NB, 2*NSEG, BN]
-        sc = jnp.concatenate(sparts, axis=-2)
-        sc = sc.reshape(*lead, 2 * len(segs), nb, bn)
-        out_scale = jnp.moveaxis(sc, -2, -3)  # [..., NB, 2*NSEG, BN]
+        q = jnp.concatenate(parts, axis=-2)
+        sc = jnp.concatenate(sparts, axis=-2)  # [..., 2*NSEG, N]
+        out_scale = _block_scales(sc, lead, nb, bn)
 
-    lo = q[..., :k2, :] & 0x0F
-    hi = q[..., k2:, :] << 4
-    packed = (lo | hi).astype(jnp.int8)  # [..., K2, N]
-    blocks = jnp.moveaxis(
-        packed.reshape(*lead, k2, nb, bn), -2, -3)  # [..., NB, K2, BN]
-    return blocks, out_scale.astype(jnp.float32)
+    return (_pack_blocks(q, lead, k2, nb, bn),
+            out_scale.astype(jnp.float32))
+
+
+def pack_w4_levels(q: jnp.ndarray, scales_rows: jnp.ndarray, *,
+                   block_n: Optional[int] = None
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pack EXTERNALLY quantized levels into the kernel layout.
+
+    q: [K, N] integer levels in [-8, 7]; scales_rows: [1, N] f32
+    (per-channel) or [2*NSEG, N] f32 in the kernel's half-major group
+    order (half 0 groups first). Used by the GPTQ path (ops/gptq.py),
+    which chooses levels by error compensation instead of RTN.
+    """
+    k, n = q.shape
+    assert k % 2 == 0
+    k2 = k // 2
+    bn = block_n or _pick_bn(n)
+    nb = n // bn
+    return (_pack_blocks(q, [], k2, nb, bn),
+            _block_scales(jnp.asarray(scales_rows, jnp.float32), [], nb, bn))
 
 
 def _w4_kernel(lidx_ref, x_ref, s_ref, w_hbm, o_ref, w_scr, sems,
@@ -170,8 +215,11 @@ def _w4_kernel(lidx_ref, x_ref, s_ref, w_hbm, o_ref, w_scr, sems,
             # segment — the segment-dot formulation measured ~370 GB/s
             # effective from MXU issue latency on 26-68 small dots/block
             nseg = len(segs)
+            seg = segs[0][1]  # first segment is always full-size
             acc = jnp.zeros((batch, bn), jnp.float32)
-            ch = max(SEG_ROWS, min(k2, 500_000 // bn // SEG_ROWS * SEG_ROWS))
+            # chunks align to group boundaries so every segment is fully
+            # contained in exactly one chunk
+            ch = max(seg, min(k2, 500_000 // bn // seg * seg))
             for c0 in range(0, k2, ch):
                 rows = min(ch, k2 - c0)
                 p32 = w_scr[slot, c0:c0 + rows, :].astype(jnp.int32)
@@ -223,7 +271,10 @@ def w4_matmul(x: jnp.ndarray, blocks: jnp.ndarray, scales: jnp.ndarray,
     assert k == 2 * k2, (x.shape, blocks.shape)
     n = nb * bn
     per_channel = scales.shape[-2] == 1
-    segs = _segments(k2)
+    if per_channel:
+        segs = _segments(k2)
+    else:
+        segs = _segments(k2, _infer_seg_rows(k2, scales.shape[-2] // 2))
     expect = (nb, 1, bn) if per_channel else (nb, 2 * len(segs), bn)
     assert scales.shape == expect, (scales.shape, expect)
 
@@ -254,7 +305,8 @@ from llamagen_tpu.ops.quant_matmul import _LAYER_MATMUL_KEYS  # noqa: E402
 
 
 def quantize_gpt_params_w4k(params, *, per_channel: bool = False,
-                            int8_head: bool = False):
+                            int8_head: bool = False,
+                            group_size: int = SEG_ROWS):
     """GPT param pytree -> W4-kernel layout ({key}_w4b blocks +
     {key}_w4s scales per layer matmul; norms/embeddings untouched).
 
@@ -273,7 +325,8 @@ def quantize_gpt_params_w4k(params, *, per_channel: bool = False,
     for key in _LAYER_MATMUL_KEYS:
         if key not in layers:
             continue
-        blocks, scales = pack_w4(layers[key], per_channel=per_channel)
+        blocks, scales = pack_w4(layers[key], per_channel=per_channel,
+                                 group_size=group_size)
         del layers[key]
         layers[key + "_w4b"] = blocks
         layers[key + "_w4s"] = scales
@@ -296,7 +349,7 @@ def w4_dequant(blocks: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
     q = jnp.concatenate([lo, hi], axis=1)          # [NB, K, BN]
     if scales.shape[-2] == 1:                      # per-channel [NB, 1, BN]
         return jnp.moveaxis(q * scales, 0, -2).reshape(2 * k2, n)
-    segs = _segments(k2)
+    segs = _segments(k2, _infer_seg_rows(k2, scales.shape[-2] // 2))
     nseg = len(segs)
     reps = np.concatenate([np.full(rl, h * nseg + g)
                            for h in range(2)

@@ -81,6 +81,9 @@ def rec_loss_fn(kind: str, x, y):
     return jnp.mean((x - y) ** 2)
 
 
+USAGE_WINDOW = 65536  # ref: vq_model.py:212 (rolling codebook_used buffer)
+
+
 class VQTrainState(NamedTuple):
     step: jnp.ndarray
     params: Any            # VQ-VAE params
@@ -88,6 +91,11 @@ class VQTrainState(NamedTuple):
     disc_params: Any
     disc_opt_state: Any
     ema_params: Optional[Any] = None
+    # rolling window of the last 65536 emitted code indices — scan-carried
+    # state replacing the reference's mutable `codebook_used` buffer
+    # (vq_model.py:241-245); starts at zeros like the reference, so code 0
+    # counts as "used" until the window fills (kept for log comparability)
+    usage_window: Optional[jnp.ndarray] = None
 
 
 def init_vq_train_state(key, cfg: VQConfig, loss_cfg: VQLossConfig,
@@ -101,7 +109,8 @@ def init_vq_train_state(key, cfg: VQConfig, loss_cfg: VQLossConfig,
         step=jnp.zeros((), jnp.int32),
         params=params, opt_state=tx_gen.init(params),
         disc_params=disc_params, disc_opt_state=tx_disc.init(disc_params),
-        ema_params=jax.tree.map(jnp.copy, params) if use_ema else None)
+        ema_params=jax.tree.map(jnp.copy, params) if use_ema else None,
+        usage_window=jnp.zeros((USAGE_WINDOW,), jnp.int32))
 
 
 def make_vq_train_step(cfg: VQConfig, loss_cfg: VQLossConfig, tx_gen, tx_disc,
@@ -178,13 +187,11 @@ def make_vq_train_step(cfg: VQConfig, loss_cfg: VQLossConfig, tx_gen, tx_disc,
                 + loss_cfg.perceptual_weight * p
                 + d_adapt * dw * adv
                 + loss_cfg.codebook_weight * codebook_total)
-        usage = codebook_usage(indices, cfg.codebook_size)
         metrics = {"rec_loss": rec, "perceptual_loss": p,
                    "gen_adv_loss": adv, "vq_loss": cb["vq"],
                    "commit_loss": cb["commit"], "entropy_loss": cb["entropy"],
-                   "disc_adaptive_weight": d_adapt,
-                   "codebook_usage": usage}
-        return loss, (recons, metrics)
+                   "disc_adaptive_weight": d_adapt}
+        return loss, (recons, indices, metrics)
 
     def disc_loss(disc_params, imgs, recons, step):
         logits_real = disc_apply(disc_params, imgs.astype(compute_dtype))
@@ -199,7 +206,7 @@ def make_vq_train_step(cfg: VQConfig, loss_cfg: VQLossConfig, tx_gen, tx_disc,
 
     def train_step(state: VQTrainState, imgs):
         # generator update (ref: vq_train.py:187-204)
-        (g_total, (recons, g_metrics)), grads = jax.value_and_grad(
+        (g_total, (recons, indices, g_metrics)), grads = jax.value_and_grad(
             gen_loss, has_aux=True)(state.params, state.disc_params, imgs,
                                     state.step)
         updates, opt_state = tx_gen.update(grads, state.opt_state, state.params)
@@ -217,23 +224,44 @@ def make_vq_train_step(cfg: VQConfig, loss_cfg: VQLossConfig, tx_gen, tx_disc,
         if ema is not None and ema_decay is not None:
             ema = ema_update(ema, params, ema_decay)
 
-        metrics = {"gen_loss": g_total, **g_metrics, **d_metrics}
+        window = state.usage_window
+        if window is not None:
+            window, usage = rolling_codebook_usage(window, indices,
+                                                   cfg.codebook_size)
+        else:
+            usage = codebook_usage(indices, cfg.codebook_size)
+        metrics = {"gen_loss": g_total, **g_metrics, **d_metrics,
+                   "codebook_usage": usage}
         return VQTrainState(step=state.step + 1, params=params,
                             opt_state=opt_state, disc_params=disc_params,
                             disc_opt_state=disc_opt_state,
-                            ema_params=ema), metrics
+                            ema_params=ema, usage_window=window), metrics
 
     return jax.jit(train_step, donate_argnums=(0,))
 
 
 def codebook_usage(indices: jnp.ndarray, codebook_size: int) -> jnp.ndarray:
-    """Fraction of codebook entries hit in this batch.
-
-    (The reference tracks a rolling 65536-token window across steps,
-    vq_model.py:241-245; per-batch usage is the jit-friendly equivalent.)
-    """
+    """Fraction of codebook entries hit in this batch (windowless variant
+    for callers that don't carry state)."""
     hist = jnp.zeros((codebook_size,), jnp.int32).at[indices.reshape(-1)].add(1)
     return jnp.sum(hist > 0) / codebook_size
+
+
+def rolling_codebook_usage(window: jnp.ndarray, indices: jnp.ndarray,
+                           codebook_size: int):
+    """Exact reference usage metric (vq_model.py:241-245): shift the
+    rolling 65536-entry buffer left by this batch's token count, append
+    the new indices, report unique(buffer)/codebook_size. Returns
+    (new_window, usage). Buffer ops are static-shape (batch token count
+    is known at trace time), so this runs inside jit."""
+    idx = indices.reshape(-1).astype(window.dtype)
+    w = window.shape[0]
+    if idx.shape[0] >= w:
+        window = idx[-w:]
+    else:
+        window = jnp.concatenate([window[idx.shape[0]:], idx])
+    hist = jnp.zeros((codebook_size,), jnp.int32).at[window].add(1)
+    return window, jnp.sum(hist > 0) / codebook_size
 
 
 def make_vq_optimizer(lr: float = 1e-4, beta1: float = 0.9,

@@ -1,6 +1,11 @@
 """W4A16 Pallas-kernel bench: throughput + teacher-forced numerics.
 
 Usage: python tests/bench_w4k.py [GPT-3B] [--per-channel] [--skip-tf]
+       [--group 64] [--gptq] [--calib-batches N]
+
+--gptq runs the calibrated GPTQ quantizer (ops/gptq.py) instead of RTN:
+same kernel layout, better levels; calibration tokens are random (the
+honest random-weight bound this harness measures).
 
 The kernel streams nibble-packed weights at ~700 GB/s of packed bytes
 (half of W8A16's traffic); grouped scales cost extra MXU issue latency,
@@ -21,7 +26,8 @@ BASELINE_S = {"GPT-B": 2.39, "GPT-L": 3.48, "GPT-XL": 4.84,
               "GPT-XXL": 6.36, "GPT-3B": 6.26}
 
 
-def main(name="GPT-3B", per_channel=False, skip_tf=False):
+def main(name="GPT-3B", per_channel=False, skip_tf=False, group=128,
+         gptq=False, calib_batches=4):
     from llamagen_tpu.config import gpt_config
     from llamagen_tpu.models import gpt
     from llamagen_tpu.ops.generate import generate
@@ -33,9 +39,22 @@ def main(name="GPT-3B", per_channel=False, skip_tf=False):
     params["output"] = (jax.random.normal(
         jax.random.PRNGKey(7), params["output"].shape) * 0.02
     ).astype(jnp.bfloat16)
-    qparams = jax.jit(
-        lambda p: quantize_gpt_params_w4k(p, per_channel=per_channel)
-    )(params)
+    if gptq:
+        from llamagen_tpu.ops.gptq import gptq_quantize_gpt_params
+        crng = np.random.RandomState(3)
+        clabels = jnp.asarray(crng.randint(0, 1000, size=(8 * calib_batches,)))
+        ctokens = jnp.asarray(crng.randint(
+            0, cfg.vocab_size, size=(8 * calib_batches, cfg.block_size)))
+        t0 = time.time()
+        qparams = gptq_quantize_gpt_params(
+            params, cfg, clabels, ctokens, per_channel=per_channel,
+            group_size=group, verbose=True)
+        print(f"gptq quantization took {time.time() - t0:.1f}s", flush=True)
+    else:
+        qparams = jax.jit(
+            lambda p: quantize_gpt_params_w4k(p, per_channel=per_channel,
+                                              group_size=group)
+        )(params)
 
     batch = 8
     labels = jnp.asarray(np.arange(batch) * 100 % 1000)
@@ -81,7 +100,8 @@ def main(name="GPT-3B", per_channel=False, skip_tf=False):
     best = min(times)
     ips = batch / best
     base = 8.0 / BASELINE_S[name]
-    mode = "per-channel" if per_channel else "group-128"
+    mode = "per-channel" if per_channel else f"group-{group}"
+    mode += "+gptq" if gptq else ""
     print(f"{name} w4-kernel ({mode}) batch-8: {ips:.3f} img/s "
           f"({best / cfg.block_size * 1e3:.3f} ms/step, "
           f"vs_baseline {ips / base:.3f})", flush=True)
@@ -90,5 +110,6 @@ def main(name="GPT-3B", per_channel=False, skip_tf=False):
 if __name__ == "__main__":
     args = sys.argv[1:]
     name = next((a for a in args if a.startswith("GPT-")), "GPT-3B")
+    group = int(args[args.index("--group") + 1]) if "--group" in args else 128
     main(name, per_channel="--per-channel" in args,
-         skip_tf="--skip-tf" in args)
+         skip_tf="--skip-tf" in args, group=group, gptq="--gptq" in args)

@@ -34,14 +34,20 @@ def main(models, w4k=None):
     from llamagen_tpu.ops.generate import generate
     from llamagen_tpu.ops.w4_matmul import quantize_gpt_params_w4k
 
+    params = None
     for name in models:
+        del params  # free the previous model BEFORE allocating the next
         cfg = gpt_config(name, block_size=576, cls_token_num=1)
         raw = gpt.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+        # jit the quantizer (donating the bf16 params): eager-mode
+        # quantization keeps every f32 intermediate alive and OOMs on 3B
         if w4k:
-            params = quantize_gpt_params_w4k(raw,
-                                             per_channel=(w4k == "pc"))
+            params = jax.jit(
+                lambda p: quantize_gpt_params_w4k(p,
+                                                  per_channel=(w4k == "pc")),
+                donate_argnums=0)(raw)
         else:
-            params = quantize_gpt_params(raw)
+            params = jax.jit(quantize_gpt_params, donate_argnums=0)(raw)
         del raw
         labels = jnp.asarray(np.arange(8) * 100 % 1000)
 
@@ -66,7 +72,6 @@ def main(models, w4k=None):
             "ms_per_step": round(best / 576 * 1000, 2),
             "vs_baseline": round(ips / base, 3) if base else None,
         }))
-        del params
 
 
 if __name__ == "__main__":

@@ -298,3 +298,20 @@ def test_lpips_golden_real_vgg16_weights():
                                         jnp.asarray(x)))
     assert np.all(d > 0) and np.all(d < 2.0)
     np.testing.assert_allclose(d_same, 0.0, atol=1e-6)
+
+
+def test_rolling_codebook_usage():
+    """Reference parity (vq_model.py:241-245): rolling 65536 window —
+    usage reflects codes seen across STEPS, not just this batch, and the
+    zeros-initialized buffer counts code 0 until overwritten."""
+    win = jnp.zeros((8,), jnp.int32)
+    win, u1 = vq_train.rolling_codebook_usage(win, jnp.asarray([3, 3, 3]), 8)
+    # window = [0,0,0,0,0,3,3,3] -> {0, 3}
+    np.testing.assert_allclose(float(u1), 2 / 8)
+    win, u2 = vq_train.rolling_codebook_usage(win, jnp.asarray([5, 6, 7]), 8)
+    # window = [0,0,3,3,3,5,6,7] -> {0,3,5,6,7}
+    np.testing.assert_allclose(float(u2), 5 / 8)
+    # overflow: batch larger than the window keeps only the tail
+    win, u3 = vq_train.rolling_codebook_usage(
+        win, jnp.asarray([1, 1, 1, 1, 1, 1, 1, 1, 2]), 8)
+    np.testing.assert_allclose(float(u3), 2 / 8)  # {1, 2}
