@@ -63,9 +63,14 @@ def tp_param_specs(cfg: GPTConfig, quantized: bool = False):
             "w3": col,
             "w2": row,
         })
+    if cfg.model_type == "c2i":
+        cls_spec = {"embedding_table": P()}
+    else:  # t2i caption embedder: tiny MLP, replicated
+        cls_spec = {"fc1": {"kernel": P()}, "fc2": {"kernel": P()},
+                    "uncond_embedding": P()}
     return {
         "tok_embeddings": P(),
-        "cls_embedding": {"embedding_table": P()},
+        "cls_embedding": cls_spec,
         "layers": layers,
         "norm": P(),
         # W8A16 keeps the head bf16 (quant_matmul.quantize_gpt_params)

@@ -406,18 +406,13 @@ def make_admit_pair(cfg: GPTConfig, compute_dtype=jnp.bfloat16):
     return admit
 
 
-def make_scatter_pair(cfg: GPTConfig, num_pairs: int, use_kernel: bool,
-                      cache_dtype):
-    """Compile the t2i slot installer: place one admitted pair's prefill KV
-    into the engine cache at slots (i, P+i) and reset the bookkeeping.
-
-    Kernel-path placement honors the recent-window convention
-    (ops.attention docstring): rows [0, base) live in the (possibly int8-
-    quantized) HBM cache, rows [base, T) in the bf16 window, where
-    base = (T // w) * w.
-    """
+def scatter_pair_local(cfg: GPTConfig, num_pairs: int, use_kernel: bool,
+                       cache_dtype, f: int):
+    """t2i slot-installer body, parameterized by the per-device lane width
+    `f` of the k half (= kv_heads*head_dim single-chip; /ntp per TP shard
+    — the int8 scale layout [.., 128] with k scales in lanes [0,64) and v
+    in [64,128) is per-chip, so the same body serves both)."""
     t = cfg.cls_token_num
-    f = cfg.kv_heads * cfg.head_dim
 
     def scatter(state: EngineState, slot, first_tok, rows, pad,
                 sp_row: SlotSampling) -> EngineState:
@@ -477,9 +472,24 @@ def make_scatter_pair(cfg: GPTConfig, num_pairs: int, use_kernel: bool,
             n_generated=state.n_generated.at[slot].set(1),
             tokens_out=state.tokens_out.at[slot].set(row),
             prefix_pad=state.prefix_pad.at[slot].set(pad),
-            sp_slots=SlotSampling(*(f.at[slot].set(v) for f, v
+            sp_slots=SlotSampling(*(a.at[slot].set(v) for a, v
                                     in zip(state.sp_slots, sp_row))))
 
+    return scatter
+
+
+def make_scatter_pair(cfg: GPTConfig, num_pairs: int, use_kernel: bool,
+                      cache_dtype):
+    """Compile the t2i slot installer: place one admitted pair's prefill KV
+    into the engine cache at slots (i, P+i) and reset the bookkeeping.
+
+    Kernel-path placement honors the recent-window convention
+    (ops.attention docstring): rows [0, base) live in the (possibly int8-
+    quantized) HBM cache, rows [base, T) in the bf16 window, where
+    base = (T // w) * w.
+    """
+    f = cfg.kv_heads * cfg.head_dim
+    scatter = scatter_pair_local(cfg, num_pairs, use_kernel, cache_dtype, f)
     return jax.jit(scatter, donate_argnums=(0,))
 
 
@@ -565,9 +575,19 @@ class ServeEngine:
         self._started = time.time()
         self._admit_rng = jax.random.PRNGKey(seed + 1)
         if cfg.model_type == "t2i":
-            self._admit_fn = make_admit_pair(cfg, compute_dtype)
-            self._scatter_fn = make_scatter_pair(cfg, num_pairs, use_kernel,
-                                                 cache_dtype)
+            if tp > 1:
+                from llamagen_tpu.serve import tp_engine
+
+                self._admit_fn = tp_engine.make_tp_admit_pair(
+                    cfg, mesh, tp, compute_dtype,
+                    quantized_weights="wqkv_q" in params["layers"])
+                self._scatter_fn = tp_engine.make_tp_scatter_pair(
+                    cfg, num_pairs, mesh, tp, cache_dtype,
+                    track_counts=track_counts)
+            else:
+                self._admit_fn = make_admit_pair(cfg, compute_dtype)
+                self._scatter_fn = make_scatter_pair(cfg, num_pairs,
+                                                     use_kernel, cache_dtype)
 
     def submit(self, label: int,
                sp: Optional[SamplingParams] = None) -> Request:

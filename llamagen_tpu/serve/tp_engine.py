@@ -54,14 +54,14 @@ def _slot_sp_specs() -> SlotSampling:
 
 def _state_specs(cfg: GPTConfig, quantized: bool,
                  track_counts: bool) -> EngineState:
-    """PartitionSpec pytree matching EngineState (c2i, kernel path)."""
+    """PartitionSpec pytree matching EngineState (kernel path)."""
     lane = tuple(P(None, None, "tp") for _ in range(cfg.n_layer))
     return EngineState(
         cache=gpt.KVCache(kv=lane, kv_scale=lane if quantized else None),
         pos=P(), active=P(), cur_token=P(), labels=P(), n_generated=P(),
         tokens_out=P(), rng=P(),
         recent=lane,
-        prefix_pad=None,
+        prefix_pad=P() if cfg.model_type == "t2i" else None,
         output_counts=P() if track_counts else None,
         sp_slots=_slot_sp_specs())
 
@@ -108,9 +108,10 @@ def init_tp_engine_state(cfg: GPTConfig, num_pairs: int,
         tokens_out=mk((num_pairs, max_new_tokens), jnp.int32, repl),
         rng=jax.device_put(rng, repl),
         recent=recent,
-        prefix_pad=None,
         output_counts=(mk((num_pairs, cfg.vocab_size), jnp.int32, repl)
                        if track_counts else None),
+        prefix_pad=(mk((num_pairs,), jnp.int32, repl)
+                    if cfg.model_type == "t2i" else None),
         sp_slots=jax.device_put(
             slot_sampling_full(sp or SamplingParams(), num_pairs), repl),
     )
@@ -118,7 +119,8 @@ def init_tp_engine_state(cfg: GPTConfig, num_pairs: int,
 
 def _local_decode_step(params, cfg: GPTConfig, h_local: int,
                        emb: jnp.ndarray, pos: jnp.ndarray,
-                       cache: gpt.KVCache, recent, compute_dtype):
+                       cache: gpt.KVCache, recent, compute_dtype,
+                       prefix_pad: Optional[jnp.ndarray] = None):
     """Per-chip slot decode: local heads through the Pallas kernel,
     row-parallel reductions over `tp` (parallel/tp_decode.py:77-117 with
     per-slot positions and optional int8 cache); matmul_any transparently
@@ -155,12 +157,13 @@ def _local_decode_step(params, cfg: GPTConfig, h_local: int,
         if cache.quantized:
             attn, ckv, csc, r = attn_lib.decode_attention(
                 q.astype(compute_dtype), kv_new, recent[l], cache.kv[l],
-                pos, h_local, kv_scale=cache.kv_scale[l])
+                pos, h_local, prefix_pad=prefix_pad,
+                kv_scale=cache.kv_scale[l])
             new_sc.append(csc)
         else:
             attn, ckv, r = attn_lib.decode_attention(
                 q.astype(compute_dtype), kv_new, recent[l], cache.kv[l],
-                pos, h_local)
+                pos, h_local, prefix_pad=prefix_pad)
         new_kv.append(ckv)
         new_r.append(r)
         part = matmul_any(p, "wo", attn.astype(x.dtype))
@@ -194,9 +197,7 @@ def make_tp_engine_step(cfg: GPTConfig,
     sampling params. Params must be placed with
     parallel.tp_decode.shard_tp_params.
     """
-    assert cfg.model_type == "c2i", (
-        "TP engine serves c2i (reference serving parity); t2i serving is "
-        "single-chip via serve.engine")
+    is_t2i = cfg.model_type == "t2i"
     assert cfg.n_head % ntp == 0
     assert cfg.kv_heads == cfg.n_head, (
         "TP serving does not support GQA: _local_decode_step splits the "
@@ -210,19 +211,26 @@ def make_tp_engine_step(cfg: GPTConfig,
         p = state.pos
         tok_emb = params["tok_embeddings"][state.cur_token].astype(
             compute_dtype)
-        is_prefill = state.active & (p == 0)
-        emb_table = params["cls_embedding"]["embedding_table"]
-        cond_emb = emb_table[state.labels].astype(compute_dtype)
-        null_emb = emb_table[jnp.full_like(state.labels, cfg.num_classes)
-                             ].astype(compute_dtype)
-        emb_cond = jnp.where(is_prefill[:, None], cond_emb, tok_emb)
-        emb_uncond = jnp.where(is_prefill[:, None], null_emb, tok_emb)
-        emb = jnp.concatenate([emb_cond, emb_uncond], axis=0)  # [2P, D]
+        if is_t2i:
+            # caption prefill happened at admission (make_tp_admit_pair);
+            # every in-chunk step is pure token decode
+            emb = jnp.concatenate([tok_emb, tok_emb], axis=0)  # [2P, D]
+            pad2 = jnp.concatenate([state.prefix_pad, state.prefix_pad])
+        else:
+            is_prefill = state.active & (p == 0)
+            emb_table = params["cls_embedding"]["embedding_table"]
+            cond_emb = emb_table[state.labels].astype(compute_dtype)
+            null_emb = emb_table[jnp.full_like(state.labels, cfg.num_classes)
+                                 ].astype(compute_dtype)
+            emb_cond = jnp.where(is_prefill[:, None], cond_emb, tok_emb)
+            emb_uncond = jnp.where(is_prefill[:, None], null_emb, tok_emb)
+            emb = jnp.concatenate([emb_cond, emb_uncond], axis=0)  # [2P, D]
+            pad2 = None
         pos2 = jnp.concatenate([p, p], axis=0)
 
         logits, cache, recent = _local_decode_step(
             params, cfg, h_local, emb, pos2, state.cache, state.recent,
-            compute_dtype)
+            compute_dtype, prefix_pad=pad2)
         ss = state.sp_slots
         mixed = sampling.cfg_mix_per_slot(logits, ss.cfg_scale)
         counts = state.output_counts
@@ -282,4 +290,116 @@ def make_tp_engine_step(cfg: GPTConfig,
     return jax.jit(sharded, donate_argnums=(1,))
 
 
-__all__ = ["init_tp_engine_state", "make_tp_engine_step", "shard_tp_params"]
+def make_tp_admit_pair(cfg: GPTConfig, mesh: Mesh, ntp: int,
+                       compute_dtype=jnp.bfloat16,
+                       quantized_weights: bool = False):
+    """TP t2i admission: the full cls_token_num caption prefill for ONE
+    cond‖uncond pair, heads sharded over `tp`.
+
+    Same contract as serve.engine.make_admit_pair but returns per-layer kv
+    rows in each chip's LOCAL lane convention ([k_local | v_local],
+    [2, T, 2*d_local] per shard — produced locally, consumed locally by
+    the decode kernel, never resharded). The caption embedder (tiny MLP)
+    and sampling run replicated; one all-gather for the last-position
+    logits. This is the piece the reference's vLLM TP plumbing never
+    exercised for t2i (gpu_executor.py:61-62)."""
+    from llamagen_tpu.ops.quant_matmul import matmul_any
+    from llamagen_tpu.ops import sampling as sampling_lib
+
+    assert cfg.kv_heads == cfg.n_head
+    h_local_n = cfg.n_head // ntp
+    d_local = h_local_n * cfg.head_dim
+    t = cfg.cls_token_num
+
+    def local_admit(params, caption, emb_mask, rng, sp_row: SlotSampling):
+        from llamagen_tpu.ops.generate import build_cfg_batch
+
+        cond = build_cfg_batch(params, cfg, caption.astype(compute_dtype),
+                               True)  # [2, T, C]
+        h = gpt.embed_condition(params, cfg, cond).astype(compute_dtype)
+        m = emb_mask.astype(bool)
+        m2 = jnp.concatenate([m, m], axis=0)  # [2, T]
+
+        freqs = gpt.freqs_cis_2d(cfg)[:t]
+        causal = jnp.tril(jnp.ones((t, t), bool))[None, None]
+        allow = m2[:, None, None, :]
+        eye = jnp.eye(t, dtype=bool)[None, None]
+        mask = causal & (allow | eye)  # gpt.prefill's t2i mask semantics
+
+        scale = cfg.head_dim ** -0.5
+        rows = []
+        for l in range(cfg.n_layer):
+            p = gpt.layer_params(params, l)
+            x = gpt.rms_norm(h, p["attention_norm"], cfg.norm_eps)
+            qkv = matmul_any(p, "wqkv", x)  # [2, T, 3*d_local] head-major
+            q = qkv[..., :d_local].reshape(2, t, h_local_n, cfg.head_dim)
+            k = qkv[..., d_local:2 * d_local].reshape(2, t, h_local_n,
+                                                      cfg.head_dim)
+            v = qkv[..., 2 * d_local:].reshape(2, t, h_local_n,
+                                               cfg.head_dim)
+            q = gpt.apply_rope(q, freqs)
+            k = gpt.apply_rope(k, freqs)
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32) * scale
+            scores = jnp.where(mask, scores, jnp.float32(-1e30))
+            probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+            attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v
+                              ).reshape(2, t, d_local)
+            rows.append(jnp.concatenate(
+                [k.reshape(2, t, d_local), v.reshape(2, t, d_local)],
+                axis=-1).astype(jnp.bfloat16))
+            part = matmul_any(p, "wo", attn)
+            h = h + jax.lax.psum(part, "tp").astype(h.dtype)
+            x = gpt.rms_norm(h, p["ffn_norm"], cfg.norm_eps)
+            ffn = jax.nn.silu(matmul_any(p, "w1", x)) * matmul_any(p, "w3", x)
+            h = h + jax.lax.psum(matmul_any(p, "w2", ffn), "tp").astype(h.dtype)
+
+        hl = gpt.rms_norm(h[:, -1:, :], params["norm"], cfg.norm_eps)
+        logits_local = (hl[:, 0] @ params["output"].astype(hl.dtype)
+                        ).astype(jnp.float32)
+        logits = jax.lax.all_gather(logits_local, "tp", axis=1, tiled=True)
+        mixed = sampling_lib.cfg_mix_per_slot(
+            logits, sp_row.cfg_scale.reshape(1))
+        first = sampling_lib.sample_per_slot(
+            rng, mixed, sp_row.temperature.reshape(1),
+            sp_row.top_k.reshape(1), sp_row.top_p.reshape(1))[0]
+        pad = (t - jnp.sum(m[0]).astype(jnp.int32))
+        return first, tuple(rows), pad
+
+    lane = tuple(P(None, None, "tp") for _ in range(cfg.n_layer))
+    sharded = shard_map(
+        local_admit, mesh=mesh,
+        in_specs=(tp_param_specs(cfg, quantized=quantized_weights),
+                  P(), P(), P(), _slot_sp_specs()),
+        out_specs=(P(), lane, P()),
+        check_vma=False)
+    return jax.jit(sharded)
+
+
+def make_tp_scatter_pair(cfg: GPTConfig, num_pairs: int, mesh: Mesh,
+                         ntp: int, cache_dtype, track_counts: bool = False):
+    """TP t2i slot installer: serve.engine's scatter body run per-chip on
+    the lane-sharded cache/window/scale buffers (the int8 scale layout is
+    per-chip [.., 128], so the single-chip body applies verbatim with the
+    local lane width)."""
+    from llamagen_tpu.serve.engine import scatter_pair_local
+
+    f_local = cfg.kv_heads * cfg.head_dim // ntp
+    body = scatter_pair_local(cfg, num_pairs, True, cache_dtype, f_local)
+    quantized = cache_dtype == jnp.int8
+    sspec = _state_specs(cfg, quantized, track_counts=track_counts)
+
+    def local_scatter(state, slot, first_tok, rows, pad, sp_row):
+        return body(state, slot, first_tok, rows, pad, sp_row)
+
+    lane = tuple(P(None, None, "tp") for _ in range(cfg.n_layer))
+    sharded = shard_map(
+        local_scatter, mesh=mesh,
+        in_specs=(sspec, P(), P(), lane, P(), _slot_sp_specs()),
+        out_specs=sspec,
+        check_vma=False)
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+__all__ = ["init_tp_engine_state", "make_tp_engine_step", "shard_tp_params",
+           "make_tp_admit_pair", "make_tp_scatter_pair"]

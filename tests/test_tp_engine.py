@@ -121,3 +121,83 @@ def test_tp_engine_per_request_cfg_scale(setup):
                        sample_logits=False, compute_dtype=jnp.float32,
                        cache_dtype=jnp.float32)
         np.testing.assert_array_equal(req.result[None], np.asarray(ref))
+
+
+# ---------------------------------------------------------------------------
+# t2i TP serving (TP caption prefill + prefix_pad decode over the mesh)
+# ---------------------------------------------------------------------------
+
+T2I_T = 24
+T2I_CFG = GPTConfig(dim=256, n_layer=2, n_head=2, block_size=16,
+                    vocab_size=256, caption_dim=32, cls_token_num=T2I_T,
+                    model_type="t2i", token_dropout_p=0.0,
+                    resid_dropout_p=0.0, ffn_dropout_p=0.0)
+
+
+@pytest.fixture(scope="module")
+def t2i_setup():
+    mesh = make_mesh(1, 1, NTP, devices=jax.devices()[:NTP])
+    params = gpt.init_params(jax.random.PRNGKey(2), T2I_CFG,
+                             dtype=jnp.float32)
+    params["output"] = jax.random.normal(jax.random.PRNGKey(3),
+                                         params["output"].shape) * 0.02
+    tp_params = shard_tp_params(params, T2I_CFG, mesh)
+    return mesh, params, tp_params
+
+
+def _t2i_caption(b=2, seed=0):
+    rng = np.random.RandomState(seed)
+    emb = rng.randn(b, T2I_T, T2I_CFG.caption_dim).astype(np.float32)
+    mask = np.ones((b, T2I_T), np.int32)
+    for i in range(b):
+        pad = (3 * i + 3) % (T2I_T - 4)
+        mask[i, :pad] = 0
+        emb[i, :pad] = 0
+    return emb, mask
+
+
+def test_tp_t2i_engine_matches_generate_greedy(t2i_setup):
+    """TP-2 t2i engine (TP caption prefill, prefix_pad decode) greedy ==
+    single-device generate() (the combination the reference's vLLM TP
+    plumbing never enabled)."""
+    mesh, params, tp_params = t2i_setup
+    emb, mask = _t2i_caption()
+    eng = ServeEngine(tp_params, T2I_CFG, num_pairs=2,
+                      max_new_tokens=T2I_CFG.block_size,
+                      sampling_params=SamplingParams(cfg_scale=3.0,
+                                                     temperature=1e-6),
+                      chunk=4, compute_dtype=jnp.float32,
+                      cache_dtype=jnp.float32, mesh=mesh, tp=NTP)
+    out = eng.generate_t2i(emb, mask)
+    ref = generate(params, jax.random.PRNGKey(0), jnp.asarray(emb),
+                   cfg=T2I_CFG, max_new_tokens=T2I_CFG.block_size,
+                   emb_masks=jnp.asarray(mask), cfg_scale=3.0,
+                   sample_logits=False, compute_dtype=jnp.float32,
+                   cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(out, np.asarray(ref))
+
+
+def test_tp_t2i_engine_slot_reuse_and_per_request(t2i_setup):
+    """Slot reuse across more requests than slots + per-request cfg_scale
+    on the TP t2i path."""
+    mesh, params, tp_params = t2i_setup
+    emb, mask = _t2i_caption(b=3, seed=5)
+    eng = ServeEngine(tp_params, T2I_CFG, num_pairs=1,
+                      max_new_tokens=T2I_CFG.block_size,
+                      sampling_params=SamplingParams(cfg_scale=2.0,
+                                                     temperature=1e-6),
+                      chunk=4, compute_dtype=jnp.float32,
+                      cache_dtype=jnp.float32, mesh=mesh, tp=NTP)
+    reqs = [eng.submit_caption(emb[i], mask[i],
+                               sp=SamplingParams(cfg_scale=1.5 + i,
+                                                 temperature=1e-6))
+            for i in range(3)]
+    eng.run_until_idle()
+    for i, req in enumerate(reqs):
+        ref = generate(params, jax.random.PRNGKey(0),
+                       jnp.asarray(emb[i:i + 1]), cfg=T2I_CFG,
+                       max_new_tokens=T2I_CFG.block_size,
+                       emb_masks=jnp.asarray(mask[i:i + 1]),
+                       cfg_scale=1.5 + i, sample_logits=False,
+                       compute_dtype=jnp.float32, cache_dtype=jnp.float32)
+        np.testing.assert_array_equal(req.result[None], np.asarray(ref))
