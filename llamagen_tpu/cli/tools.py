@@ -65,18 +65,42 @@ def cmd_quantize_ckpt(args):
     from llamagen_tpu.cli.common import load_gpt
     from llamagen_tpu.utils import checkpoint
 
-    params, _ = load_gpt(args.input, args.gpt_model, args.image_size,
-                         args.downsample_size, model_type=args.model_type,
-                         dtype=jnp.bfloat16)
+    params, cfg = load_gpt(args.input, args.gpt_model, args.image_size,
+                           args.downsample_size, model_type=args.model_type,
+                           dtype=jnp.bfloat16)
     if args.mode == "int8":
         from llamagen_tpu.ops.quant_matmul import quantize_gpt_params
         params = quantize_gpt_params(params,
                                      quantize_head=args.quantize_head)
+    elif args.method == "gptq":
+        # calibrated GPTQ (ops/gptq.py): error-compensated int4 levels in
+        # the same kernel layout. Calibration tokens: VQ codes from
+        # --calib-codes (.npy [N, L] dump, cli/extract_codes.py layout)
+        # or random (the honest fallback; fine for smoke, use real codes
+        # for released checkpoints — BENCH.md W4 quality study)
+        import jax
+
+        from llamagen_tpu.ops.gptq import gptq_quantize_gpt_params
+
+        rng = np.random.RandomState(args.calib_seed)
+        n = args.calib_samples
+        if args.calib_codes:
+            codes = np.load(args.calib_codes, mmap_mode="r")
+            codes = np.asarray(codes[:n]).reshape(n, -1)[:, :cfg.block_size]
+            tokens = jnp.asarray(codes.astype(np.int32))
+        else:
+            tokens = jnp.asarray(rng.randint(
+                0, cfg.vocab_size, size=(n, cfg.block_size)))
+        labels = jnp.asarray(rng.randint(0, cfg.num_classes, size=(n,)))
+        params = gptq_quantize_gpt_params(
+            params, cfg, labels, tokens,
+            per_channel=args.mode == "w4-pc", group_size=args.group,
+            int8_head=args.quantize_head, verbose=True)
     else:
         from llamagen_tpu.ops.w4_matmul import quantize_gpt_params_w4k
         params = quantize_gpt_params_w4k(
             params, per_channel=args.mode == "w4-pc",
-            int8_head=args.quantize_head)
+            int8_head=args.quantize_head, group_size=args.group)
     checkpoint.save(args.output, params)
     print(f"quantized ({args.mode}) {args.input} -> {args.output}")
 
@@ -243,6 +267,16 @@ def main(argv=None):
     q.add_argument("--image-size", type=int, default=256)
     q.add_argument("--downsample-size", type=int, default=16)
     q.add_argument("--quantize-head", action="store_true")
+    q.add_argument("--method", default="rtn", choices=["rtn", "gptq"],
+                   help="w4 level chooser: rtn (default) or calibrated "
+                        "gptq error compensation (recommended for real "
+                        "checkpoints; see BENCH.md W4 quality study)")
+    q.add_argument("--group", type=int, default=128,
+                   help="w4 group-scale rows (64/128/256)")
+    q.add_argument("--calib-codes", default=None,
+                   help="gptq calibration: .npy code dump [N, L]")
+    q.add_argument("--calib-samples", type=int, default=128)
+    q.add_argument("--calib-seed", type=int, default=0)
     q.set_defaults(fn=cmd_quantize_ckpt)
 
     k = sub.add_parser("check-codes")
