@@ -13,9 +13,14 @@ Backends:
   taming        — CompVis taming-transformers VQGAN checkpoint, run on our
                   VQ implementation via utils.convert.convert_taming_vq
                   (fully offline)
-  sd-vae        — diffusers AutoencoderKL (gated: needs diffusers + local
-                  weights; torch CPU execution)
-  consistency   — diffusers ConsistencyDecoderVAE (same gating)
+  sd-vae        — AutoencoderKL run on OUR JAX implementation
+                  (models/klvae.py; weights-gated like CLIP/LPIPS: point
+                  --ckpt at a local diffusers or LDM-layout checkpoint,
+                  utils.convert.convert_sd_vae handles both)
+  consistency   — diffusers ConsistencyDecoderVAE (gated: needs the
+                  diffusers package + local weights; the decoder is a
+                  50-step diffusion UNet, not a conv AE — kept as a
+                  torch-side comparison)
 
   python -m llamagen_tpu.cli.reconstruction_baseline --backend taming \
       --ckpt vqgan_imagenet_f16_16384.ckpt --data-path /data/val
@@ -57,22 +62,45 @@ def _taming_roundtrip(ckpt, taming_name, cfg_overrides=None):
     return lambda batch: np.asarray(fn(jnp.asarray(batch)), np.float32)
 
 
+def _sd_vae_roundtrip(ckpt, vae_config=None):
+    """JAX SD-VAE roundtrip (models/klvae.py): local diffusers- or
+    LDM-layout weights via utils.convert.convert_sd_vae. Deterministic
+    mean latent (metric stability; pass rng for sampled latents)."""
+    import jax
+    import jax.numpy as jnp
+
+    from llamagen_tpu.models import klvae
+    from llamagen_tpu.utils.convert import convert_sd_vae
+
+    cfg = klvae.KLVAEConfig(**(vae_config or {}))
+    if ckpt.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+        sd = load_file(ckpt)
+    else:
+        import torch
+        sd = torch.load(ckpt, map_location="cpu", weights_only=False)
+        sd = sd.get("state_dict", sd)
+        sd = {k: np.asarray(v) for k, v in sd.items()}
+    params = jax.tree.map(jnp.asarray, convert_sd_vae(sd, cfg))
+
+    @jax.jit
+    def fn(x):
+        return klvae.roundtrip(params, x, cfg)
+
+    return lambda batch: np.asarray(fn(jnp.asarray(batch)), np.float32)
+
+
 def _diffusers_roundtrip(kind, ckpt):
     try:
         import torch
-        if kind == "sd-vae":
-            from diffusers import AutoencoderKL
-            model = AutoencoderKL.from_pretrained(ckpt,
-                                                  local_files_only=True)
-        else:
-            from diffusers import ConsistencyDecoderVAE
-            model = ConsistencyDecoderVAE.from_pretrained(
-                ckpt, local_files_only=True)
+        from diffusers import ConsistencyDecoderVAE
+        model = ConsistencyDecoderVAE.from_pretrained(
+            ckpt, local_files_only=True)
     except ImportError as e:
         raise SystemExit(
             f"backend '{kind}' needs the diffusers package and local "
             f"weights ({e}); this environment has no egress — "
-            f"use --backend taming, or supply weights offline")
+            f"use --backend taming or sd-vae, or supply weights offline")
     model.eval()
 
     def fn(batch):
@@ -93,6 +121,8 @@ def main(argv=None):
     p.add_argument("--taming-config", default="vqgan_imagenet_f16_16384")
     p.add_argument("--taming-overrides", default=None,
                    help="json dict of VQConfig overrides (tests)")
+    p.add_argument("--vae-config", default=None,
+                   help="json dict of KLVAEConfig overrides (sd-vae)")
     p.add_argument("--data-path", required=True)
     p.add_argument("--image-size", type=int, default=256)
     p.add_argument("--batch-size", type=int, default=16)
@@ -112,6 +142,12 @@ def main(argv=None):
                     overrides[k] = tuple(overrides[k])
         roundtrip = _taming_roundtrip(args.ckpt, args.taming_config,
                                       overrides)
+    elif args.backend == "sd-vae":
+        import json
+        vc = json.loads(args.vae_config) if args.vae_config else None
+        if vc and "ch_mult" in vc:
+            vc["ch_mult"] = tuple(vc["ch_mult"])
+        roundtrip = _sd_vae_roundtrip(args.ckpt, vc)
     else:
         roundtrip = _diffusers_roundtrip(args.backend, args.ckpt)
 

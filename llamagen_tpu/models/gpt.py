@@ -193,6 +193,14 @@ def _split_qkv(p: Params, x: jnp.ndarray, cfg: GPTConfig):
     return q, k, v
 
 
+def _use_train_kernel() -> bool:
+    """Training-attention kernel gate (opt-out: LLAMAGEN_NO_TRAIN_KERNEL=1
+    falls back to the einsum SDPA for A/B comparison)."""
+    import os
+
+    return not os.environ.get("LLAMAGEN_NO_TRAIN_KERNEL")
+
+
 def _sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
           mask: Optional[jnp.ndarray], cfg: GPTConfig,
           bf16_scores: bool = False) -> jnp.ndarray:
@@ -251,9 +259,27 @@ def _attention(p: Params, x: jnp.ndarray, freqs: jnp.ndarray,
         k = ckv[:, :, :f_].reshape(b_, smax_, hkv, d_).astype(q.dtype)
         v = ckv[:, :, f_:].reshape(b_, smax_, hkv, d_).astype(q.dtype)
 
-    # the cache-less path is forward_train's full-sequence attention:
-    # under bf16 compute, keep the S^2 score buffer bf16 too
-    out = _sdpa(q, k, v, mask, cfg, bf16_scores=cache_kv is None)
+    if cache_kv is None and _use_train_kernel():
+        # training full-sequence attention: the layout-native Pallas
+        # kernel keeps the [S, S] scores VMEM-resident per (batch, head)
+        # (ops/train_attention.py) — no HBM score buffer at all, f32
+        # softmax (MORE precise than the einsum path's bf16 scores).
+        # forward_train's mask is always pure causal (t2i folds caption
+        # validity into the embeddings, train/t2i.py:41-44), which the
+        # kernel applies internally.
+        from llamagen_tpu.ops.train_attention import causal_attention_bshd
+
+        kk, vv = k, v
+        if cfg.kv_heads != cfg.n_head:
+            rep = cfg.n_head // cfg.kv_heads
+            kk = jnp.repeat(kk, rep, axis=2)
+            vv = jnp.repeat(vv, rep, axis=2)
+        out = causal_attention_bshd(q, kk, vv, cfg.head_dim ** -0.5)
+        out = out.reshape(*q.shape[:2], cfg.n_head * cfg.head_dim)
+    else:
+        # cache-less einsum fallback: under bf16 compute, keep the S^2
+        # score buffer bf16 too
+        out = _sdpa(q, k, v, mask, cfg, bf16_scores=cache_kv is None)
     out = matmul_any(p, "wo", out)
     return out, new_cache
 

@@ -344,3 +344,117 @@ def convert_vq_file(path: str, cfg: VQConfig) -> Dict[str, Any]:
 
 def convert_gpt_file(path: str, cfg: GPTConfig) -> Dict[str, Any]:
     return convert_gpt(load_torch_state_dict(path), cfg)
+
+
+# ---------------------------------------------------------------------------
+# SD-VAE (AutoencoderKL) — baseline-tokenizer comparison rig
+# ---------------------------------------------------------------------------
+
+
+def _diffusers_vae_to_ldm_keys(sd: Mapping[str, np.ndarray],
+                               ) -> Dict[str, np.ndarray]:
+    """Rename a diffusers AutoencoderKL state dict into the LDM layout
+    (the inverse of diffusers' own `convert_ldm_vae_checkpoint` mapping)
+    so one converter body serves both layouts."""
+    import re
+
+    # count decoder up levels to reverse the block index (diffusers
+    # up_blocks[0] is the LOWEST resolution; ldm up.{level} indexes by
+    # level with 0 = highest)
+    ups = {int(m.group(1)) for k in sd
+           if (m := re.match(r"decoder\.up_blocks\.(\d+)\.", k))}
+    nlev = (max(ups) + 1) if ups else 0
+
+    out = {}
+    for k, v in sd.items():
+        k = k.replace("mid_block.resnets.0.", "mid.block_1.")
+        k = k.replace("mid_block.resnets.1.", "mid.block_2.")
+        k = k.replace("mid_block.attentions.0.group_norm.",
+                      "mid.attn_1.norm.")
+        k = k.replace("mid_block.attentions.0.to_q.", "mid.attn_1.q.")
+        k = k.replace("mid_block.attentions.0.to_k.", "mid.attn_1.k.")
+        k = k.replace("mid_block.attentions.0.to_v.", "mid.attn_1.v.")
+        k = k.replace("mid_block.attentions.0.to_out.0.",
+                      "mid.attn_1.proj_out.")
+        k = k.replace("conv_norm_out.", "norm_out.")
+        k = k.replace(".conv_shortcut.", ".nin_shortcut.")
+        m = re.match(r"encoder\.down_blocks\.(\d+)\.resnets\.(\d+)\.(.*)", k)
+        if m:
+            k = f"encoder.down.{m.group(1)}.block.{m.group(2)}.{m.group(3)}"
+        m = re.match(r"encoder\.down_blocks\.(\d+)\.downsamplers\.0\.conv\.(.*)", k)
+        if m:
+            k = f"encoder.down.{m.group(1)}.downsample.conv.{m.group(2)}"
+        m = re.match(r"decoder\.up_blocks\.(\d+)\.resnets\.(\d+)\.(.*)", k)
+        if m:
+            lev = nlev - 1 - int(m.group(1))
+            k = f"decoder.up.{lev}.block.{m.group(2)}.{m.group(3)}"
+        m = re.match(r"decoder\.up_blocks\.(\d+)\.upsamplers\.0\.conv\.(.*)", k)
+        if m:
+            lev = nlev - 1 - int(m.group(1))
+            k = f"decoder.up.{lev}.upsample.conv.{m.group(2)}"
+        out[k] = np.asarray(v)
+    return out
+
+
+def convert_sd_vae(sd: Mapping[str, np.ndarray], cfg) -> Dict[str, Any]:
+    """SD-VAE (AutoencoderKL) state dict -> llamagen_tpu.models.klvae
+    params. Accepts the diffusers layout (down_blocks/up_blocks/
+    mid_block, attention as Linear) or the LDM layout (down/up/mid,
+    attention as 1x1 conv) — the two releases of the same weights.
+
+    Ref rig: /root/reference/tokenizer/vae/reconstruction_vae_ddp.py
+    (diffusers AutoencoderKL); cfg: models.klvae.KLVAEConfig.
+    """
+    sd = _strip_prefixes(sd)
+    if any(k.startswith("encoder.down_blocks.") for k in sd):
+        sd = _diffusers_vae_to_ldm_keys(sd)
+    num_res = len(cfg.ch_mult)
+
+    def attn_levels(prefix, nblocks):
+        def level(i):
+            out = {"res": [], "attn": []}
+            for j in range(nblocks):
+                out["res"].append(_res(sd, f"{prefix}.{i}.block.{j}"))
+                if f"{prefix}.{i}.attn.{j}.norm.weight" in sd:
+                    out["attn"].append(_attn(sd, f"{prefix}.{i}.attn.{j}"))
+            return out
+        return level
+
+    enc: Dict[str, Any] = {"conv_in": _conv(sd, "encoder.conv_in"),
+                           "down": []}
+    mk = attn_levels("encoder.down", cfg.num_res_blocks)
+    for i in range(num_res):
+        level = mk(i)
+        if i != num_res - 1:
+            level["downsample"] = {
+                "conv": _conv(sd, f"encoder.down.{i}.downsample.conv")}
+        enc["down"].append(level)
+    enc["mid"] = [_res(sd, "encoder.mid.block_1"),
+                  _attn(sd, "encoder.mid.attn_1"),
+                  _res(sd, "encoder.mid.block_2")]
+    enc["norm_out"] = _gn(sd, "encoder.norm_out")
+    enc["conv_out"] = _conv(sd, "encoder.conv_out")
+
+    dec: Dict[str, Any] = {"conv_in": _conv(sd, "decoder.conv_in")}
+    dec["mid"] = [_res(sd, "decoder.mid.block_1"),
+                  _attn(sd, "decoder.mid.attn_1"),
+                  _res(sd, "decoder.mid.block_2")]
+    dec["up"] = []
+    mk = attn_levels("decoder.up", cfg.num_res_blocks + 1)
+    # ldm stores up.{level} (0 = highest res) and applies reversed; ours
+    # is application order
+    for applied, level_idx in enumerate(reversed(range(num_res))):
+        level = mk(level_idx)
+        if level_idx != 0:
+            level["upsample"] = {
+                "conv": _conv(sd, f"decoder.up.{level_idx}.upsample.conv")}
+        dec["up"].append(level)
+    dec["norm_out"] = _gn(sd, "decoder.norm_out")
+    dec["conv_out"] = _conv(sd, "decoder.conv_out")
+
+    return {
+        "encoder": enc,
+        "decoder": dec,
+        "quant_conv": _conv(sd, "quant_conv"),
+        "post_quant_conv": _conv(sd, "post_quant_conv"),
+    }
