@@ -8,23 +8,25 @@ WORSE (40 ms/layer): it wants [B, H, S, D] operands, and transposing
 three 300 MB activations per layer costs more than the score traffic it
 saves. LlamaGen's training geometry is short-sequence/huge-batch
 (S = 257 or 577 tokens, B up to 256) — so the TPU-native design is not
-flash's running-softmax over K blocks but a simpler fact: ONE (batch,
-head) pair's full score matrix is a [S, S] f32 tile (257² × 4 B =
-264 KB) that fits in VMEM outright. The kernel grids over (B, H),
-reads q/k/v blocks straight from the [B, S, H, D] layout (no transpose
-— BlockSpec index maps do the gather), computes scores, causal mask,
-softmax, and the output tile entirely in VMEM, and writes [S, D] back.
-HBM traffic is exactly q+k+v+o. Softmax runs in f32 (the scores exist
-only in VMEM, so there is no bf16-materialization tradeoff left — this
-is strictly MORE precise than the einsum path's bf16 score buffer).
+flash's running-softmax over K blocks but a simpler fact: ONE batch
+row's q/k/v ([S, H*D] bf16 ≈ 0.4 MB for GPT-B) and one head's [S, S]
+f32 score tile (257² × 4 B = 264 KB) fit in VMEM outright. The kernel
+grids over B, views the operands as [B, S, H*D] (a free reshape of the
+native layout — no transpose), statically lane-slices each head, and
+computes scores → causal mask → softmax → out entirely in VMEM. HBM
+traffic is exactly q+k+v+o. Softmax runs in f32 (the scores exist only
+in VMEM, so there is no bf16-materialization tradeoff left — strictly
+MORE precise than the einsum path's bf16 score buffer).
 
-Backward is the same structure (recompute scores from q/k in VMEM,
-then dv = pᵀ·do, dp = do·vᵀ, ds = p∘(dp − rowsum(dp∘p)), dq = ds·k,
+Backward is the same structure (recompute scores from q/k in VMEM, then
+dv = pᵀ·do, dp = do·vᵀ, ds = p∘(dp − rowsum(dp∘p)), dq = ds·k,
 dk = dsᵀ·q), wired through jax.custom_vjp.
 
-Replaces `F.scaled_dot_product_attention`
+Supported: head_dim multiple of 8 (static lane slices; every zoo model
+except GPT-3B's head_dim=100 — 3B trains in the FSDP regime and falls
+back to the einsum path). Replaces `F.scaled_dot_product_attention`
 (`/root/reference/autoregressive/models/gpt.py:232`) on the training
-path; the decode path keeps its own streaming kernel (ops/attention.py).
+path; decode keeps its own streaming kernel (ops/attention.py).
 """
 
 from __future__ import annotations
@@ -40,66 +42,74 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e30  # python float: a jnp scalar would be a captured constant
 
 
+def supported(n_head: int, head_dim: int) -> bool:
+    return head_dim % 8 == 0
+
+
 def _causal(s: int):
     r = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
     return r >= c
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    # refs: [1, S, 1, D] blocks of the [B, S, H, D] operands
-    q = q_ref[0, :, 0, :]
-    k = k_ref[0, :, 0, :]
-    v = v_ref[0, :, 0, :]
-    s = q.shape[0]
-    scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale  # [S, S]
-    scores = jnp.where(_causal(s), scores, NEG)
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores - m)
-    p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(q.dtype)
-    o_ref[0, :, 0, :] = jnp.dot(p, v,
-                                preferred_element_type=jnp.float32
-                                ).astype(o_ref.dtype)
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, h: int, d: int):
+    # refs: [1, S, H*D] one batch row; heads are static lane slices
+    mask = None
+    for hi in range(h):
+        sl = slice(hi * d, (hi + 1) * d)
+        q = q_ref[0, :, sl]
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+        s = q.shape[0]
+        if mask is None:
+            mask = _causal(s)
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [S, S]
+        scores = jnp.where(mask, scores, NEG)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(q.dtype)
+        o_ref[0, :, sl] = jnp.dot(
+            p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
-                *, scale: float):
-    q = q_ref[0, :, 0, :]
-    k = k_ref[0, :, 0, :]
-    v = v_ref[0, :, 0, :]
-    do = do_ref[0, :, 0, :]
-    s = q.shape[0]
-    scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
-    scores = jnp.where(_causal(s), scores, NEG)
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores - m)
-    p32 = e / jnp.sum(e, axis=-1, keepdims=True)          # [S, S] f32
-    p = p32.astype(q.dtype)
-    # dv = pᵀ · do
-    dv_ref[0, :, 0, :] = jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
-    # dp = do · vᵀ ; softmax backward
-    dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)               # [S, S] f32
-    ds = (p32 * (dp - jnp.sum(dp * p32, axis=-1, keepdims=True))
-          ).astype(q.dtype)
-    dq_ref[0, :, 0, :] = (jnp.dot(
-        ds, k, preferred_element_type=jnp.float32) * scale
-    ).astype(dq_ref.dtype)
-    dk_ref[0, :, 0, :] = (jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale).astype(dk_ref.dtype)
-
-
-def _specs(b, s, h, d):
-    blk = pl.BlockSpec((1, s, 1, d), lambda bi, hi: (bi, 0, hi, 0))
-    return blk
+                *, scale: float, h: int, d: int):
+    mask = None
+    for hi in range(h):
+        sl = slice(hi * d, (hi + 1) * d)
+        q = q_ref[0, :, sl]
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+        do = do_ref[0, :, sl]
+        s = q.shape[0]
+        if mask is None:
+            mask = _causal(s)
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        scores = jnp.where(mask, scores, NEG)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p32 = e / jnp.sum(e, axis=-1, keepdims=True)      # [S, S] f32
+        p = p32.astype(q.dtype)
+        # dv = pᵀ · do
+        dv_ref[0, :, sl] = jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        # dp = do · vᵀ ; softmax backward
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [S, S] f32
+        ds = (p32 * (dp - jnp.sum(dp * p32, axis=-1, keepdims=True))
+              ).astype(q.dtype)
+        dq_ref[0, :, sl] = (jnp.dot(
+            ds, k, preferred_element_type=jnp.float32) * scale
+        ).astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = (jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale).astype(dk_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -121,33 +131,39 @@ def _resolve_interp(interpret):
     return interpret
 
 
+def _row_spec(s, hd):
+    return pl.BlockSpec((1, s, hd), lambda b: (b, 0, 0))
+
+
 def _fwd(q, k, v, scale, interpret):
     b, s, h, d = q.shape
+    qf, kf, vf = (x.reshape(b, s, h * d) for x in (q, k, v))
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale),
-        grid=(b, h),
-        in_specs=[_specs(b, s, h, d)] * 3,
-        out_specs=_specs(b, s, h, d),
-        out_shape=jax.ShapeDtypeStruct((b, s, h, d), q.dtype),
+        functools.partial(_fwd_kernel, scale=scale, h=h, d=d),
+        grid=(b,),
+        in_specs=[_row_spec(s, h * d)] * 3,
+        out_specs=_row_spec(s, h * d),
+        out_shape=jax.ShapeDtypeStruct((b, s, h * d), q.dtype),
         interpret=_resolve_interp(interpret),
-    )(q, k, v)
-    return out, (q, k, v)
+    )(qf, kf, vf)
+    return out.reshape(b, s, h, d), (q, k, v)
 
 
 def _bwd(scale, interpret, res, do):
     q, k, v = res
     b, s, h, d = q.shape
-    blk = _specs(b, s, h, d)
-    shp = jax.ShapeDtypeStruct((b, s, h, d), q.dtype)
+    blk = _row_spec(s, h * d)
+    shp = jax.ShapeDtypeStruct((b, s, h * d), q.dtype)
+    ops = [x.reshape(b, s, h * d) for x in (q, k, v, do)]
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale),
-        grid=(b, h),
+        functools.partial(_bwd_kernel, scale=scale, h=h, d=d),
+        grid=(b,),
         in_specs=[blk] * 4,
         out_specs=[blk] * 3,
         out_shape=[shp] * 3,
         interpret=_resolve_interp(interpret),
-    )(q, k, v, do)
-    return dq, dk, dv
+    )(*ops)
+    return tuple(x.reshape(b, s, h, d) for x in (dq, dk, dv))
 
 
 causal_attention_bshd.defvjp(_fwd, _bwd)
