@@ -17,10 +17,15 @@ Backends:
                   (models/klvae.py; weights-gated like CLIP/LPIPS: point
                   --ckpt at a local diffusers or LDM-layout checkpoint,
                   utils.convert.convert_sd_vae handles both)
+  cd            — OpenAI consistency decoder on OUR JAX implementation
+                  (models/consistency_decoder.py: conv U-Net + 2-step
+                  consistency sampler; SD-VAE encoder side from
+                  models/klvae.py). Weights-gated: --ckpt is the
+                  ConvUNetVAE-layout decoder checkpoint, --vae-ckpt the
+                  SD-VAE encoder
   consistency   — diffusers ConsistencyDecoderVAE (gated: needs the
-                  diffusers package + local weights; the decoder is a
-                  50-step diffusion UNet, not a conv AE — kept as a
-                  torch-side comparison)
+                  diffusers package + local weights; torch-side
+                  comparison fallback)
 
   python -m llamagen_tpu.cli.reconstruction_baseline --backend taming \
       --ckpt vqgan_imagenet_f16_16384.ckpt --data-path /data/val
@@ -90,6 +95,50 @@ def _sd_vae_roundtrip(ckpt, vae_config=None):
     return lambda batch: np.asarray(fn(jnp.asarray(batch)), np.float32)
 
 
+def _cd_roundtrip(ckpt, vae_ckpt, vae_config=None, cd_config=None, seed=0):
+    """JAX consistency-decoder roundtrip: SD-VAE encode (models/klvae) ->
+    2-step consistency decode (models/consistency_decoder)."""
+    import jax
+    import jax.numpy as jnp
+
+    from llamagen_tpu.models import consistency_decoder as cd_lib
+    from llamagen_tpu.models import klvae
+    from llamagen_tpu.utils.convert import (convert_consistency_decoder,
+                                            convert_sd_vae)
+
+    vae_cfg = klvae.KLVAEConfig(**(vae_config or {}))
+    cd_cfg = cd_lib.CDConfig(**(cd_config or {}))
+
+    def load_sd(path):
+        if path.endswith(".safetensors"):
+            from safetensors.numpy import load_file
+            return dict(load_file(path))
+        import torch
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+        sd = sd.get("state_dict", sd)
+        return {k: np.asarray(v) for k, v in sd.items()}
+
+    import jax
+    vae_params = jax.tree.map(jnp.asarray,
+                              convert_sd_vae(load_sd(vae_ckpt), vae_cfg))
+    cd_params = jax.tree.map(
+        jnp.asarray, convert_consistency_decoder(load_sd(ckpt), cd_cfg))
+    key = jax.random.PRNGKey(seed)
+
+    @jax.jit
+    def fn(x, key):
+        return cd_lib.roundtrip(vae_params, cd_params, x, vae_cfg, cd_cfg,
+                                key)
+
+    state = {"key": key}
+
+    def run(batch):
+        state["key"], k = jax.random.split(state["key"])
+        return np.asarray(fn(jnp.asarray(batch), k), np.float32)
+
+    return run
+
+
 def _diffusers_roundtrip(kind, ckpt):
     try:
         import torch
@@ -122,7 +171,11 @@ def main(argv=None):
     p.add_argument("--taming-overrides", default=None,
                    help="json dict of VQConfig overrides (tests)")
     p.add_argument("--vae-config", default=None,
-                   help="json dict of KLVAEConfig overrides (sd-vae)")
+                   help="json dict of KLVAEConfig overrides (sd-vae/cd)")
+    p.add_argument("--vae-ckpt", default=None,
+                   help="cd backend: SD-VAE encoder checkpoint")
+    p.add_argument("--cd-config", default=None,
+                   help="json dict of CDConfig overrides (cd)")
     p.add_argument("--data-path", required=True)
     p.add_argument("--image-size", type=int, default=256)
     p.add_argument("--batch-size", type=int, default=16)
@@ -148,6 +201,16 @@ def main(argv=None):
         if vc and "ch_mult" in vc:
             vc["ch_mult"] = tuple(vc["ch_mult"])
         roundtrip = _sd_vae_roundtrip(args.ckpt, vc)
+    elif args.backend == "cd":
+        import json
+        vc = json.loads(args.vae_config) if args.vae_config else None
+        if vc and "ch_mult" in vc:
+            vc["ch_mult"] = tuple(vc["ch_mult"])
+        cc = json.loads(args.cd_config) if args.cd_config else None
+        if cc and "ch_mult" in cc:
+            cc["ch_mult"] = tuple(cc["ch_mult"])
+        assert args.vae_ckpt, "--backend cd needs --vae-ckpt (encoder)"
+        roundtrip = _cd_roundtrip(args.ckpt, args.vae_ckpt, vc, cc)
     else:
         roundtrip = _diffusers_roundtrip(args.backend, args.ckpt)
 

@@ -458,3 +458,74 @@ def convert_sd_vae(sd: Mapping[str, np.ndarray], cfg) -> Dict[str, Any]:
         "quant_conv": _conv(sd, "quant_conv"),
         "post_quant_conv": _conv(sd, "post_quant_conv"),
     }
+
+
+# ---------------------------------------------------------------------------
+# Consistency decoder (openai/consistency-decoder ConvUNetVAE layout)
+# ---------------------------------------------------------------------------
+
+
+def convert_consistency_decoder(sd: Mapping[str, np.ndarray],
+                                cfg) -> Dict[str, Any]:
+    """openai ConvUNetVAE state dict -> models.consistency_decoder params.
+
+    Layout: embed_image.f, embed_time.{emb,f_1,f_2},
+    down.{i}.{j}.{f_t,gn_1,f_1,gn_2,f_2[,f_s]} with a trailing
+    Downsample(.f) per non-last stage, mid.{0,1}, up.{i}.{j} (reversed
+    stage order, layers_per_block+1 blocks) with trailing Upsample(.f),
+    output.{gn,f}. The converter asserts FULL key coverage so a layout
+    drift in real released weights fails loudly instead of silently
+    mis-mapping (cfg: models.consistency_decoder.CDConfig).
+    """
+    sd = _strip_prefixes(sd)
+    used = set()
+
+    def take(fn, name):
+        for suffix in (".weight", ".bias"):
+            if f"{name}{suffix}" in sd:
+                used.add(f"{name}{suffix}")
+        return fn(sd, name)
+
+    def res(base):
+        p = {
+            "f_t": take(_linear, f"{base}.f_t"),
+            "gn1": take(_gn, f"{base}.gn_1"),
+            "conv1": take(_conv, f"{base}.f_1"),
+            "gn2": take(_gn, f"{base}.gn_2"),
+            "conv2": take(_conv, f"{base}.f_2"),
+        }
+        if f"{base}.f_s.weight" in sd:
+            p["skip"] = take(_conv, f"{base}.f_s")
+        return p
+
+    nstage = len(cfg.ch_mult)
+    lpb = cfg.layers_per_block
+    params: Dict[str, Any] = {
+        "embed_image": take(_conv, "embed_image.f"),
+        "embed_time": {
+            "table": sd["embed_time.emb.weight"],
+            "f1": take(_linear, "embed_time.f_1"),
+            "f2": take(_linear, "embed_time.f_2"),
+        },
+    }
+    used.add("embed_time.emb.weight")
+    down = []
+    for i in range(nstage):
+        level = {"res": [res(f"down.{i}.{j}") for j in range(lpb)]}
+        if i != nstage - 1:
+            level["down"] = take(_conv, f"down.{i}.{lpb}.f")
+        down.append(level)
+    params["down"] = down
+    params["mid"] = [res("mid.0"), res("mid.1")]
+    up = []
+    for k in range(nstage):  # up.{k} stored in application order
+        level = {"res": [res(f"up.{k}.{j}") for j in range(lpb + 1)]}
+        if k != nstage - 1:
+            level["up"] = take(_conv, f"up.{k}.{lpb + 1}.f")
+        up.append(level)
+    params["up"] = up
+    params["output"] = {"gn": take(_gn, "output.gn"),
+                        "f": take(_conv, "output.f")}
+    missing = set(sd) - used
+    assert not missing, f"unmapped checkpoint keys: {sorted(missing)[:8]}"
+    return params
