@@ -41,7 +41,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK_S = 128
+import os as _os
+
+BLOCK_S = int(_os.environ.get("LLAMAGEN_BLOCK_S", "128"))
 RECENT = 8        # recent-window slots for bf16/f32 caches (sublane tile)
 RECENT_INT8 = 32  # int8 tiles are (32, 128): flushes must be 32-row aligned
 
