@@ -209,11 +209,14 @@ def _w4_kernel(lidx_ref, x_ref, s_ref, w_hbm, o_ref, w_scr, sems,
                                preferred_element_type=jnp.float32)
             acc = acc * s_ref[blk, 0, :][None, :]
         else:
-            # group scales are folded into the WEIGHT rows (a cheap
-            # broadcast multiply hidden under the DMA), so each chunk is
-            # ONE wide dot per half instead of one dot per 128-row
-            # segment — the segment-dot formulation measured ~370 GB/s
-            # effective from MXU issue latency on 26-68 small dots/block
+            # per-segment dots with the scale folded into the [B, BN]
+            # partial. (An r2-tail rewrite that folded scales into the
+            # WEIGHT rows to run one wide dot per half measured a
+            # consistent full-model REGRESSION — XXL 2.20 -> 2.11x,
+            # 3B 1.52 -> 1.41x: the [rows, BN] scale-expansion multiply
+            # costs more than the segment-dot MXU issue latency it
+            # removes — so the segment formulation stays, with the i32
+            # unpack live-range still bounded by the chunk loop.)
             nseg = len(segs)
             seg = segs[0][1]  # first segment is always full-size
             acc = jnp.zeros((batch, bn), jnp.float32)
@@ -227,14 +230,13 @@ def _w4_kernel(lidx_ref, x_ref, s_ref, w_hbm, o_ref, w_scr, sems,
                             if c0 <= r0 < c0 + rows]
                 for half, wh in ((0, ((p32 << 28) >> 28).astype(jnp.bfloat16)),
                                  (1, (p32 >> 4).astype(jnp.bfloat16))):
-                    sexp = jnp.concatenate(
-                        [jnp.broadcast_to(
-                            s_ref[blk, half * nseg + g, :][None, :], (rl, bn))
-                         for g, r0, rl in in_chunk], axis=0)
-                    acc += jnp.dot(
-                        x[:, half * k2 + c0:half * k2 + c0 + rows],
-                        wh * sexp.astype(jnp.bfloat16),
-                        preferred_element_type=jnp.float32)
+                    for g, r0, rl in in_chunk:
+                        xs = x[:, half * k2 + r0: half * k2 + r0 + rl]
+                        partial = jnp.dot(
+                            xs, wh[r0 - c0:r0 - c0 + rl, :],
+                            preferred_element_type=jnp.float32)
+                        acc = acc + partial * s_ref[blk, half * nseg + g,
+                                                    :][None, :]
         o_ref[blk] = acc.astype(o_ref.dtype)
         return carry
 

@@ -153,6 +153,37 @@ def make_tp_decode_step(cfg: GPTConfig, mesh: Mesh, ntp: int,
         check_vma=False)
 
 
+def tp_param_specs_for(params, cfg: GPTConfig):
+    """PartitionSpecs matching an ACTUAL param pytree (plain, W8A16, or
+    pre-sharded W4 incl. mixed W4/W8A16 fallback keys)."""
+    layers = params["layers"]
+    if not any(k.endswith("_w4b") for k in layers):
+        return tp_param_specs(cfg, quantized="wqkv_q" in layers)
+    specs = tp_param_specs(cfg, quantized=True)
+    lspecs = dict(specs["layers"])
+    for k in layers:
+        if k.endswith(("_w4b", "_w4s")):
+            lspecs[k] = P(None, "tp", None, None, None)
+    for key in ("wqkv", "w1", "w3", "wo", "w2"):
+        if key + "_q" not in layers:  # replaced by w4 blocks
+            lspecs.pop(key + "_q", None)
+            lspecs.pop(key + "_scale", None)
+    return dict(specs, layers=lspecs)
+
+
+def squeeze_tp_w4(params):
+    """Inside shard_map: collapse the sharded ntp axis of pre-sharded W4
+    arrays ([L, 1, NB, ...] local shard -> [L, NB, ...], the layout
+    layer_params/w4_matmul consume). No-op for non-W4 pytrees."""
+    layers = params["layers"]
+    if not any(k.endswith("_w4b") for k in layers):
+        return params
+    layers = {k: (v.reshape(v.shape[0], *v.shape[2:])
+                  if k.endswith(("_w4b", "_w4s")) else v)
+              for k, v in layers.items()}
+    return dict(params, layers=layers)
+
+
 def _head_major(arr: jnp.ndarray, cfg: GPTConfig, ntp: int) -> jnp.ndarray:
     """Permute a [..., 3*qs] last dim from [Q | K | V] to per-head-group
     [(q|k|v) of group 0 | group 1 | ...] so a plain `tp` column shard gives
@@ -169,19 +200,150 @@ def _head_major(arr: jnp.ndarray, cfg: GPTConfig, ntp: int) -> jnp.ndarray:
     return jnp.concatenate([q, k, v], axis=-1).reshape(lead + (3 * qs,))
 
 
+def quantize_gpt_params_w4k_tp(params, cfg: GPTConfig, ntp: int, *,
+                               per_channel: bool = False,
+                               group_size: int = 128):
+    """W4-kernel quantization PRE-SHARDED for TP decode.
+
+    The single-chip W4 layout ([L, NB, K2, BN] nibble blocks) cannot be
+    sliced along heads/hidden, so each TP shard is packed SEPARATELY:
+      - column-parallel weights (wqkv head-major, w1, w3) split along N
+        into ntp groups, each packed to its own blocks
+      - row-parallel weights (wo, w2) split along K (the K-half nibble
+        pairing and the group-scale segments live INSIDE each shard's
+        K_local, matching the chip-local activations)
+    yielding [L, ntp, NB_l, K2_l, BN_l] arrays that shard with
+    P(None, 'tp', ...) — each chip's slice is exactly the layout
+    `ops.w4_matmul` consumes.
+
+    Keys whose per-shard N_local is not 128-lane alignable (GPT-3B's
+    head_dim=100 wqkv at most tp degrees) FALL BACK to W8A16 for that
+    key — matmul_any dispatches per key, so mixed pytrees are fine.
+    Row-shard packing changes group boundaries vs the single-chip
+    packing, so dequantized values differ numerically from
+    `quantize_gpt_params_w4k` output (parity is tested against a
+    reference model built from THESE shards' dequantization).
+    """
+    from llamagen_tpu.ops.quant_matmul import quantize_weight
+    from llamagen_tpu.ops.w4_matmul import _pick_bn, pack_w4
+
+    def n_alignable(n):
+        try:
+            _pick_bn(n)
+            return True
+        except ValueError:
+            return False
+
+    layers = dict(params["layers"])
+    assert not any(k.endswith(("_q", "_w4b")) for k in layers), (
+        "pass UNQUANTIZED params; this function quantizes per shard")
+    col_keys = ("wqkv", "w1", "w3")
+    row_keys = ("wo", "w2")
+    out_layers = {k: v for k, v in layers.items()
+                  if k not in col_keys + row_keys}
+    for key in col_keys:
+        w = layers[key]  # [L, K, N]
+        if key == "wqkv":
+            w = _head_major(w, cfg, ntp)
+        nl = w.shape[-1] // ntp
+        if w.shape[-1] % ntp or not n_alignable(nl) or w.shape[-2] % 2:
+            q, s = quantize_weight(w)  # W8A16 fallback, shards by column
+            out_layers[key + "_q"] = q
+            out_layers[key + "_scale"] = s
+            continue
+        shards = [w[..., i * nl:(i + 1) * nl] for i in range(ntp)]
+        packed = [pack_w4(sh, per_channel=per_channel,
+                          group_size=group_size) for sh in shards]
+        out_layers[key + "_w4b"] = jnp.stack([b for b, _ in packed], axis=1)
+        out_layers[key + "_w4s"] = jnp.stack([s for _, s in packed], axis=1)
+    for key in row_keys:
+        w = layers[key]  # [L, K, N]
+        kl = w.shape[-2] // ntp
+        if w.shape[-2] % ntp or kl % 2 or not n_alignable(w.shape[-1]):
+            q, s = quantize_weight(w)
+            out_layers[key + "_q"] = q
+            out_layers[key + "_scale"] = s
+            continue
+        shards = [w[..., i * kl:(i + 1) * kl, :] for i in range(ntp)]
+        packed = [pack_w4(sh, per_channel=per_channel,
+                          group_size=group_size) for sh in shards]
+        out_layers[key + "_w4b"] = jnp.stack([b for b, _ in packed], axis=1)
+        out_layers[key + "_w4s"] = jnp.stack([s for _, s in packed], axis=1)
+    return dict(params, layers=out_layers)
+
+
+def _head_major_inv(arr: jnp.ndarray, cfg: GPTConfig,
+                    ntp: int) -> jnp.ndarray:
+    """Inverse of _head_major: per-head-group [(q|k|v) of group i] back
+    to the plain [Q | K | V] column order."""
+    qs = cfg.n_head * cfg.head_dim
+    hpg = cfg.n_head // ntp
+    lead = arr.shape[:-1]
+    grp = arr.reshape(*lead, ntp, 3, hpg * cfg.head_dim)
+    q = grp[..., 0, :].reshape(*lead, qs)
+    k = grp[..., 1, :].reshape(*lead, qs)
+    v = grp[..., 2, :].reshape(*lead, qs)
+    return jnp.concatenate([q, k, v], axis=-1)
+
+
+def unshard_w4_tp_for_reference(qparams, cfg: GPTConfig, ntp: int):
+    """Dequantize a `quantize_gpt_params_w4k_tp` pytree back to FULL
+    plain-layout f32 weights (numerics oracle for TP parity tests —
+    per-shard group boundaries preserved exactly, head-major wqkv
+    permuted back to Q|K|V)."""
+    from llamagen_tpu.ops.w4_matmul import w4_dequant
+
+    layers = dict(qparams["layers"])
+    out = {k: v for k, v in layers.items()
+           if not k.endswith(("_w4b", "_w4s", "_q", "_scale"))}
+    col_keys, row_keys = ("wqkv", "w1", "w3"), ("wo", "w2")
+    for key in col_keys + row_keys:
+        if key + "_w4b" in layers:
+            blocks = layers[key + "_w4b"]   # [L, ntp, NB, K2, BN]
+            scales = layers[key + "_w4s"]
+            L = blocks.shape[0]
+            axis = -1 if key in col_keys else -2
+            full = jnp.stack([
+                jnp.concatenate([w4_dequant(blocks[l, i], scales[l, i])
+                                 for i in range(ntp)], axis=axis)
+                for l in range(L)])
+        elif key + "_q" in layers:  # W8A16 fallback key
+            full = (layers[key + "_q"].astype(jnp.float32)
+                    * layers[key + "_scale"][:, None, :])
+        else:
+            continue
+        if key == "wqkv":
+            full = _head_major_inv(full, cfg, ntp)
+        out[key] = full.astype(jnp.float32)
+    return dict(qparams, layers=out)
+
+
 def shard_tp_params(params, cfg: GPTConfig, mesh: Mesh):
     """Place params for TP decode: wqkv reshaped head-major then sharded.
 
-    Accepts either plain (bf16/f32) params or a `quantize_gpt_params`
-    W8A16 pytree (int8 layer weights + scales; head bf16)."""
+    Accepts plain (bf16/f32) params, a `quantize_gpt_params` W8A16
+    pytree, or a `quantize_gpt_params_w4k_tp` pytree (pre-sharded W4
+    blocks with the ntp axis second; mixed W4/W8A16 keys allowed)."""
     ntp = mesh.shape["tp"]
     layers = dict(params["layers"])
-    if any(k.endswith("_w4b") for k in layers):
-        raise NotImplementedError(
-            "TP decode does not take W4-kernel params: the nibble-packed "
-            "block layout would need per-shard repacking (and N/tp is not "
-            "128-aligned for every zoo size). Use quantize_gpt_params "
-            "(W8A16) for TP — it shards transparently.")
+    has_w4 = any(k.endswith("_w4b") for k in layers)
+    if has_w4:
+        w4b = next(v for k, v in layers.items() if k.endswith("_w4b"))
+        if w4b.ndim != 5:
+            raise NotImplementedError(
+                "single-chip W4-kernel params cannot be TP-sharded (the "
+                "nibble-packed block layout does not slice along heads/"
+                "hidden); quantize per shard with "
+                "parallel.tp_decode.quantize_gpt_params_w4k_tp instead")
+        # pre-sharded W4 pytree: [L, ntp, ...] arrays shard on axis 1;
+        # any W8A16 fallback keys shard like the quantized case below
+        specs = tp_param_specs_for(params, cfg)
+        # (wqkv W8A16 fallback inside a w4 pytree is ALREADY head-major —
+        # quantize_gpt_params_w4k_tp reorders before quantizing)
+        params = dict(params, layers=layers)
+        return jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            params, specs, is_leaf=lambda x: x is None)
     quantized = "wqkv_q" in layers
     if quantized:
         layers["wqkv_q"] = _head_major(layers["wqkv_q"], cfg, ntp)

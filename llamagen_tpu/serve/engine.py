@@ -541,12 +541,14 @@ class ServeEngine:
             from llamagen_tpu.serve import tp_engine
 
             assert mesh is not None, "tp > 1 needs a mesh with a 'tp' axis"
+            from llamagen_tpu.parallel.tp_decode import tp_param_specs_for
+
+            pspecs = tp_param_specs_for(params, cfg)
             self.step_fn = tp_engine.make_tp_engine_step(
                 cfg, max_new_tokens, mesh, tp, chunk,
                 compute_dtype,
                 quantized_cache=cache_dtype == jnp.int8,
-                quantized_weights="wqkv_q" in params["layers"],
-                track_counts=track_counts)
+                track_counts=track_counts, param_specs=pspecs)
             self.state = tp_engine.init_tp_engine_state(
                 cfg, num_pairs, max_new_tokens, jax.random.PRNGKey(seed),
                 mesh, tp, cache_dtype=cache_dtype,
@@ -579,8 +581,7 @@ class ServeEngine:
                 from llamagen_tpu.serve import tp_engine
 
                 self._admit_fn = tp_engine.make_tp_admit_pair(
-                    cfg, mesh, tp, compute_dtype,
-                    quantized_weights="wqkv_q" in params["layers"])
+                    cfg, mesh, tp, compute_dtype, param_specs=pspecs)
                 self._scatter_fn = tp_engine.make_tp_scatter_pair(
                     cfg, num_pairs, mesh, tp, cache_dtype,
                     track_counts=track_counts)

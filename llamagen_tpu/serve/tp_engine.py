@@ -24,11 +24,13 @@ Layout conventions:
     sampling runs identically on every chip so no collective is needed
     after the logits all-gather.
 
-Weights: bf16 or W8A16 (shard_tp_params head-major wqkv + tp_param_specs
-with quantized=True; matmul_any dequantizes each chip's int8 shard in its
-fused weight stream). W4-kernel params are rejected by parallel.tp_decode
-— the pre-blocked [NB, K2, BN] layout does not slice along heads/hidden;
-repack per-shard with pack_w4 if W4-on-TP is ever needed.
+Weights: bf16, W8A16 (shard_tp_params head-major wqkv; matmul_any
+dequantizes each chip's int8 shard in its fused weight stream), or W4
+via PER-SHARD repacking (parallel.tp_decode.quantize_gpt_params_w4k_tp:
+each chip's nibble blocks packed against its own column/K slice, with
+W8A16 fallback for keys whose shard is not 128-lane alignable — e.g.
+GPT-3B's head_dim=100 wqkv). Single-chip W4 pytrees are still rejected
+(the pre-blocked layout does not slice along heads/hidden).
 """
 
 from __future__ import annotations
@@ -124,9 +126,12 @@ def _local_decode_step(params, cfg: GPTConfig, h_local: int,
     """Per-chip slot decode: local heads through the Pallas kernel,
     row-parallel reductions over `tp` (parallel/tp_decode.py:77-117 with
     per-slot positions and optional int8 cache); matmul_any transparently
-    dequantizes W8A16 layer-weight shards."""
+    dequantizes W8A16 or pre-sharded W4 layer-weight shards."""
     from llamagen_tpu.ops import attention as attn_lib
     from llamagen_tpu.ops.quant_matmul import matmul_any
+    from llamagen_tpu.parallel.tp_decode import squeeze_tp_w4
+
+    params = squeeze_tp_w4(params)
 
     b = emb.shape[0]
     d_local = h_local * cfg.head_dim
@@ -187,7 +192,8 @@ def make_tp_engine_step(cfg: GPTConfig,
                         chunk: int = 64, compute_dtype=jnp.bfloat16,
                         quantized_cache: bool = False,
                         quantized_weights: bool = False,
-                        track_counts: bool = False):
+                        track_counts: bool = False,
+                        param_specs=None):
     """Compile the TP-sharded chunked engine step.
 
     Same contract as serve.engine.make_engine_step (c2i): the returned
@@ -283,7 +289,8 @@ def make_tp_engine_step(cfg: GPTConfig,
     sspec = _state_specs(cfg, quantized_cache, track_counts)
     sharded = shard_map(
         local_chunk, mesh=mesh,
-        in_specs=(tp_param_specs(cfg, quantized=quantized_weights),
+        in_specs=(param_specs if param_specs is not None
+                  else tp_param_specs(cfg, quantized=quantized_weights),
                   sspec, P(), P(), _slot_sp_specs(), P()),
         out_specs=sspec,
         check_vma=False)
@@ -292,7 +299,8 @@ def make_tp_engine_step(cfg: GPTConfig,
 
 def make_tp_admit_pair(cfg: GPTConfig, mesh: Mesh, ntp: int,
                        compute_dtype=jnp.bfloat16,
-                       quantized_weights: bool = False):
+                       quantized_weights: bool = False,
+                       param_specs=None):
     """TP t2i admission: the full cls_token_num caption prefill for ONE
     cond‖uncond pair, heads sharded over `tp`.
 
@@ -313,6 +321,9 @@ def make_tp_admit_pair(cfg: GPTConfig, mesh: Mesh, ntp: int,
 
     def local_admit(params, caption, emb_mask, rng, sp_row: SlotSampling):
         from llamagen_tpu.ops.generate import build_cfg_batch
+        from llamagen_tpu.parallel.tp_decode import squeeze_tp_w4
+
+        params = squeeze_tp_w4(params)
 
         cond = build_cfg_batch(params, cfg, caption.astype(compute_dtype),
                                True)  # [2, T, C]
@@ -369,7 +380,8 @@ def make_tp_admit_pair(cfg: GPTConfig, mesh: Mesh, ntp: int,
     lane = tuple(P(None, None, "tp") for _ in range(cfg.n_layer))
     sharded = shard_map(
         local_admit, mesh=mesh,
-        in_specs=(tp_param_specs(cfg, quantized=quantized_weights),
+        in_specs=(param_specs if param_specs is not None
+                  else tp_param_specs(cfg, quantized=quantized_weights),
                   P(), P(), P(), _slot_sp_specs()),
         out_specs=(P(), lane, P()),
         check_vma=False)
