@@ -367,6 +367,48 @@ def make_engine_step(params, cfg: GPTConfig, max_new_tokens: int,
     return jax.jit(engine_chunk, donate_argnums=(1,))
 
 
+def make_admit_batch(cfg: GPTConfig, abatch: int,
+                     compute_dtype=jnp.bfloat16):
+    """Compile the t2i admission prefill for UP TO `abatch` pairs at once.
+
+    One forward runs all pending pairs' caption prefills ([2A, T] batch:
+    cond rows first, uncond rows second), CFG-mixes per pair with traced
+    per-request params, samples each first token. Unused slots are padded
+    (callers ignore their outputs). Replaces the serial one-pair-per-call
+    admission (the reference's prefill batching,
+    serve/model_runner.py:248-446, batches exactly like this).
+
+    Returns (firsts [A], per-layer rows [A, 2, T, 2F], pads [A]).
+    """
+    t = cfg.cls_token_num
+
+    @jax.jit
+    def admit(params, captions, emb_masks, rng, sp_rows: SlotSampling):
+        # captions [A, T, caption_dim]; emb_masks [A, T] bool
+        from llamagen_tpu.ops.generate import build_cfg_batch
+
+        cond = build_cfg_batch(params, cfg,
+                               captions.astype(compute_dtype),
+                               True)  # [2A, T, C]
+        m = emb_masks.astype(bool)
+        m2 = jnp.concatenate([m, m], axis=0)
+        stage = gpt.init_cache(cfg, 2 * abatch, find_multiple(t, 8),
+                               dtype=compute_dtype)
+        logits, stage = gpt.prefill(params, cfg, cond, stage,
+                                    prefix_mask=m2,
+                                    compute_dtype=compute_dtype)
+        mixed = sampling.cfg_mix_per_slot(logits, sp_rows.cfg_scale)
+        firsts = sampling.sample_per_slot(rng, mixed, sp_rows.temperature,
+                                          sp_rows.top_k, sp_rows.top_p)
+        rows = tuple(
+            jnp.stack([ckv[:abatch, :t], ckv[abatch:, :t]], axis=1)
+            for ckv in stage.kv)  # [A, 2, T, 2F] each
+        pads = (t - jnp.sum(m, axis=1)).astype(jnp.int32)
+        return firsts, rows, pads
+
+    return admit
+
+
 def make_admit_pair(cfg: GPTConfig, compute_dtype=jnp.bfloat16):
     """Compile the t2i admission prefill for ONE cond‖uncond pair.
 
@@ -576,6 +618,7 @@ class ServeEngine:
         self._completed = 0
         self._started = time.time()
         self._admit_rng = jax.random.PRNGKey(seed + 1)
+        self._t2i_tp = cfg.model_type == "t2i" and tp > 1
         if cfg.model_type == "t2i":
             if tp > 1:
                 from llamagen_tpu.serve import tp_engine
@@ -586,7 +629,12 @@ class ServeEngine:
                     cfg, num_pairs, mesh, tp, cache_dtype,
                     track_counts=track_counts)
             else:
-                self._admit_fn = make_admit_pair(cfg, compute_dtype)
+                # batched admission: one compiled prefill serves up to
+                # _abatch pending pairs (vLLM batches prefills the same
+                # way, model_runner.py:248-446)
+                self._abatch = min(num_pairs, 8)
+                self._admit_fn = make_admit_batch(cfg, self._abatch,
+                                                  compute_dtype)
                 self._scatter_fn = make_scatter_pair(cfg, num_pairs,
                                                      use_kernel, cache_dtype)
 
@@ -638,13 +686,18 @@ class ServeEngine:
                                 np.int32 if f == "top_k" else np.float32)
                     for f in SlotSampling._fields}
         newly_admitted: List[Request] = []
-        for i in range(self.num_pairs):
-            if self.slot_request[i] is None and not self.pending.empty():
-                req = self.pending.get()
-                self.slot_request[i] = req
-                newly_admitted.append(req)
-                if self.cfg.model_type == "t2i":
-                    # out-of-band admission: compiled pair prefill + scatter
+        if self.cfg.model_type == "t2i":
+            taken: List[tuple] = []
+            for i in range(self.num_pairs):
+                if self.slot_request[i] is None and not self.pending.empty():
+                    req = self.pending.get()
+                    self.slot_request[i] = req
+                    newly_admitted.append(req)
+                    taken.append((i, req))
+                    self._slot_remaining[i] = self.max_new_tokens - 1
+            if self._t2i_tp:
+                # TP admission stays pair-granular (sharded prefill)
+                for i, req in taken:
                     self._admit_rng, r = jax.random.split(self._admit_rng)
                     row = self._sp_row(req)
                     first, rows, pad = self._admit_fn(
@@ -652,8 +705,45 @@ class ServeEngine:
                         jnp.asarray(req.emb_mask)[None], r, row)
                     self.state = self._scatter_fn(
                         self.state, jnp.int32(i), first, rows, pad, row)
-                    self._slot_remaining[i] = self.max_new_tokens - 1
-                else:
+            else:
+                # batched admission: _abatch pairs per compiled prefill
+                for start in range(0, len(taken), self._abatch):
+                    grp = taken[start:start + self._abatch]
+                    a = self._abatch
+                    t = self.cfg.cls_token_num
+                    caps = np.zeros((a, t, self.cfg.caption_dim),
+                                    np.float32)
+                    masks = np.ones((a, t), bool)
+                    sp_rows = {f: np.zeros(
+                        (a,), np.int32 if f == "top_k" else np.float32)
+                        for f in SlotSampling._fields}
+                    sp_rows["repetition"][:] = 1.0
+                    sp_rows["top_p"][:] = 1.0
+                    sp_rows["cfg_scale"][:] = 1.0
+                    for j, (i, req) in enumerate(grp):
+                        caps[j] = req.caption
+                        masks[j] = req.emb_mask
+                        row = self._sp_row(req)
+                        for f in SlotSampling._fields:
+                            sp_rows[f][j] = np.asarray(getattr(row, f))
+                    self._admit_rng, r = jax.random.split(self._admit_rng)
+                    firsts, rows, pads = self._admit_fn(
+                        self._params, jnp.asarray(caps),
+                        jnp.asarray(masks), r,
+                        SlotSampling(**{f: jnp.asarray(v)
+                                        for f, v in sp_rows.items()}))
+                    for j, (i, req) in enumerate(grp):
+                        self.state = self._scatter_fn(
+                            self.state, jnp.int32(i), firsts[j],
+                            tuple(rl[j] for rl in rows), pads[j],
+                            SlotSampling(*(v[j] for v in
+                                           SlotSampling(**sp_rows))))
+        else:
+            for i in range(self.num_pairs):
+                if self.slot_request[i] is None and not self.pending.empty():
+                    req = self.pending.get()
+                    self.slot_request[i] = req
+                    newly_admitted.append(req)
                     admit_mask[i] = True
                     admit_labels[i] = req.label
                     sp = req.sp or self.sp
