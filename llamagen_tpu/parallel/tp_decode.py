@@ -90,13 +90,16 @@ def reorder_wqkv_head_major(params, cfg: GPTConfig):
 
 def make_tp_decode_step(cfg: GPTConfig, mesh: Mesh, ntp: int,
                         compute_dtype=jnp.bfloat16,
-                        quantized_weights: bool = False):
+                        quantized_weights: bool = False,
+                        param_specs=None):
     """Build a shard_map'd single-token decode step.
 
     Expects params placed with tp_param_specs and wqkv already head-major
     per shard (each chip's wqkv shard = its heads' q|k|v concatenated —
     see shard_tp_params). Cache shards: per-layer [B, S, F/ntp].
-    quantized_weights: params carry W8A16 layer weights (int8 + scales).
+    quantized_weights: params carry W8A16 layer weights (int8 + scales);
+    pass param_specs=tp_param_specs_for(params, cfg) for pre-sharded W4
+    pytrees (quantize_gpt_params_w4k_tp).
     """
     from llamagen_tpu.ops.quant_matmul import matmul_any
 
@@ -104,6 +107,7 @@ def make_tp_decode_step(cfg: GPTConfig, mesh: Mesh, ntp: int,
     h_local = cfg.n_head // ntp
 
     def local_step(params, token, pos, cache_kv, recent):
+        params = squeeze_tp_w4(params)
         # runs per-chip on local shards; params['layers']['wqkv'] shard is
         # [L, D, 3*h_local*head_dim] laid out q|k|v of the LOCAL heads
         from llamagen_tpu.ops import attention as attn_lib
@@ -144,7 +148,8 @@ def make_tp_decode_step(cfg: GPTConfig, mesh: Mesh, ntp: int,
         logits = jax.lax.all_gather(logits_local, "tp", axis=1, tiled=True)
         return logits, tuple(new_ckv), tuple(new_r)
 
-    pspec = tp_param_specs(cfg, quantized=quantized_weights)
+    pspec = (param_specs if param_specs is not None
+             else tp_param_specs(cfg, quantized=quantized_weights))
     kv_spec = tuple(P(None, None, "tp") for _ in range(cfg.n_layer))
     return shard_map(
         local_step, mesh=mesh,
