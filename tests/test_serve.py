@@ -312,3 +312,24 @@ def test_ttft_tpot_stats(params):
     assert st["ttft_mean_s"] is not None and st["ttft_mean_s"] >= 0
     assert st["tpot_mean_s"] is not None and st["tpot_mean_s"] > 0
     assert st["ttft_p50_s"] <= st["e2e_latency_p50_s"]
+
+
+def test_t2i_ttft_and_batched_admission(t2i_params):
+    """t2i TTFT/TPOT stats populate; batched admission (odd request count
+    exercises the padded tail of the _abatch-wide prefill)."""
+    emb, mask = _t2i_caption(b=3, seed=11)
+    eng = ServeEngine(t2i_params, T2I_CFG, num_pairs=2,
+                      max_new_tokens=MAX_NEW,
+                      sampling_params=SamplingParams(cfg_scale=2.0,
+                                                     temperature=1e-6),
+                      chunk=4, compute_dtype=jnp.float32)
+    assert eng._abatch == 2  # batched admission active
+    out = eng.generate_t2i(emb, mask)
+    ref = generate(t2i_params, jax.random.PRNGKey(0), jnp.asarray(emb),
+                   cfg=T2I_CFG, max_new_tokens=MAX_NEW,
+                   emb_masks=jnp.asarray(mask), cfg_scale=2.0,
+                   sample_logits=False, compute_dtype=jnp.float32,
+                   cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(out, np.asarray(ref))
+    st = eng.stats()
+    assert st["ttft_mean_s"] is not None and st["tpot_mean_s"] > 0
