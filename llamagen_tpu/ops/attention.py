@@ -65,25 +65,47 @@ def _decode_attn_kernel(
     # inputs
     seg_ref, q_ref, kv_new_ref, recent_in, kv_cache_hbm, kv_scale_hbm,
     # outputs
-    out_ref, kv_cache_out, kv_scale_out, recent_ref,
+    out_ref, kv_cache_out, kv_scale_out, recent_out,
     # scratch
-    kv_scratch, sc_scratch, flush_stage, scale_stage, sems, write_sem,
-    recent_sem,
+    kv_scratch, sc_scratch, flush_stage, scale_stage, recent_scr, sems,
+    write_sem, recent_sem,
     *, block_s: int, scale: float, n_head: int, head_dim: int,
     use_prefix: bool, quantized: bool, w: int, batch: int,
 ):
     """grid=(1,): one program walks all batch elements, next DMA always in
-    flight. recent_ref: [B, w, 2F] exact window (aliased in/out; the kernel
+    flight. recent: [B, w, 2F] exact window (HBM, aliased in/out; the kernel
     itself inserts this step's kv_new row — an XLA-side dus cost a third
-    full traversal of the window buffers per step); kv_cache: [B, S, 2F]."""
+    full traversal of the window buffers per step — staging live prefix
+    chunks in VMEM and writing back only touched chunks); kv_cache:
+    [B, S, 2F]."""
     f = n_head * head_dim
     seg = seg_ref[:]
-    # stage the window into its single VMEM (output) block — keeping the
-    # input in HBM halves the window VMEM footprint (GPT-3B's [16,32,6400]
-    # bf16 window otherwise blows the 16M scoped-vmem limit)
-    rcp = pltpu.make_async_copy(recent_in, recent_ref, recent_sem)
-    rcp.start()
-    rcp.wait()
+    # Stage the window into VMEM scratch by 8-row chunks, PREFIX-ONLY: rows
+    # past max_b(pos % w) hold no live entries (masked by r_valid anyway),
+    # so skipping their DMA saves ~half the window traffic on average —
+    # the window read+write was the dominant per-launch fixed cost
+    # ([16, 32, 2F] bf16 per layer: 13 MB round trip on GPT-3B).
+    nch = w // 8
+    rmax = jax.lax.fori_loop(
+        0, batch,
+        lambda bb, m: jnp.maximum(m, pos_ref[bb] % w),
+        jnp.int32(0))
+    nst = rmax // 8 + 1
+    for c in range(nch):
+        @pl.when(c < nst)
+        def _(c=c):
+            ccp = pltpu.make_async_copy(
+                recent_in.at[:, pl.ds(c * 8, 8)],
+                recent_scr.at[:, pl.ds(c * 8, 8)], recent_sem)
+            ccp.start()
+            ccp.wait()
+
+        # unstaged chunks must still be FINITE: masked probabilities are
+        # exactly 0 but 0 * NaN/Inf garbage = NaN in the pv accumulation
+        @pl.when(c >= nst)
+        def _(c=c):
+            recent_scr[:, c * 8:(c + 1) * 8] = jnp.zeros(
+                (batch, 8, 2 * f), recent_scr.dtype)
 
     def boundary_of(b):
         return (pos_ref[b] // w) * w
@@ -137,7 +159,7 @@ def _decode_attn_kernel(
         bnd = boundary_of(b)
         r_idx = pos - bnd
         q_row = q_ref[b, 0].astype(jnp.float32)[None, :]
-        recent = recent_ref[b].astype(jnp.float32)  # [w, 2F]
+        recent = recent_scr[b].astype(jnp.float32)  # [w, 2F]
         rk = recent[:, :f]
         rv = recent[:, f:]
         r_scores = jnp.dot(rk * q_row, seg,
@@ -180,7 +202,7 @@ def _decode_attn_kernel(
                     write_sem.at[1])
                 sw.start()
             else:
-                flush_stage[:] = recent_ref[b]
+                flush_stage[:] = recent_scr[b]
             kw = pltpu.make_async_copy(
                 flush_stage, kv_cache_out.at[b, pl.ds(bnd, w)],
                 write_sem.at[0])
@@ -198,8 +220,8 @@ def _decode_attn_kernel(
         # full-window select: dynamic sublane stores need static 8-aligned
         # indices on Mosaic, a [w, 2F] where does not)
         j_w = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
-        recent_ref[b] = jnp.where(j_w == pos_ref[b] - bnd, kv_new_ref[b],
-                                  recent_ref[b])
+        recent_scr[b] = jnp.where(j_w == pos_ref[b] - bnd, kv_new_ref[b],
+                                  recent_scr[b])
         # scale folded into q once per (b, layer); int8 dequant scales fold
         # into the tiny [S_blk, H] scores/probs instead of [S_blk, F] rows
         q_row = q_ref[b, 0].astype(jnp.float32)[None, :] * scale
@@ -254,6 +276,23 @@ def _decode_attn_kernel(
         return slot
 
     jax.lax.fori_loop(0, batch, outer, jnp.int32(0))
+
+    # write back only the chunks that received this step's insert (all of
+    # them are <= rmax//8, hence staged for every batch element; untouched
+    # staged rows write back their unchanged values)
+    cmin = jax.lax.fori_loop(
+        0, batch,
+        lambda bb, m: jnp.minimum(m, (pos_ref[bb] % w) // 8),
+        jnp.int32(nch))
+    cmax = rmax // 8
+    for c in range(nch):
+        @pl.when((cmin <= c) & (c <= cmax))
+        def _(c=c):
+            wcp = pltpu.make_async_copy(
+                recent_scr.at[:, pl.ds(c * 8, 8)],
+                recent_out.at[:, pl.ds(c * 8, 8)], recent_sem)
+            wcp.start()
+            wcp.wait()
 
 
 def decode_attention(q: jnp.ndarray, kv_new: jnp.ndarray,
@@ -327,13 +366,14 @@ def decode_attention(q: jnp.ndarray, kv_new: jnp.ndarray,
             pl.BlockSpec(memory_space=pltpu.VMEM),      # out [B, 1, F]
             pl.BlockSpec(memory_space=pl.ANY),          # kv_cache (aliased)
             pl.BlockSpec(memory_space=pl.ANY),          # kv_scale (aliased)
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # recent (aliased)
+            pl.BlockSpec(memory_space=pl.ANY),          # recent (aliased)
         ],
         scratch_shapes=[
             pltpu.VMEM((2, block_s, 2 * f), kv_cache.dtype),  # kv blocks
             pltpu.VMEM((2, block_s, 128), kv_scale.dtype),    # scale blocks
             pltpu.VMEM((w, 2 * f), kv_cache.dtype),           # flush staging
             pltpu.VMEM((w, 128), kv_scale.dtype),             # scale staging
+            pltpu.VMEM((b, w, 2 * f), recent.dtype),          # window stage
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,

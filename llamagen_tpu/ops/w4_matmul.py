@@ -55,6 +55,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 SEG_ROWS = 128  # group-scale row granularity (also the MXU-friendly size)
 
+# Grouped-branch formulation: "seg" (per-segment dots) or "fold" (bf16
+# scale-fold into weight rows, one wide dot per half-chunk). Module-level
+# so the serving bench can A/B both on the real chip.
+import os as _os  # noqa: E402
+
+GROUPED_MODE = _os.environ.get("LLAMAGEN_W4_GROUPED", "seg")
+
 
 def _pick_bn(n: int, target: int = 640) -> int:
     """Largest multiple of 128 that divides N and is <= target."""
@@ -209,14 +216,19 @@ def _w4_kernel(lidx_ref, x_ref, s_ref, w_hbm, o_ref, w_scr, sems,
                                preferred_element_type=jnp.float32)
             acc = acc * s_ref[blk, 0, :][None, :]
         else:
-            # per-segment dots with the scale folded into the [B, BN]
-            # partial. (An r2-tail rewrite that folded scales into the
-            # WEIGHT rows to run one wide dot per half measured a
-            # consistent full-model REGRESSION — XXL 2.20 -> 2.11x,
-            # 3B 1.52 -> 1.41x: the [rows, BN] scale-expansion multiply
-            # costs more than the segment-dot MXU issue latency it
-            # removes — so the segment formulation stays, with the i32
-            # unpack live-range still bounded by the chunk loop.)
+            # Grouped-scale formulations (selected by GROUPED_MODE):
+            #   "seg":  per-segment dots with the scale folded into the
+            #           [B, BN] partial — 26-68 small MXU dots per block
+            #           cost issue latency (~370 GB/s effective, r2).
+            #   "fold": fold scales into the unpacked WEIGHT rows in bf16
+            #           and run ONE wide dot per half-chunk. An r2-tail
+            #           attempt at this regressed (XXL 2.20 -> 2.11x,
+            #           3B 1.52 -> 1.41x) — but it multiplied bf16 rows
+            #           by F32 expanded scales, silently promoting the
+            #           whole matmul to f32 MXU passes; this variant
+            #           keeps everything bf16 (scales are exact bf16
+            #           copies; the extra rounding is ~0.2% against
+            #           int4's ~7% step).
             nseg = len(segs)
             seg = segs[0][1]  # first segment is always full-size
             acc = jnp.zeros((batch, bn), jnp.float32)
@@ -230,13 +242,23 @@ def _w4_kernel(lidx_ref, x_ref, s_ref, w_hbm, o_ref, w_scr, sems,
                             if c0 <= r0 < c0 + rows]
                 for half, wh in ((0, ((p32 << 28) >> 28).astype(jnp.bfloat16)),
                                  (1, (p32 >> 4).astype(jnp.bfloat16))):
-                    for g, r0, rl in in_chunk:
-                        xs = x[:, half * k2 + r0: half * k2 + r0 + rl]
-                        partial = jnp.dot(
-                            xs, wh[r0 - c0:r0 - c0 + rl, :],
+                    if GROUPED_MODE == "seg":
+                        for g, r0, rl in in_chunk:
+                            xs = x[:, half * k2 + r0: half * k2 + r0 + rl]
+                            partial = jnp.dot(
+                                xs, wh[r0 - c0:r0 - c0 + rl, :],
+                                preferred_element_type=jnp.float32)
+                            acc = acc + partial * s_ref[blk, half * nseg + g,
+                                                        :][None, :]
+                    else:  # "fold"
+                        ws = jnp.concatenate(
+                            [wh[r0 - c0:r0 - c0 + rl, :]
+                             * s_ref[blk, half * nseg + g, :][None, :]
+                             .astype(jnp.bfloat16)
+                             for g, r0, rl in in_chunk], axis=0)
+                        acc = acc + jnp.dot(
+                            x[:, half * k2 + c0: half * k2 + c0 + rows], ws,
                             preferred_element_type=jnp.float32)
-                        acc = acc + partial * s_ref[blk, half * nseg + g,
-                                                    :][None, :]
         o_ref[blk] = acc.astype(o_ref.dtype)
         return carry
 

@@ -62,6 +62,29 @@ def test_w4_matmul_matches_dequant(per_channel):
     assert np.abs(got - ref).max() < tol, np.abs(got - ref).max()
 
 
+def test_w4_matmul_fold_mode_matches_dequant():
+    """The bf16 scale-fold grouped formulation must agree with the host
+    dequant within bf16 rounding (scales fold into weight rows instead of
+    the [B, BN] partials)."""
+    from llamagen_tpu.ops import w4_matmul as m
+
+    rng = np.random.RandomState(3)
+    k, n = 384, 512
+    w = (rng.randn(k, n) * 0.03).astype(np.float32)
+    x = rng.randn(8, k).astype(np.float32)
+    blocks, scales = m.pack_w4(jnp.asarray(w), block_n=128)
+    ref = x @ _host_dequant(blocks, scales, k, n)
+    old = m.GROUPED_MODE
+    try:
+        m.GROUPED_MODE = "fold"
+        got = np.asarray(jax.jit(m.w4_matmul)(
+            jnp.asarray(x, jnp.bfloat16), blocks, scales)).astype(np.float32)
+    finally:
+        m.GROUPED_MODE = old
+    tol = np.abs(ref).max() * 2e-2 + 1e-3
+    assert np.abs(got - ref).max() < tol, np.abs(got - ref).max()
+
+
 def test_w4_xla_dequant_matches_host():
     from llamagen_tpu.ops.w4_matmul import pack_w4, w4_dequant
 
