@@ -68,20 +68,12 @@ def cmd_quantize_ckpt(args):
     params, cfg = load_gpt(args.input, args.gpt_model, args.image_size,
                            args.downsample_size, model_type=args.model_type,
                            dtype=jnp.bfloat16)
-    if args.mode == "int8":
-        from llamagen_tpu.ops.quant_matmul import quantize_gpt_params
-        params = quantize_gpt_params(params,
-                                     quantize_head=args.quantize_head)
-    elif args.method == "gptq":
-        # calibrated GPTQ (ops/gptq.py): error-compensated int4 levels in
-        # the same kernel layout. Calibration tokens: VQ codes from
-        # --calib-codes (.npy [N, L] dump, cli/extract_codes.py layout)
-        # or random (the honest fallback; fine for smoke, use real codes
-        # for released checkpoints — BENCH.md W4 quality study)
-        import jax
 
-        from llamagen_tpu.ops.gptq import gptq_quantize_gpt_params
-
+    def calib():
+        # Calibration tokens: VQ codes from --calib-codes (.npy [N, L]
+        # dump, cli/extract_codes.py layout) or random (the honest
+        # fallback; fine for smoke, use real codes for released
+        # checkpoints — BENCH.md W4 quality study)
         rng = np.random.RandomState(args.calib_seed)
         n = args.calib_samples
         if args.calib_codes:
@@ -92,6 +84,29 @@ def cmd_quantize_ckpt(args):
             tokens = jnp.asarray(rng.randint(
                 0, cfg.vocab_size, size=(n, cfg.block_size)))
         labels = jnp.asarray(rng.randint(0, cfg.num_classes, size=(n,)))
+        return labels, tokens
+
+    if args.mode != "int8" and args.awq:
+        # activation-aware equalization pre-pass (ops/awq.py): exact
+        # rescale of the param tree that shifts the int4 grid toward the
+        # salient input channels; composes with rtn and gptq
+        from llamagen_tpu.ops.awq import awq_equalize_gpt_params
+        labels, tokens = calib()
+        params = awq_equalize_gpt_params(
+            params, cfg, labels, tokens,
+            per_channel=args.mode == "w4-pc", group_size=args.group,
+            verbose=True)
+
+    if args.mode == "int8":
+        from llamagen_tpu.ops.quant_matmul import quantize_gpt_params
+        params = quantize_gpt_params(params,
+                                     quantize_head=args.quantize_head)
+    elif args.method == "gptq":
+        # calibrated GPTQ (ops/gptq.py): error-compensated int4 levels
+        # in the same kernel layout
+        from llamagen_tpu.ops.gptq import gptq_quantize_gpt_params
+
+        labels, tokens = calib()
         params = gptq_quantize_gpt_params(
             params, cfg, labels, tokens,
             per_channel=args.mode == "w4-pc", group_size=args.group,
@@ -271,6 +286,9 @@ def main(argv=None):
                    help="w4 level chooser: rtn (default) or calibrated "
                         "gptq error compensation (recommended for real "
                         "checkpoints; see BENCH.md W4 quality study)")
+    q.add_argument("--awq", action="store_true",
+                   help="AWQ activation-aware equalization pre-pass "
+                        "(ops/awq.py); composes with either --method")
     q.add_argument("--group", type=int, default=128,
                    help="w4 group-scale rows (64/128/256)")
     q.add_argument("--calib-codes", default=None,

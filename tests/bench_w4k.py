@@ -1,11 +1,13 @@
 """W4A16 Pallas-kernel bench: throughput + teacher-forced numerics.
 
 Usage: python tests/bench_w4k.py [GPT-3B] [--per-channel] [--skip-tf]
-       [--group 64] [--gptq] [--calib-batches N]
+       [--group 64] [--gptq] [--awq] [--calib-batches N]
 
 --gptq runs the calibrated GPTQ quantizer (ops/gptq.py) instead of RTN:
 same kernel layout, better levels; calibration tokens are random (the
-honest random-weight bound this harness measures).
+honest random-weight bound this harness measures). --awq applies the
+activation-aware equalization pre-pass (ops/awq.py) before either
+quantizer; composable with --gptq.
 
 The kernel streams nibble-packed weights at ~700 GB/s of packed bytes
 (half of W8A16's traffic); grouped scales cost extra MXU issue latency,
@@ -27,7 +29,7 @@ BASELINE_S = {"GPT-B": 2.39, "GPT-L": 3.48, "GPT-XL": 4.84,
 
 
 def main(name="GPT-3B", per_channel=False, skip_tf=False, group=128,
-         gptq=False, calib_batches=4):
+         gptq=False, calib_batches=4, awq=False):
     from llamagen_tpu.config import gpt_config
     from llamagen_tpu.models import gpt
     from llamagen_tpu.ops.generate import generate
@@ -39,6 +41,18 @@ def main(name="GPT-3B", per_channel=False, skip_tf=False, group=128,
     params["output"] = (jax.random.normal(
         jax.random.PRNGKey(7), params["output"].shape) * 0.02
     ).astype(jnp.bfloat16)
+    bf16_params = params
+    if awq:
+        from llamagen_tpu.ops.awq import awq_equalize_gpt_params
+        crng = np.random.RandomState(5)
+        alabels = jnp.asarray(crng.randint(0, 1000, size=(8 * calib_batches,)))
+        atokens = jnp.asarray(crng.randint(
+            0, cfg.vocab_size, size=(8 * calib_batches, cfg.block_size)))
+        t0 = time.time()
+        params = awq_equalize_gpt_params(
+            params, cfg, alabels, atokens, per_channel=per_channel,
+            group_size=group, verbose=True)
+        print(f"awq equalization took {time.time() - t0:.1f}s", flush=True)
     if gptq:
         from llamagen_tpu.ops.gptq import gptq_quantize_gpt_params
         crng = np.random.RandomState(3)
@@ -77,11 +91,11 @@ def main(name="GPT-3B", per_channel=False, skip_tf=False, group=128,
             return agree, err.max(), err.mean(), jnp.abs(l1).mean()
 
         agree, emax, emean, scale = [float(np.asarray(v))
-                                     for v in tf_compare(params, qparams)]
+                                     for v in tf_compare(bf16_params, qparams)]
         print(f"{name} tf argmax agreement w4k vs bf16: {agree:.4f} "
               f"(err mean {emean:.4f} max {emax:.4f} scale {scale:.4f})",
               flush=True)
-    del params
+    del params, bf16_params
 
     def run(p, seed):
         seq = generate(p, jax.random.PRNGKey(seed), labels, cfg=cfg,
@@ -101,6 +115,7 @@ def main(name="GPT-3B", per_channel=False, skip_tf=False, group=128,
     ips = batch / best
     base = 8.0 / BASELINE_S[name]
     mode = "per-channel" if per_channel else f"group-{group}"
+    mode += "+awq" if awq else ""
     mode += "+gptq" if gptq else ""
     print(f"{name} w4-kernel ({mode}) batch-8: {ips:.3f} img/s "
           f"({best / cfg.block_size * 1e3:.3f} ms/step, "
@@ -112,4 +127,5 @@ if __name__ == "__main__":
     name = next((a for a in args if a.startswith("GPT-")), "GPT-3B")
     group = int(args[args.index("--group") + 1]) if "--group" in args else 128
     main(name, per_channel="--per-channel" in args,
-         skip_tf="--skip-tf" in args, group=group, gptq="--gptq" in args)
+         skip_tf="--skip-tf" in args, group=group, gptq="--gptq" in args,
+         awq="--awq" in args)
