@@ -211,7 +211,7 @@ def spec_accept(rng: jax.Array, proposals: jnp.ndarray,
     jax.jit,
     static_argnames=("cfg", "draft_cfg", "max_new_tokens", "k",
                      "cfg_scale", "temperature", "top_k", "top_p",
-                     "sample_logits", "compute_dtype"))
+                     "sample_logits", "compute_dtype", "force_accept"))
 def generate_speculative(params, draft_params, rng: jax.Array,
                          cond: jnp.ndarray, *, cfg: GPTConfig,
                          draft_cfg: GPTConfig, max_new_tokens: int,
@@ -220,7 +220,8 @@ def generate_speculative(params, draft_params, rng: jax.Array,
                          cfg_scale: float = 1.0, temperature: float = 1.0,
                          top_k: int = 0, top_p: float = 1.0,
                          sample_logits: bool = True,
-                         compute_dtype=jnp.bfloat16):
+                         compute_dtype=jnp.bfloat16,
+                         force_accept: Optional[int] = None):
     """Speculative sampling of `max_new_tokens` grid tokens.
 
     Drop-in for `ops.generate.generate` (same conditioning / CFG / warp
@@ -232,6 +233,13 @@ def generate_speculative(params, draft_params, rng: jax.Array,
     Returns (tokens [B, max_new_tokens], rounds scalar int32) — rounds is
     the number of verify forwards executed, so the measured acceptance is
     `max_new_tokens / ((k+1) * rounds)` per element in the best case.
+
+    force_accept (benchmark harness only): commit exactly
+    min(force_accept, k) proposals + 1 per round regardless of the
+    accept test, keeping every other computation (draft steps, verify,
+    warps, resample) real — measures wall-clock per round at a
+    controlled acceptance rate without trained checkpoints
+    (tests/bench_spec.py; output tokens are NOT target-distributed).
     """
     assert draft_cfg.vocab_size == cfg.vocab_size, "vocabularies must match"
     assert draft_cfg.cls_token_num == cfg.cls_token_num, \
@@ -320,6 +328,14 @@ def generate_speculative(params, draft_params, rng: jax.Array,
 
         tokens, n_new = spec_accept(r_acc, props, qps, pps,
                                     sample_logits=sample_logits)
+        if force_accept is not None:
+            n_forced = min(force_accept, k) + 1
+            final = jnp.take_along_axis(tokens, (n_new - 1)[:, None],
+                                        1)[:, 0]
+            tokens = jnp.where(jnp.arange(c)[None, :] < n_forced - 1,
+                               jnp.pad(props, ((0, 0), (0, 1))),
+                               final[:, None])
+            n_new = jnp.full_like(n_new, n_forced)
 
         widx = n_out[:, None] + jnp.arange(c)[None, :]
         valid = ((jnp.arange(c)[None, :] < n_new[:, None])

@@ -86,6 +86,21 @@ def test_stochastic_runs_and_is_in_range():
     assert 1 <= int(rounds) <= 16
 
 
+def test_force_accept_harness_round_count():
+    """The bench harness knob commits exactly force_accept+1 per round."""
+    cfg, params = _tiny(0)
+    _, draft_params = _tiny(1)
+    labels = jnp.asarray([1])
+    k, max_new = 3, 25
+    for force in (0, 2, k):
+        _, rounds = generate_speculative(
+            params, draft_params, jax.random.PRNGKey(0), labels, cfg=cfg,
+            draft_cfg=cfg, max_new_tokens=max_new, k=k, cfg_scale=2.0,
+            compute_dtype=jnp.float32, force_accept=force)
+        per_round = min(force, k) + 1
+        assert int(rounds) == -(-(max_new - 1) // per_round)
+
+
 def test_spec_accept_preserves_target_distribution():
     """One accept/resample step must draw exactly from p, for proposals
     drawn from an arbitrary q (the core spec-sampling theorem)."""
