@@ -44,6 +44,14 @@ def main(argv=None):
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--precision", default="bf16", choices=["bf16", "f32"])
     p.add_argument("--out", default="sample_c2i.png")
+    # speculative decoding: a cheap draft model proposes, the target
+    # verifies k+1 tokens per forward (exact target distribution;
+    # ops/speculative.py) — big-model speedup when the draft agrees often
+    p.add_argument("--draft-gpt-model", default=None,
+                   help="enable speculative decoding with this draft size")
+    p.add_argument("--draft-gpt-ckpt", default=None)
+    p.add_argument("--spec-k", type=int, default=4,
+                   help="draft proposals per verify round")
     args = p.parse_args(argv)
 
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
@@ -57,12 +65,33 @@ def main(argv=None):
     labels = jnp.asarray(np.array(args.classes, np.int32))
 
     t0 = time.time()
-    seq = generate(gpt_params, jax.random.PRNGKey(args.seed), labels,
-                   cfg=gpt_cfg, max_new_tokens=latent * latent,
-                   cfg_scale=args.cfg_scale, cfg_interval=args.cfg_interval,
-                   temperature=args.temperature, top_k=args.top_k,
-                   top_p=args.top_p, compute_dtype=dtype, cache_dtype=dtype)
-    seq = np.asarray(seq)
+    if args.draft_gpt_model:
+        from llamagen_tpu.ops.speculative import generate_speculative
+
+        draft_params, draft_cfg = load_gpt(
+            args.draft_gpt_ckpt, args.draft_gpt_model, args.image_size,
+            args.downsample_size, dtype=dtype)
+        assert args.cfg_interval == -1, \
+            "speculative decoding does not support cfg_interval"
+        seq, rounds = generate_speculative(
+            gpt_params, draft_params, jax.random.PRNGKey(args.seed),
+            labels, cfg=gpt_cfg, draft_cfg=draft_cfg,
+            max_new_tokens=latent * latent, k=args.spec_k,
+            cfg_scale=args.cfg_scale, temperature=args.temperature,
+            top_k=args.top_k, top_p=args.top_p, compute_dtype=dtype)
+        seq = np.asarray(seq)
+        print(f"speculative: {int(rounds)} verify rounds for "
+              f"{latent * latent} tokens "
+              f"({latent * latent / max(int(rounds), 1):.2f} tokens/round)")
+    else:
+        seq = generate(gpt_params, jax.random.PRNGKey(args.seed), labels,
+                       cfg=gpt_cfg, max_new_tokens=latent * latent,
+                       cfg_scale=args.cfg_scale,
+                       cfg_interval=args.cfg_interval,
+                       temperature=args.temperature, top_k=args.top_k,
+                       top_p=args.top_p, compute_dtype=dtype,
+                       cache_dtype=dtype)
+        seq = np.asarray(seq)
     print(f"gpt sampling takes {time.time() - t0:.2f}s "
           f"({len(labels)} images, {latent}x{latent} tokens)")
 

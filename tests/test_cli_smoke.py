@@ -37,6 +37,20 @@ def test_sample_c2i_cli(tmp_path):
     assert os.path.exists(out)
 
 
+def test_sample_c2i_cli_speculative(tmp_path):
+    from llamagen_tpu.cli import sample_c2i
+
+    out = str(tmp_path / "grid_spec.png")
+    sample_c2i.main([
+        "--gpt-model", "GPT-nano", "--vq-model", "VQ-16",
+        "--codebook-size", "64", "--codebook-embed-dim", "4",
+        "--image-size", "256", "--downsample-size", "16",
+        "--classes", "1", "2", "--cfg-scale", "1.5",
+        "--draft-gpt-model", "GPT-nano", "--spec-k", "3",
+        "--precision", "f32", "--out", out])
+    assert os.path.exists(out)
+
+
 def test_train_c2i_cli_synthetic(tmp_path):
     from llamagen_tpu.cli import train_c2i
 
