@@ -11,6 +11,9 @@ reports the true random-weight rounds count as the honest floor.
 
 Usage:
     python tests/bench_spec.py GPT-XXL [--draft GPT-B] [--k 4] [--w8]
+    python tests/bench_spec.py GPT-3B --self-w4   # draft = W4 self
+                                                  # (real accept on
+                                                  # trained ckpts)
 """
 
 import json
@@ -27,20 +30,31 @@ BASELINE_S = {"GPT-B": 2.39, "GPT-L": 3.48, "GPT-XL": 4.84,
               "GPT-XXL": 6.36, "GPT-3B": 6.26}
 
 
-def main(model, draft, k, quant):
+def main(model, draft, k, quant, self_w4=False):
     from llamagen_tpu.config import gpt_config
     from llamagen_tpu.models import gpt
     from llamagen_tpu.ops.quant_matmul import quantize_gpt_params
     from llamagen_tpu.ops.speculative import generate_speculative
 
     cfg = gpt_config(model, block_size=576, cls_token_num=1)
-    dcfg = gpt_config(draft, block_size=576, cls_token_num=1)
     params = gpt.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
-    dparams = gpt.init_params(jax.random.PRNGKey(1), dcfg,
-                              dtype=jnp.bfloat16)
-    if quant:
+    if self_w4:
+        # self-speculation: the W4 round-to-nearest pytree drafts for its
+        # own W8A16 parent — no second checkpoint needed, and on trained
+        # weights the two argmax-agree often (BENCH.md W4 numerics)
+        from llamagen_tpu.ops.w4_matmul import quantize_gpt_params_w4k
+
+        draft, dcfg = model + "(w4-self)", cfg
+        dparams = jax.jit(lambda p: quantize_gpt_params_w4k(
+            p, per_channel=True))(params)
         params = jax.jit(quantize_gpt_params, donate_argnums=0)(params)
-        dparams = jax.jit(quantize_gpt_params, donate_argnums=0)(dparams)
+    else:
+        dcfg = gpt_config(draft, block_size=576, cls_token_num=1)
+        dparams = gpt.init_params(jax.random.PRNGKey(1), dcfg,
+                                  dtype=jnp.bfloat16)
+        if quant:
+            params = jax.jit(quantize_gpt_params, donate_argnums=0)(params)
+            dparams = jax.jit(quantize_gpt_params, donate_argnums=0)(dparams)
     labels = jnp.asarray(np.arange(8) * 100 % 1000)
     base = 8.0 / BASELINE_S[model] if model in BASELINE_S else None
 
@@ -74,4 +88,5 @@ if __name__ == "__main__":
     model = next((a for i, a in enumerate(args) if a.startswith("GPT-")
                   and (i == 0 or args[i - 1] != "--draft")), "GPT-XXL")
     k = int(args[args.index("--k") + 1]) if "--k" in args else 4
-    main(model, draft, k, quant="--w8" in args)
+    main(model, draft, k, quant="--w8" in args,
+         self_w4="--self-w4" in args)
