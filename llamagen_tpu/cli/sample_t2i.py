@@ -53,6 +53,10 @@ def main(argv=None):
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--precision", default="bf16", choices=["bf16", "f32"])
     p.add_argument("--out", default="sample_t2i.png")
+    p.add_argument("--draft-gpt-model", default=None,
+                   help="enable speculative decoding with this draft size")
+    p.add_argument("--draft-gpt-ckpt", default=None)
+    p.add_argument("--spec-k", type=int, default=4)
     args = p.parse_args(argv)
 
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
@@ -78,14 +82,33 @@ def main(argv=None):
         mask = np.ones((len(args.prompts), args.cls_token_num), np.int32)
 
     t0 = time.time()
-    seq = generate(gpt_params, jax.random.PRNGKey(args.seed),
-                   jnp.asarray(emb, dtype), cfg=gpt_cfg,
-                   max_new_tokens=latent * latent,
-                   emb_masks=jnp.asarray(mask),
-                   cfg_scale=args.cfg_scale, temperature=args.temperature,
-                   top_k=args.top_k, top_p=args.top_p,
-                   compute_dtype=dtype, cache_dtype=dtype)
-    seq = np.asarray(seq)
+    if args.draft_gpt_model:
+        from llamagen_tpu.ops.speculative import generate_speculative
+
+        draft_params, draft_cfg = load_gpt(
+            args.draft_gpt_ckpt, args.draft_gpt_model, args.image_size,
+            args.downsample_size, model_type="t2i",
+            cls_token_num=args.cls_token_num, dtype=dtype)
+        seq, rounds = generate_speculative(
+            gpt_params, draft_params, jax.random.PRNGKey(args.seed),
+            jnp.asarray(emb, dtype), cfg=gpt_cfg, draft_cfg=draft_cfg,
+            max_new_tokens=latent * latent, k=args.spec_k,
+            emb_masks=jnp.asarray(mask), cfg_scale=args.cfg_scale,
+            temperature=args.temperature, top_k=args.top_k,
+            top_p=args.top_p, compute_dtype=dtype)
+        seq = np.asarray(seq)
+        print(f"speculative: {int(rounds)} verify rounds "
+              f"({latent * latent / max(int(rounds), 1):.2f} tokens/round)")
+    else:
+        seq = generate(gpt_params, jax.random.PRNGKey(args.seed),
+                       jnp.asarray(emb, dtype), cfg=gpt_cfg,
+                       max_new_tokens=latent * latent,
+                       emb_masks=jnp.asarray(mask),
+                       cfg_scale=args.cfg_scale,
+                       temperature=args.temperature,
+                       top_k=args.top_k, top_p=args.top_p,
+                       compute_dtype=dtype, cache_dtype=dtype)
+        seq = np.asarray(seq)
     print(f"gpt sampling takes {time.time() - t0:.2f}s")
 
     imgs = vq_lib.decode_code(vq_params,

@@ -229,6 +229,21 @@ def test_sample_t2i_cli_random_embeddings(tmp_path):
     assert os.path.exists(out)
 
 
+def test_sample_t2i_cli_speculative(tmp_path):
+    from llamagen_tpu.cli import sample_t2i
+
+    out = str(tmp_path / "t2i_spec.png")
+    sample_t2i.main([
+        "--gpt-model", "GPT-nano", "--vq-model", "VQ-16",
+        "--codebook-size", "64", "--codebook-embed-dim", "4",
+        "--image-size", "256", "--downsample-size", "16",
+        "--prompts", "a cat", "--cls-token-num", "8",
+        "--cfg-scale", "1.5", "--top-k", "10",
+        "--draft-gpt-model", "GPT-nano", "--spec-k", "3",
+        "--precision", "f32", "--out", out])
+    assert os.path.exists(out)
+
+
 def test_train_t2i_cli_synthetic(tmp_path):
     from llamagen_tpu.cli import train_t2i
 
