@@ -312,10 +312,14 @@ def generate_speculative(params, draft_params, rng: jax.Array,
             nxt = sampling.sample(r, logits, **sample_kw)
             return (dcache, nxt, rng_d), (nxt, qp)
 
+        # k+1 draft steps, k proposals: the extra step consumes x_k so the
+        # draft cache holds row p+k — in the all-accept round the next
+        # draft otherwise attends over a never-written (zero) row at
+        # p'-1 = p+k and acceptance silently degrades
         (dcache, _, _), (props, qps) = jax.lax.scan(
-            dstep, (dcache, cur, r_draft), jnp.arange(k))
-        props = props.T                      # [B, k]
-        qps = jnp.moveaxis(qps, 0, 1)        # [B, k, V]
+            dstep, (dcache, cur, r_draft), jnp.arange(k + 1))
+        props = props.T[:, :k]               # [B, k]
+        qps = jnp.moveaxis(qps, 0, 1)[:, :k]  # [B, k, V]
 
         toks = jnp.concatenate([cur[:, None], props], axis=1)  # [B, C]
         vlogits, tcache = verify_step_slots(

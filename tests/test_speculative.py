@@ -86,6 +86,22 @@ def test_stochastic_runs_and_is_in_range():
     assert 1 <= int(rounds) <= 16
 
 
+def test_self_draft_stochastic_accepts_everything():
+    """With draft == target, q == p at every slot, so even STOCHASTIC
+    acceptance (u < p/q) never rejects — this requires the draft cache to
+    be complete after all-accept rounds (the k+1-th draft step consumes
+    x_k; without it the draft attends a never-written zero row at the
+    next round and q drifts from p)."""
+    cfg, params = _tiny(0)
+    k, max_new = 3, 32
+    _, rounds = generate_speculative(
+        params, params, jax.random.PRNGKey(9), jnp.asarray([1, 2]),
+        cfg=cfg, draft_cfg=cfg, max_new_tokens=max_new, k=k,
+        cfg_scale=2.0, temperature=1.0, sample_logits=True,
+        compute_dtype=jnp.float32)
+    assert int(rounds) == -(-(max_new - 1) // (k + 1))
+
+
 def test_force_accept_harness_round_count():
     """The bench harness knob commits exactly force_accept+1 per round."""
     cfg, params = _tiny(0)
