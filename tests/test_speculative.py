@@ -86,6 +86,51 @@ def test_stochastic_runs_and_is_in_range():
     assert 1 <= int(rounds) <= 16
 
 
+def test_verify_step_matches_sequential_decode():
+    """verify_step_slots logits == per-token decode_step logits at every
+    chunk row (same cache trajectory), with per-element positions."""
+    from llamagen_tpu.ops.speculative import verify_step_slots
+
+    cfg, params = _tiny(0)
+    b, t, c = 2, cfg.cls_token_num, 4
+    rng = np.random.RandomState(0)
+    toks = jnp.asarray(rng.randint(0, cfg.vocab_size, (b, c)))
+    # diverged per-element positions (continuous-batching style)
+    pos = jnp.asarray([t + 3, t + 7], jnp.int32)
+
+    smax = 32
+    cache_v = gpt.init_cache(cfg, b, smax, dtype=jnp.float32)
+    cache_s = gpt.init_cache(cfg, b, smax, dtype=jnp.float32)
+    # build identical history for both caches: random warm-up tokens per
+    # element up to its pos via the engine's per-slot step
+    from llamagen_tpu.serve.engine import _decode_step_slots
+
+    hist = jnp.asarray(rng.randint(0, cfg.vocab_size, (b, 16)))
+    for j in range(int(pos.max())):
+        live = jnp.asarray([j < int(p) for p in np.asarray(pos)])
+        emb = params["tok_embeddings"][hist[:, j % 16]].astype(jnp.float32)
+        posj = jnp.minimum(jnp.full((b,), j, jnp.int32), pos - 1)
+        _, cache_v = _decode_step_slots(params, cfg, emb, posj, cache_v,
+                                        compute_dtype=jnp.float32)
+        _, cache_s = _decode_step_slots(params, cfg, emb, posj, cache_s,
+                                        compute_dtype=jnp.float32)
+        del live
+
+    vlogits, _ = verify_step_slots(params, cfg, toks, pos, cache_v,
+                                   compute_dtype=jnp.float32)
+
+    # sequential oracle: feed the same tokens one at a time
+    slogits = []
+    for j in range(c):
+        emb = params["tok_embeddings"][toks[:, j]].astype(jnp.float32)
+        lg, cache_s = _decode_step_slots(params, cfg, emb, pos + j, cache_s,
+                                         compute_dtype=jnp.float32)
+        slogits.append(lg)
+    slogits = jnp.stack(slogits, axis=1)  # [B, C, V]
+    np.testing.assert_allclose(np.asarray(vlogits), np.asarray(slogits),
+                               atol=2e-4, rtol=2e-4)
+
+
 def test_self_draft_stochastic_accepts_everything():
     """With draft == target, q == p at every slot, so even STOCHASTIC
     acceptance (u < p/q) never rejects — this requires the draft cache to
