@@ -70,7 +70,8 @@ def warped_probs(logits: jnp.ndarray, temperature: float, top_k: int,
 def verify_step_slots(params, cfg: GPTConfig, toks: jnp.ndarray,
                       pos: jnp.ndarray, cache: gpt.KVCache,
                       compute_dtype=jnp.bfloat16,
-                      prefix_pad: Optional[jnp.ndarray] = None):
+                      prefix_pad: Optional[jnp.ndarray] = None,
+                      use_kernel: bool = False):
     """C-token chunk forward with per-element positions.
 
     toks: [B, C] token ids occupying positions pos[b] .. pos[b]+C-1.
@@ -81,6 +82,10 @@ def verify_step_slots(params, cfg: GPTConfig, toks: jnp.ndarray,
     via the per-row position bound (update-then-read: the chunk's own K/V
     are scattered into the cache before attending, so row j sees rows
     0..pos+j including this chunk's prefix).
+
+    use_kernel: route attention through the Pallas chunk kernel
+    (ops/chunk_attention.py) — pos-bounded cache streaming + aligned
+    tile write-backs instead of the full-extent XLA read + scatter.
     """
     b, c = toks.shape
     smax = cache.max_seq_len
@@ -89,16 +94,21 @@ def verify_step_slots(params, cfg: GPTConfig, toks: jnp.ndarray,
     freqs = gpt.freqs_cis_2d(cfg)[posj]                       # [B,C,half,2]
     bids = jnp.arange(b)
 
-    # [B, 1, C, S]: query row j attends columns <= pos[b]+j
-    mask = (jnp.arange(smax)[None, None, None, :]
-            <= posj[:, None, :, None])
-    if prefix_pad is not None:
-        mask = mask & (jnp.arange(smax)[None, None, None, :]
-                       >= prefix_pad[:, None, None, None])
     scale = cfg.head_dim ** -0.5
     rep = cfg.n_head // cfg.kv_heads
     q_size = cfg.n_head * cfg.head_dim
     kv_size = cfg.kv_heads * cfg.head_dim
+    if use_kernel:
+        assert cfg.kv_heads == cfg.n_head and q_size % 128 == 0, \
+            "chunk kernel requires MHA with 128-aligned features"
+        mask = None
+    else:
+        # [B, 1, C, S]: query row j attends columns <= pos[b]+j
+        mask = (jnp.arange(smax)[None, None, None, :]
+                <= posj[:, None, :, None])
+        if prefix_pad is not None:
+            mask = mask & (jnp.arange(smax)[None, None, None, :]
+                           >= prefix_pad[:, None, None, None])
 
     def rope(x):
         # x: [B, C, H, Dh]; freqs: [B, C, half, 2]
@@ -126,21 +136,34 @@ def verify_step_slots(params, cfg: GPTConfig, toks: jnp.ndarray,
         kv_new = jnp.concatenate(
             [k.reshape(b, c, kv_size), v.reshape(b, c, kv_size)],
             axis=-1).astype(cache.kv[l].dtype)
-        ckv = cache.kv[l].at[bids[:, None], posj].set(kv_new)
-        new_kv.append(ckv)
-        keys = ckv[:, :, :kv_size].reshape(b, smax, cfg.kv_heads,
-                                           cfg.head_dim)
-        vals = ckv[:, :, kv_size:].reshape(b, smax, cfg.kv_heads,
-                                           cfg.head_dim)
-        if rep != 1:
-            keys = jnp.repeat(keys, rep, axis=2)
-            vals = jnp.repeat(vals, rep, axis=2)
-        scores = jnp.einsum("bchd,bshd->bhcs", q, keys.astype(q.dtype),
-                            preferred_element_type=jnp.float32) * scale
-        scores = jnp.where(mask, scores, jnp.float32(-1e30))
-        probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-        attn = jnp.einsum("bhcs,bshd->bchd", probs, vals.astype(q.dtype))
-        h = h + mm(p, "wo", attn.reshape(b, c, q_size)).astype(h.dtype)
+        if use_kernel:
+            from llamagen_tpu.ops.chunk_attention import \
+                chunk_decode_attention
+
+            attn_flat, ckv = chunk_decode_attention(
+                q.reshape(b, c, q_size), kv_new, cache.kv[l], pos,
+                cfg.n_head, prefix_pad=prefix_pad)
+            new_kv.append(ckv)
+            attn_out = attn_flat.astype(h.dtype)
+        else:
+            ckv = cache.kv[l].at[bids[:, None], posj].set(kv_new)
+            new_kv.append(ckv)
+            keys = ckv[:, :, :kv_size].reshape(b, smax, cfg.kv_heads,
+                                               cfg.head_dim)
+            vals = ckv[:, :, kv_size:].reshape(b, smax, cfg.kv_heads,
+                                               cfg.head_dim)
+            if rep != 1:
+                keys = jnp.repeat(keys, rep, axis=2)
+                vals = jnp.repeat(vals, rep, axis=2)
+            scores = jnp.einsum("bchd,bshd->bhcs", q,
+                                keys.astype(q.dtype),
+                                preferred_element_type=jnp.float32) * scale
+            scores = jnp.where(mask, scores, jnp.float32(-1e30))
+            probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+            attn = jnp.einsum("bhcs,bshd->bchd", probs,
+                              vals.astype(q.dtype))
+            attn_out = attn.reshape(b, c, q_size)
+        h = h + mm(p, "wo", attn_out).astype(h.dtype)
         x = gpt.rms_norm(h, p["ffn_norm"], cfg.norm_eps)
         x2 = x.reshape(b * c, -1)
         ffn = jax.nn.silu(matmul_any(p, "w1", x2)) * matmul_any(p, "w3", x2)
@@ -211,7 +234,8 @@ def spec_accept(rng: jax.Array, proposals: jnp.ndarray,
     jax.jit,
     static_argnames=("cfg", "draft_cfg", "max_new_tokens", "k",
                      "cfg_scale", "temperature", "top_k", "top_p",
-                     "sample_logits", "compute_dtype", "force_accept"))
+                     "sample_logits", "compute_dtype", "force_accept",
+                     "use_kernel"))
 def generate_speculative(params, draft_params, rng: jax.Array,
                          cond: jnp.ndarray, *, cfg: GPTConfig,
                          draft_cfg: GPTConfig, max_new_tokens: int,
@@ -221,7 +245,8 @@ def generate_speculative(params, draft_params, rng: jax.Array,
                          top_k: int = 0, top_p: float = 1.0,
                          sample_logits: bool = True,
                          compute_dtype=jnp.bfloat16,
-                         force_accept: Optional[int] = None):
+                         force_accept: Optional[int] = None,
+                         use_kernel: Optional[bool] = None):
     """Speculative sampling of `max_new_tokens` grid tokens.
 
     Drop-in for `ops.generate.generate` (same conditioning / CFG / warp
@@ -245,14 +270,21 @@ def generate_speculative(params, draft_params, rng: jax.Array,
     assert draft_cfg.cls_token_num == cfg.cls_token_num, \
         "draft must share the conditioning geometry"
     assert draft_cfg.model_type == cfg.model_type
+    from llamagen_tpu.ops.generate import _kernel_supported
+    if use_kernel is None:
+        use_kernel = (jax.default_backend() == "tpu"
+                      and _kernel_supported(cfg)
+                      and _kernel_supported(draft_cfg))
     use_cfg = cfg_scale > 1.0
     t = cfg.cls_token_num
     batch = cond.shape[0]
     batch_cfg = batch * 2 if use_cfg else batch
     c = k + 1
-    # verify may write k rows past the last committed slot; keep them
-    # inside the buffer so scatters never clamp onto live rows
-    max_seq = find_multiple(t + max_new_tokens + c, 8)
+    # verify may write k rows past the last committed slot; the chunk
+    # kernel additionally writes back full aligned epoch tiles (up to
+    # 2*RECENT rows past the boundary) — keep all of it inside the
+    # buffer so no write ever lands on live rows
+    max_seq = find_multiple(t + max_new_tokens + c + 16, 8)
 
     from llamagen_tpu.serve.engine import _decode_step_slots
 
@@ -300,11 +332,21 @@ def generate_speculative(params, draft_params, rng: jax.Array,
 
         def dstep(dc, j):
             dcache, cur_d, rng_d = dc
-            emb = draft_params["tok_embeddings"][dbl(cur_d)] \
-                .astype(compute_dtype)
-            logits, dcache = _decode_step_slots(
-                draft_params, draft_cfg, emb, dbl(p + j), dcache,
-                compute_dtype=compute_dtype, prefix_pad=prefix_pad)
+            if use_kernel:
+                # C=1 chunk-kernel step: pos-bounded streaming, and the
+                # cache-resident design survives the backward position
+                # jumps rejection causes (windowed kernels cannot)
+                logits, dcache = verify_step_slots(
+                    draft_params, draft_cfg, dbl(cur_d)[:, None],
+                    dbl(p + j), dcache, compute_dtype=compute_dtype,
+                    prefix_pad=prefix_pad, use_kernel=True)
+                logits = logits[:, 0]
+            else:
+                emb = draft_params["tok_embeddings"][dbl(cur_d)] \
+                    .astype(compute_dtype)
+                logits, dcache = _decode_step_slots(
+                    draft_params, draft_cfg, emb, dbl(p + j), dcache,
+                    compute_dtype=compute_dtype, prefix_pad=prefix_pad)
             if use_cfg:
                 logits = sampling.cfg_mix(logits, cfg_scale)
             qp = warped_probs(logits, temperature, top_k, top_p)
@@ -324,7 +366,8 @@ def generate_speculative(params, draft_params, rng: jax.Array,
         toks = jnp.concatenate([cur[:, None], props], axis=1)  # [B, C]
         vlogits, tcache = verify_step_slots(
             params, cfg, dbl(toks), dbl(p), tcache,
-            compute_dtype=compute_dtype, prefix_pad=prefix_pad)
+            compute_dtype=compute_dtype, prefix_pad=prefix_pad,
+            use_kernel=use_kernel)
         if use_cfg:
             cond_l, uncond_l = jnp.split(vlogits, 2, axis=0)
             vlogits = uncond_l + (cond_l - uncond_l) * cfg_scale

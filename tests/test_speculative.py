@@ -86,6 +86,33 @@ def test_stochastic_runs_and_is_in_range():
     assert 1 <= int(rounds) <= 16
 
 
+@pytest.mark.parametrize("model_type", ["c2i", "t2i"])
+def test_kernel_mode_greedy_token_exact(model_type):
+    """use_kernel=True (Pallas chunk attention, interpret on CPU) commits
+    the same greedy tokens as plain generate, c2i and t2i."""
+    kw = (dict() if model_type == "c2i"
+          else dict(model_type="t2i", cls_token_num=8, caption_dim=32))
+    cfg, params = _tiny(0, **kw)
+    _, draft_params = _tiny(1, **kw)
+    if model_type == "c2i":
+        cond, masks = jnp.asarray([0, 7]), None
+    else:
+        cond = jnp.asarray(np.random.RandomState(0).randn(2, 8, 32),
+                           jnp.float32)
+        masks = jnp.asarray([[0, 0, 1, 1, 1, 1, 1, 1],
+                             [1, 1, 1, 1, 1, 1, 1, 1]], bool)
+    ref = generate(params, jax.random.PRNGKey(2), cond, cfg=cfg,
+                   max_new_tokens=16, emb_masks=masks, cfg_scale=2.0,
+                   sample_logits=False, compute_dtype=jnp.float32,
+                   use_kernel=False)
+    got, _ = generate_speculative(
+        params, draft_params, jax.random.PRNGKey(2), cond, cfg=cfg,
+        draft_cfg=cfg, max_new_tokens=16, k=3, emb_masks=masks,
+        cfg_scale=2.0, sample_logits=False, compute_dtype=jnp.float32,
+        use_kernel=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_verify_step_matches_sequential_decode():
     """verify_step_slots logits == per-token decode_step logits at every
     chunk row (same cache trajectory), with per-element positions."""
