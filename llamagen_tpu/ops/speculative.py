@@ -33,10 +33,15 @@ Correctness contracts (tested in tests/test_speculative.py):
   - draft == target at greedy accepts everything: rounds =
     ceil(max_new / (k+1)).
 
-Not supported (asserted): repetition/presence/frequency penalties
-(sequential count dependence breaks the parallel verify), cfg_interval,
-int8 KV (the XLA verify path reads the bf16 cache; the Pallas decode
-kernel is single-token-only today).
+Attention runs the Pallas chunk kernel (`ops/chunk_attention.py`) by
+default on TPU: pos-bounded cache streaming (vs the XLA path's
+full-extent reads) and cache-resident tail tiles. `use_kernel=False`
+selects the XLA scatter+einsum path (always used off-TPU / GQA).
+
+Not supported: repetition/presence/frequency penalties (sequential
+count dependence breaks the parallel verify), cfg_interval, int8 KV
+(speculative decoding runs the bf16 cache; the int8 path stays on the
+single-token windowed kernel).
 """
 
 from __future__ import annotations

@@ -58,11 +58,13 @@ def main(model, draft, k, quant, self_w4=False):
     labels = jnp.asarray(np.arange(8) * 100 % 1000)
     base = 8.0 / BASELINE_S[model] if model in BASELINE_S else None
 
+    use_kernel = None if "--xla" not in sys.argv else False
+
     def run(seed, force):
         seq, rounds = generate_speculative(
             params, dparams, jax.random.PRNGKey(seed), labels, cfg=cfg,
             draft_cfg=dcfg, max_new_tokens=576, k=k, cfg_scale=2.0,
-            force_accept=force)
+            force_accept=force, use_kernel=use_kernel)
         return np.asarray(seq), int(rounds)
 
     for force in (None, 0, k // 2, k):
