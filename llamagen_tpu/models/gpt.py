@@ -64,18 +64,27 @@ def freqs_cis_2d(cfg: GPTConfig) -> jnp.ndarray:
         cfg.grid_size, cfg.head_dim, cfg.rope_base, cfg.cls_token_num))
 
 
-def apply_rope(x: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
-    """Interleaved-pair rotation in f32 (ref: gpt.py:420-430).
+def rope_heads(x: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
+    """Interleaved-pair rotation in f32 (ref: gpt.py:420-430), unified
+    over every decode/prefill layout.
 
-    x: [B, S, H, D]; freqs: [S, D//2, 2].
+    x: [..., H, D]; freqs: broadcastable to [..., D//2, 2] WITHOUT the
+    head axis (one is inserted just before the half dim). Serves
+    scalar-pos ([D//2, 2]), per-slot ([B, D//2, 2]), per-chunk
+    ([B, C, D//2, 2]) and full-sequence ([S, D//2, 2]) callers.
     """
     xf = x.astype(jnp.float32).reshape(*x.shape[:-1], -1, 2)
-    cos = freqs[None, :, None, :, 0]
-    sin = freqs[None, :, None, :, 1]
+    cos = freqs[..., None, :, 0]
+    sin = freqs[..., None, :, 1]
     real = xf[..., 0] * cos - xf[..., 1] * sin
     imag = xf[..., 1] * cos + xf[..., 0] * sin
     out = jnp.stack([real, imag], axis=-1).reshape(x.shape)
     return out.astype(x.dtype)
+
+
+def apply_rope(x: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
+    """Full-sequence RoPE: x [B, S, H, D]; freqs [S, D//2, 2]."""
+    return rope_heads(x, freqs)
 
 
 # ---------------------------------------------------------------------------
@@ -496,12 +505,175 @@ def prefill(params: Params, cfg: GPTConfig, cond: jnp.ndarray,
 
 def _rope_single(x: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
     """RoPE for a single position. x: [B, H, D]; freqs: [D//2, 2]."""
-    xf = x.astype(jnp.float32).reshape(*x.shape[:-1], -1, 2)
-    cos = freqs[None, None, :, 0]
-    sin = freqs[None, None, :, 1]
-    real = xf[..., 0] * cos - xf[..., 1] * sin
-    imag = xf[..., 1] * cos + xf[..., 0] * sin
-    return jnp.stack([real, imag], axis=-1).reshape(x.shape).astype(x.dtype)
+    return rope_heads(x, freqs)
+
+
+# ---------------------------------------------------------------------------
+# Shared cached-decode layer stack
+#
+# Every decode-with-cache path in the framework — gpt.decode_step /
+# decode_step_pallas, the serving engine's per-slot steps
+# (serve/engine.py), the TP local steps (parallel/tp_decode.py,
+# serve/tp_engine.py) and the speculative C-token verify
+# (ops/speculative.py) — shares ONE definition of the per-layer body
+# (rmsnorm -> wqkv -> attention -> wo -> rmsnorm -> SwiGLU) and the final
+# norm + output head. The paths differ ONLY in how attention updates and
+# reads the cache, which an `attend(l, p, qkv)` closure owns.
+# ---------------------------------------------------------------------------
+
+
+class CacheAccum:
+    """Per-layer cache state collected by attend closures during a
+    decode_stack pass: new kv buffers, int8 scales, recent windows."""
+
+    __slots__ = ("kv", "sc", "recent")
+
+    def __init__(self):
+        self.kv, self.sc, self.recent = [], [], []
+
+    def as_cache(self, quantized: bool) -> "KVCache":
+        return KVCache(kv=tuple(self.kv),
+                       kv_scale=tuple(self.sc) if quantized else None)
+
+
+def split_heads(qkv: jnp.ndarray, h_q: int, h_kv: int, head_dim: int):
+    """Fused projection [..., (h_q + 2*h_kv)*d] -> (q [..., h_q, d],
+    k [..., h_kv, d], v [..., h_kv*d] — v stays lane-flat: it is only
+    ever written to the cache or consumed flattened)."""
+    lead = qkv.shape[:-1]
+    qs, ks = h_q * head_dim, h_kv * head_dim
+    q = qkv[..., :qs].reshape(*lead, h_q, head_dim)
+    k = qkv[..., qs:qs + ks].reshape(*lead, h_kv, head_dim)
+    v = qkv[..., qs + ks:]
+    return q, k, v
+
+
+def decode_stack(params: Params, cfg: GPTConfig, h: jnp.ndarray, attend,
+                 tp_axis: Optional[str] = None) -> jnp.ndarray:
+    """The shared decode layer loop + final norm + output head.
+
+    h: [..., D] input embeddings, any leading shape ([B] single-token,
+    [B, C] chunk). Matmuls flatten to rank-2 so the quantized-weight
+    dispatch (`matmul_any`: bf16 / W8A16 / W4-kernel) applies on every
+    path. attend(l, p, qkv) -> [..., H_local*head_dim] owns the
+    split/rope/cache-update/attention specifics (see the attend factories
+    below). tp_axis: shard_map axis name — wo/w2 partial sums psum over
+    it and the vocab-parallel logits all-gather (Megatron-style decode
+    TP, parallel/tp_decode.py docstring). Returns f32 logits [..., V].
+    """
+    lead = h.shape[:-1]
+
+    def mm(p, key, x):
+        out = matmul_any(p, key, x.reshape(-1, x.shape[-1]))
+        return out.reshape(*lead, out.shape[-1])
+
+    def red(x):
+        return jax.lax.psum(x, tp_axis) if tp_axis is not None else x
+
+    for l in range(cfg.n_layer):
+        p = layer_params(params, l)
+        x = rms_norm(h, p["attention_norm"], cfg.norm_eps)
+        attn_out = attend(l, p, mm(p, "wqkv", x))
+        h = h + red(mm(p, "wo", attn_out.astype(x.dtype))).astype(h.dtype)
+        x = rms_norm(h, p["ffn_norm"], cfg.norm_eps)
+        ffn = jax.nn.silu(mm(p, "w1", x)) * mm(p, "w3", x)
+        h = h + red(mm(p, "w2", ffn)).astype(h.dtype)
+
+    h = rms_norm(h, params["norm"], cfg.norm_eps)
+    logits = mm(params, "output", h).astype(jnp.float32)
+    if tp_axis is not None:
+        logits = jax.lax.all_gather(logits, tp_axis,
+                                    axis=logits.ndim - 1, tiled=True)
+    return logits
+
+
+def attend_cache_xla(cfg: GPTConfig, cache: KVCache, pos: jnp.ndarray,
+                     mask: jnp.ndarray, freqs: jnp.ndarray,
+                     accum: CacheAccum,
+                     read_extent: Optional[int] = None):
+    """Single-token einsum attention over the dense cache.
+
+    Scalar `pos`: in-place dynamic_update_slice write + static
+    `read_extent`-bounded read (gpt.decode_step's fast path; a
+    read-before-write variant with a separate diagonal term measured
+    ~1.75x slower on GPT-L — XLA fuses update-then-read better).
+    Vector `pos` [B]: batched scatter write, full-extent read (the
+    serving engine's per-slot step). mask: bool, broadcastable to the
+    [B, H, extent] scores.
+    """
+    smax = cache.max_seq_len
+    extent = smax if read_extent is None else min(read_extent, smax)
+    scalar_pos = jnp.ndim(pos) == 0
+    rep = cfg.n_head // cfg.kv_heads
+    kv_size = cfg.kv_heads * cfg.head_dim
+    scale = cfg.head_dim ** -0.5
+
+    def attend(l, p, qkv):
+        b = qkv.shape[0]
+        q, k, v = split_heads(qkv, cfg.n_head, cfg.kv_heads, cfg.head_dim)
+        q = rope_heads(q, freqs)
+        k = rope_heads(k, freqs)
+        kv_new = jnp.concatenate(
+            [k.reshape(b, kv_size), v], axis=-1).astype(cache.kv[l].dtype)
+        if scalar_pos:
+            ckv = jax.lax.dynamic_update_slice(
+                cache.kv[l], kv_new[:, None, :], (0, pos, 0))
+        else:
+            ckv = cache.kv[l].at[jnp.arange(b), pos].set(kv_new)
+        accum.kv.append(ckv)
+        keys = ckv[:, :extent, :kv_size].reshape(b, extent, cfg.kv_heads,
+                                                 cfg.head_dim)
+        vals = ckv[:, :extent, kv_size:].reshape(b, extent, cfg.kv_heads,
+                                                 cfg.head_dim)
+        if rep != 1:
+            keys = jnp.repeat(keys, rep, axis=2)
+            vals = jnp.repeat(vals, rep, axis=2)
+        scores = jnp.einsum("bhd,bshd->bhs", q, keys.astype(q.dtype),
+                            preferred_element_type=jnp.float32) * scale
+        scores = jnp.where(mask, scores, jnp.float32(-1e30))
+        probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        attn = jnp.einsum("bhs,bshd->bhd", probs, vals.astype(q.dtype))
+        return attn.reshape(b, cfg.n_head * cfg.head_dim)
+
+    return attend
+
+
+def attend_cache_pallas(cfg: GPTConfig, cache: KVCache, recent,
+                        pos: jnp.ndarray, freqs: jnp.ndarray,
+                        accum: CacheAccum, *,
+                        prefix_pad: Optional[jnp.ndarray] = None,
+                        n_local_heads: Optional[int] = None,
+                        interpret: Optional[bool] = None):
+    """Single-token Pallas decode-attention (ops/attention.py): in-place
+    HBM cache (optionally int8 + scales), bf16 recent windows. Accepts
+    scalar or per-slot [B] positions. n_local_heads: per-chip head count
+    under TP shard_map (MHA only — asserted by the TP builders)."""
+    from llamagen_tpu.ops import attention as attn_lib
+
+    hn = n_local_heads if n_local_heads is not None else cfg.n_head
+    d_local = hn * cfg.head_dim
+
+    def attend(l, p, qkv):
+        b = qkv.shape[0]
+        q, k, v = split_heads(qkv, hn, hn, cfg.head_dim)
+        q = rope_heads(q, freqs).reshape(b, d_local)
+        k = rope_heads(k, freqs).reshape(b, d_local)
+        kv_new = jnp.concatenate([k, v], axis=-1)
+        if cache.quantized:
+            attn, ckv, csc, r = attn_lib.decode_attention(
+                q, kv_new, recent[l], cache.kv[l], pos, hn,
+                prefix_pad=prefix_pad, kv_scale=cache.kv_scale[l],
+                interpret=interpret)
+            accum.sc.append(csc)
+        else:
+            attn, ckv, r = attn_lib.decode_attention(
+                q, kv_new, recent[l], cache.kv[l], pos, hn,
+                prefix_pad=prefix_pad, interpret=interpret)
+        accum.kv.append(ckv)
+        accum.recent.append(r)
+        return attn
+
+    return attend
 
 
 def decode_step(params: Params, cfg: GPTConfig, token: jnp.ndarray,
@@ -517,69 +689,26 @@ def decode_step(params: Params, cfg: GPTConfig, token: jnp.ndarray,
       - `read_extent` (static) bounds how many cache slots the attention
         reads — the sampling loop passes a bucketed bound that grows with
         pos (128-step segments), trimming KV traffic.
-    (A read-before-write variant with a separate diagonal term measured
-    ~1.75x slower on GPT-L — XLA fuses the update-then-read pattern better;
-    see tools/perf notes.)
 
     token: [B] int32; pos: scalar int32 absolute position.
     prefix_allow: optional [B, Smax] bool — columns always allowed outside
     the condition prefix, emb-mask inside it (t2i).
     Returns (logits [B, vocab], new cache).
     """
-    b = token.shape[0]
     smax = cache.max_seq_len
     extent = smax if read_extent is None else min(read_extent, smax)
     h = params["tok_embeddings"][token].astype(compute_dtype)  # [B, D]
     freqs = jax.lax.dynamic_slice_in_dim(
         freqs_cis_2d(cfg), pos, 1, axis=0)[0]  # [D//2, 2]
-
     mask = (jnp.arange(extent) <= pos)[None, None, :]  # [1, 1, E]
     if prefix_allow is not None:
         mask = mask & prefix_allow[:, None, :extent]  # [B, 1, E]
-    scale = cfg.head_dim ** -0.5
-    rep = cfg.n_head // cfg.kv_heads
-    q_size = cfg.n_head * cfg.head_dim
-    kv_size = cfg.kv_heads * cfg.head_dim
 
-    new_kv = []
-    for l in range(cfg.n_layer):
-        p = layer_params(params, l)
-        x = rms_norm(h, p["attention_norm"], cfg.norm_eps)
-        qkv = matmul_any(p, "wqkv", x)
-        q = qkv[:, :q_size].reshape(b, cfg.n_head, cfg.head_dim)
-        k = qkv[:, q_size:q_size + kv_size].reshape(b, cfg.kv_heads,
-                                                    cfg.head_dim)
-        v = qkv[:, q_size + kv_size:].reshape(b, cfg.kv_heads, cfg.head_dim)
-        q = _rope_single(q, freqs)
-        k = _rope_single(k, freqs)
-
-        kv_new = jnp.concatenate(
-            [k.reshape(b, 1, kv_size), v.reshape(b, 1, kv_size)],
-            axis=-1).astype(cache.kv[l].dtype)
-        ckv = jax.lax.dynamic_update_slice(cache.kv[l], kv_new, (0, pos, 0))
-        new_kv.append(ckv)
-        keys = ckv[:, :extent, :kv_size].reshape(b, extent, cfg.kv_heads,
-                                                 cfg.head_dim)
-        vals = ckv[:, :extent, kv_size:].reshape(b, extent, cfg.kv_heads,
-                                                 cfg.head_dim)
-        if rep != 1:
-            keys = jnp.repeat(keys, rep, axis=2)
-            vals = jnp.repeat(vals, rep, axis=2)
-
-        scores = jnp.einsum("bhd,bshd->bhs", q, keys.astype(q.dtype),
-                            preferred_element_type=jnp.float32) * scale
-        scores = jnp.where(mask, scores, jnp.float32(-1e30))
-        probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-        attn = jnp.einsum("bhs,bshd->bhd", probs, vals.astype(q.dtype))
-        h = h + matmul_any(p, "wo", attn.reshape(b, cfg.dim)).astype(h.dtype)
-
-        x = rms_norm(h, p["ffn_norm"], cfg.norm_eps)
-        ffn = jax.nn.silu(matmul_any(p, "w1", x)) * matmul_any(p, "w3", x)
-        h = h + matmul_any(p, "w2", ffn)
-
-    h = rms_norm(h, params["norm"], cfg.norm_eps)
-    logits = matmul_any(params, "output", h).astype(jnp.float32)
-    return logits, KVCache(kv=tuple(new_kv))
+    acc = CacheAccum()
+    attend = attend_cache_xla(cfg, cache, pos, mask, freqs, acc,
+                              read_extent=read_extent)
+    logits = decode_stack(params, cfg, h, attend)
+    return logits, acc.as_cache(quantized=False)
 
 
 def decode_step_pallas(params: Params, cfg: GPTConfig, token: jnp.ndarray,
@@ -595,51 +724,16 @@ def decode_step_pallas(params: Params, cfg: GPTConfig, token: jnp.ndarray,
     Requires n_kv_head == n_head (true for the whole LlamaGen family) and a
     128-aligned cache length. Returns (logits, cache, recent).
     """
-    from llamagen_tpu.ops import attention as attn_lib
-
     assert cfg.kv_heads == cfg.n_head, "kernel path assumes MHA"
-    b = token.shape[0]
     h = params["tok_embeddings"][token].astype(compute_dtype)  # [B, D]
     freqs = jax.lax.dynamic_slice_in_dim(
         freqs_cis_2d(cfg), pos, 1, axis=0)[0]
-    q_size = cfg.n_head * cfg.head_dim
 
-    new_recent, new_kv, new_sc = [], [], []
-    for l in range(cfg.n_layer):
-        p = layer_params(params, l)
-        x = rms_norm(h, p["attention_norm"], cfg.norm_eps)
-        qkv = matmul_any(p, "wqkv", x)
-        q = qkv[:, :q_size].reshape(b, cfg.n_head, cfg.head_dim)
-        k = qkv[:, q_size:2 * q_size].reshape(b, cfg.n_head, cfg.head_dim)
-        v = qkv[:, 2 * q_size:]
-        q = _rope_single(q, freqs).reshape(b, q_size)
-        k = _rope_single(k, freqs).reshape(b, q_size)
-
-        kv_new = jnp.concatenate([k, v], axis=-1)
-        if cache.quantized:
-            attn, ckv, csc, r = attn_lib.decode_attention(
-                q.astype(compute_dtype), kv_new, recent[l], cache.kv[l],
-                pos, cfg.n_head, prefix_pad=prefix_pad,
-                kv_scale=cache.kv_scale[l], interpret=interpret)
-            new_sc.append(csc)
-        else:
-            attn, ckv, r = attn_lib.decode_attention(
-                q.astype(compute_dtype), kv_new, recent[l], cache.kv[l],
-                pos, cfg.n_head, prefix_pad=prefix_pad, interpret=interpret)
-        new_recent.append(r)
-        new_kv.append(ckv)
-        h = h + matmul_any(p, "wo", attn.astype(x.dtype)).astype(h.dtype)
-
-        x = rms_norm(h, p["ffn_norm"], cfg.norm_eps)
-        ffn = jax.nn.silu(matmul_any(p, "w1", x)) * matmul_any(p, "w3", x)
-        h = h + matmul_any(p, "w2", ffn)
-
-    h = rms_norm(h, params["norm"], cfg.norm_eps)
-    logits = matmul_any(params, "output", h).astype(jnp.float32)
-    new_cache = KVCache(
-        kv=tuple(new_kv),
-        kv_scale=tuple(new_sc) if cache.quantized else None)
-    return logits, new_cache, tuple(new_recent)
+    acc = CacheAccum()
+    attend = attend_cache_pallas(cfg, cache, recent, pos, freqs, acc,
+                                 prefix_pad=prefix_pad, interpret=interpret)
+    logits = decode_stack(params, cfg, h, attend)
+    return logits, acc.as_cache(cache.quantized), tuple(acc.recent)
 
 
 # ---------------------------------------------------------------------------

@@ -72,6 +72,70 @@ def warped_probs(logits: jnp.ndarray, temperature: float, top_k: int,
     return jax.nn.softmax(logits, axis=-1)
 
 
+def _attend_chunk_xla(cfg: GPTConfig, cache: gpt.KVCache,
+                      posj: jnp.ndarray, mask: jnp.ndarray,
+                      freqs: jnp.ndarray, accum: gpt.CacheAccum):
+    """C-token chunk einsum attention (XLA fallback): scatter the chunk's
+    K|V at (b, pos[b]+j), attend every query row over the full extent with
+    the per-row causal bound in `mask` [B, 1, C, S]."""
+    kv_size = cfg.kv_heads * cfg.head_dim
+    rep = cfg.n_head // cfg.kv_heads
+    scale = cfg.head_dim ** -0.5
+
+    def attend(l, p, qkv):
+        b, c = qkv.shape[:2]
+        smax = cache.max_seq_len
+        q, k, v = gpt.split_heads(qkv, cfg.n_head, cfg.kv_heads,
+                                  cfg.head_dim)
+        q = gpt.rope_heads(q, freqs)
+        k = gpt.rope_heads(k, freqs)
+        kv_new = jnp.concatenate(
+            [k.reshape(b, c, kv_size), v], axis=-1).astype(cache.kv[l].dtype)
+        ckv = cache.kv[l].at[jnp.arange(b)[:, None], posj].set(kv_new)
+        accum.kv.append(ckv)
+        keys = ckv[:, :, :kv_size].reshape(b, smax, cfg.kv_heads,
+                                           cfg.head_dim)
+        vals = ckv[:, :, kv_size:].reshape(b, smax, cfg.kv_heads,
+                                           cfg.head_dim)
+        if rep != 1:
+            keys = jnp.repeat(keys, rep, axis=2)
+            vals = jnp.repeat(vals, rep, axis=2)
+        scores = jnp.einsum("bchd,bshd->bhcs", q, keys.astype(q.dtype),
+                            preferred_element_type=jnp.float32) * scale
+        scores = jnp.where(mask, scores, jnp.float32(-1e30))
+        probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        attn = jnp.einsum("bhcs,bshd->bchd", probs, vals.astype(q.dtype))
+        return attn.reshape(b, c, cfg.n_head * cfg.head_dim)
+
+    return attend
+
+
+def _attend_chunk_pallas(cfg: GPTConfig, cache: gpt.KVCache,
+                         pos: jnp.ndarray, freqs: jnp.ndarray,
+                         accum: gpt.CacheAccum,
+                         prefix_pad: Optional[jnp.ndarray] = None):
+    """C-token chunk attention via the Pallas kernel
+    (ops/chunk_attention.py): pos-bounded cache streaming + aligned epoch
+    tile write-backs instead of the full-extent XLA read + scatter."""
+    from llamagen_tpu.ops.chunk_attention import chunk_decode_attention
+
+    q_size = cfg.n_head * cfg.head_dim
+
+    def attend(l, p, qkv):
+        b, c = qkv.shape[:2]
+        q, k, v = gpt.split_heads(qkv, cfg.n_head, cfg.n_head, cfg.head_dim)
+        q = gpt.rope_heads(q, freqs).reshape(b, c, q_size)
+        k = gpt.rope_heads(k, freqs).reshape(b, c, q_size)
+        kv_new = jnp.concatenate([k, v], axis=-1).astype(cache.kv[l].dtype)
+        attn, ckv = chunk_decode_attention(q, kv_new, cache.kv[l], pos,
+                                           cfg.n_head,
+                                           prefix_pad=prefix_pad)
+        accum.kv.append(ckv)
+        return attn
+
+    return attend
+
+
 def verify_step_slots(params, cfg: GPTConfig, toks: jnp.ndarray,
                       pos: jnp.ndarray, cache: gpt.KVCache,
                       compute_dtype=jnp.bfloat16,
@@ -85,99 +149,37 @@ def verify_step_slots(params, cfg: GPTConfig, toks: jnp.ndarray,
 
     Same math as `gpt.decode_step` per position — causal within the chunk
     via the per-row position bound (update-then-read: the chunk's own K/V
-    are scattered into the cache before attending, so row j sees rows
-    0..pos+j including this chunk's prefix).
+    land in the cache before attending, so row j sees rows 0..pos+j
+    including this chunk's prefix). The layer body is gpt.decode_stack
+    ([B, C] lead shape: matmuls run at [B*C, D], so the W8A16/W4
+    quantized-weight dispatch applies unchanged).
 
     use_kernel: route attention through the Pallas chunk kernel
-    (ops/chunk_attention.py) — pos-bounded cache streaming + aligned
-    tile write-backs instead of the full-extent XLA read + scatter.
+    (ops/chunk_attention.py).
     """
     b, c = toks.shape
-    smax = cache.max_seq_len
     h = params["tok_embeddings"][toks].astype(compute_dtype)  # [B, C, D]
     posj = pos[:, None] + jnp.arange(c)[None, :]              # [B, C]
     freqs = gpt.freqs_cis_2d(cfg)[posj]                       # [B,C,half,2]
-    bids = jnp.arange(b)
 
-    scale = cfg.head_dim ** -0.5
-    rep = cfg.n_head // cfg.kv_heads
-    q_size = cfg.n_head * cfg.head_dim
-    kv_size = cfg.kv_heads * cfg.head_dim
+    acc = gpt.CacheAccum()
     if use_kernel:
-        assert cfg.kv_heads == cfg.n_head and q_size % 128 == 0, \
+        assert cfg.kv_heads == cfg.n_head \
+            and (cfg.n_head * cfg.head_dim) % 128 == 0, \
             "chunk kernel requires MHA with 128-aligned features"
-        mask = None
+        attend = _attend_chunk_pallas(cfg, cache, pos, freqs, acc,
+                                      prefix_pad=prefix_pad)
     else:
+        smax = cache.max_seq_len
         # [B, 1, C, S]: query row j attends columns <= pos[b]+j
         mask = (jnp.arange(smax)[None, None, None, :]
                 <= posj[:, None, :, None])
         if prefix_pad is not None:
             mask = mask & (jnp.arange(smax)[None, None, None, :]
                            >= prefix_pad[:, None, None, None])
-
-    def rope(x):
-        # x: [B, C, H, Dh]; freqs: [B, C, half, 2]
-        xf = x.astype(jnp.float32).reshape(*x.shape[:-1], -1, 2)
-        cos = freqs[:, :, None, :, 0]
-        sin = freqs[:, :, None, :, 1]
-        real = xf[..., 0] * cos - xf[..., 1] * sin
-        imag = xf[..., 1] * cos + xf[..., 0] * sin
-        return jnp.stack([real, imag], -1).reshape(x.shape).astype(x.dtype)
-
-    def mm(p, key, x3):
-        # rank-2 reshape so the quantized (W8A16/W4) kernels dispatch
-        return matmul_any(p, key, x3.reshape(b * c, -1)).reshape(b, c, -1)
-
-    new_kv = []
-    for l in range(cfg.n_layer):
-        p = gpt.layer_params(params, l)
-        x = gpt.rms_norm(h, p["attention_norm"], cfg.norm_eps)
-        qkv = mm(p, "wqkv", x)
-        q = rope(qkv[..., :q_size].reshape(b, c, cfg.n_head, cfg.head_dim))
-        k = rope(qkv[..., q_size:q_size + kv_size]
-                 .reshape(b, c, cfg.kv_heads, cfg.head_dim))
-        v = qkv[..., q_size + kv_size:].reshape(b, c, cfg.kv_heads,
-                                                cfg.head_dim)
-        kv_new = jnp.concatenate(
-            [k.reshape(b, c, kv_size), v.reshape(b, c, kv_size)],
-            axis=-1).astype(cache.kv[l].dtype)
-        if use_kernel:
-            from llamagen_tpu.ops.chunk_attention import \
-                chunk_decode_attention
-
-            attn_flat, ckv = chunk_decode_attention(
-                q.reshape(b, c, q_size), kv_new, cache.kv[l], pos,
-                cfg.n_head, prefix_pad=prefix_pad)
-            new_kv.append(ckv)
-            attn_out = attn_flat.astype(h.dtype)
-        else:
-            ckv = cache.kv[l].at[bids[:, None], posj].set(kv_new)
-            new_kv.append(ckv)
-            keys = ckv[:, :, :kv_size].reshape(b, smax, cfg.kv_heads,
-                                               cfg.head_dim)
-            vals = ckv[:, :, kv_size:].reshape(b, smax, cfg.kv_heads,
-                                               cfg.head_dim)
-            if rep != 1:
-                keys = jnp.repeat(keys, rep, axis=2)
-                vals = jnp.repeat(vals, rep, axis=2)
-            scores = jnp.einsum("bchd,bshd->bhcs", q,
-                                keys.astype(q.dtype),
-                                preferred_element_type=jnp.float32) * scale
-            scores = jnp.where(mask, scores, jnp.float32(-1e30))
-            probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-            attn = jnp.einsum("bhcs,bshd->bchd", probs,
-                              vals.astype(q.dtype))
-            attn_out = attn.reshape(b, c, q_size)
-        h = h + mm(p, "wo", attn_out).astype(h.dtype)
-        x = gpt.rms_norm(h, p["ffn_norm"], cfg.norm_eps)
-        x2 = x.reshape(b * c, -1)
-        ffn = jax.nn.silu(matmul_any(p, "w1", x2)) * matmul_any(p, "w3", x2)
-        h = h + matmul_any(p, "w2", ffn).reshape(b, c, -1).astype(h.dtype)
-
-    h = gpt.rms_norm(h, params["norm"], cfg.norm_eps)
-    logits = matmul_any(params, "output", h.reshape(b * c, -1)) \
-        .reshape(b, c, -1).astype(jnp.float32)
-    return logits, gpt.KVCache(kv=tuple(new_kv))
+        attend = _attend_chunk_xla(cfg, cache, posj, mask, freqs, acc)
+    logits = gpt.decode_stack(params, cfg, h, attend)
+    return logits, acc.as_cache(quantized=False)
 
 
 def spec_accept(rng: jax.Array, proposals: jnp.ndarray,
@@ -288,8 +290,11 @@ def generate_speculative(params, draft_params, rng: jax.Array,
     # verify may write k rows past the last committed slot; the chunk
     # kernel additionally writes back full aligned epoch tiles (up to
     # 2*RECENT rows past the boundary) — keep all of it inside the
-    # buffer so no write ever lands on live rows
-    max_seq = find_multiple(t + max_new_tokens + c + 16, 8)
+    # buffer so no write ever lands on live rows. The kernel streams the
+    # cache in BLOCK_S-row blocks, so its cache length must divide by
+    # min(BLOCK_S, smax) (chunk_decode_attention asserts this).
+    max_seq = find_multiple(t + max_new_tokens + c + 16,
+                            128 if use_kernel else 8)
 
     from llamagen_tpu.serve.engine import _decode_step_slots
 

@@ -109,44 +109,19 @@ def make_tp_decode_step(cfg: GPTConfig, mesh: Mesh, ntp: int,
     def local_step(params, token, pos, cache_kv, recent):
         params = squeeze_tp_w4(params)
         # runs per-chip on local shards; params['layers']['wqkv'] shard is
-        # [L, D, 3*h_local*head_dim] laid out q|k|v of the LOCAL heads
-        from llamagen_tpu.ops import attention as attn_lib
-
-        b = token.shape[0]
-        d_local = h_local * cfg.head_dim
+        # [L, D, 3*h_local*head_dim] laid out q|k|v of the LOCAL heads;
+        # gpt.decode_stack handles the row-parallel psums + vocab-parallel
+        # logits all-gather via tp_axis
         h = params["tok_embeddings"][token].astype(compute_dtype)
         freqs = jax.lax.dynamic_slice_in_dim(
             gpt.freqs_cis_2d(cfg), pos, 1, axis=0)[0]
-        new_ckv, new_r = [], []
-        for l in range(cfg.n_layer):
-            p = gpt.layer_params(params, l)
-            x = gpt.rms_norm(h, p["attention_norm"], cfg.norm_eps)
-            qkv = matmul_any(p, "wqkv", x)  # [B, 3*d_local]
-            q = qkv[:, :d_local].reshape(b, h_local, cfg.head_dim)
-            k = qkv[:, d_local:2 * d_local].reshape(b, h_local, cfg.head_dim)
-            v = qkv[:, 2 * d_local:]
-            q = gpt._rope_single(q, freqs).reshape(b, d_local)
-            k = gpt._rope_single(k, freqs).reshape(b, d_local)
 
-            kv_new = jnp.concatenate([k, v], axis=-1)
-            attn, ckv, r = attn_lib.decode_attention(
-                q.astype(compute_dtype), kv_new, recent[l], cache_kv[l],
-                pos, h_local)
-            new_ckv.append(ckv)
-            new_r.append(r)
-            # row-parallel wo: partial sums reduced over tp
-            part = matmul_any(p, "wo", attn.astype(x.dtype))
-            h = h + jax.lax.psum(part, "tp")
-
-            x = gpt.rms_norm(h, p["ffn_norm"], cfg.norm_eps)
-            ffn = jax.nn.silu(matmul_any(p, "w1", x)) * matmul_any(p, "w3", x)
-            h = h + jax.lax.psum(matmul_any(p, "w2", ffn), "tp")
-
-        h = gpt.rms_norm(h, params["norm"], cfg.norm_eps)
-        logits_local = (h @ params["output"].astype(h.dtype)
-                        ).astype(jnp.float32)  # [B, V/ntp]
-        logits = jax.lax.all_gather(logits_local, "tp", axis=1, tiled=True)
-        return logits, tuple(new_ckv), tuple(new_r)
+        acc = gpt.CacheAccum()
+        attend = gpt.attend_cache_pallas(
+            cfg, gpt.KVCache(kv=cache_kv), recent, pos, freqs, acc,
+            n_local_heads=h_local)
+        logits = gpt.decode_stack(params, cfg, h, attend, tp_axis="tp")
+        return logits, tuple(acc.kv), tuple(acc.recent)
 
     pspec = (param_specs if param_specs is not None
              else tp_param_specs(cfg, quantized=quantized_weights))

@@ -139,69 +139,22 @@ def _decode_step_slots(params, cfg: GPTConfig, emb: jnp.ndarray,
     """One decode step with per-slot positions.
 
     emb: [B, D] input embeddings (token or condition); pos: [B] positions.
-    Returns (logits [B, vocab], new cache). Same layer loop as
-    gpt.decode_step but cache writes are batched scatters at (b, pos[b]).
+    Returns (logits [B, vocab], new cache). gpt.decode_stack with batched
+    scatter cache writes at (b, pos[b]).
     """
-    b = emb.shape[0]
     smax = cache.max_seq_len
     h = emb.astype(compute_dtype)
     freqs = gpt.freqs_cis_2d(cfg)[pos]  # [B, D//2, 2]
-    batch_ids = jnp.arange(b)
-
     mask = jnp.arange(smax)[None, None, :] <= pos[:, None, None]  # [B,1,S]
     if prefix_pad is not None:
         # t2i left-padded caption prefix: positions < pad are masked
         mask = mask & (jnp.arange(smax)[None, None, :]
                        >= prefix_pad[:, None, None])
-    scale = cfg.head_dim ** -0.5
-    rep = cfg.n_head // cfg.kv_heads
-    q_size = cfg.n_head * cfg.head_dim
-    kv_size = cfg.kv_heads * cfg.head_dim
 
-    def rope(x):
-        # x: [B, H, D]; freqs: [B, D//2, 2]
-        xf = x.astype(jnp.float32).reshape(*x.shape[:-1], -1, 2)
-        cos = freqs[:, None, :, 0]
-        sin = freqs[:, None, :, 1]
-        real = xf[..., 0] * cos - xf[..., 1] * sin
-        imag = xf[..., 1] * cos + xf[..., 0] * sin
-        return jnp.stack([real, imag], -1).reshape(x.shape).astype(x.dtype)
-
-    new_kv = []
-    for l in range(cfg.n_layer):
-        p = gpt.layer_params(params, l)
-        x = gpt.rms_norm(h, p["attention_norm"], cfg.norm_eps)
-        qkv = matmul_any(p, "wqkv", x)
-        q = rope(qkv[:, :q_size].reshape(b, cfg.n_head, cfg.head_dim))
-        k = rope(qkv[:, q_size:q_size + kv_size].reshape(b, cfg.kv_heads,
-                                                         cfg.head_dim))
-        v = qkv[:, q_size + kv_size:].reshape(b, cfg.kv_heads, cfg.head_dim)
-
-        kv_new = jnp.concatenate(
-            [k.reshape(b, kv_size), v.reshape(b, kv_size)],
-            axis=-1).astype(cache.kv[l].dtype)
-        ckv = cache.kv[l].at[batch_ids, pos].set(kv_new)
-        new_kv.append(ckv)
-        keys = ckv[:, :, :kv_size].reshape(b, smax, cfg.kv_heads,
-                                           cfg.head_dim)
-        vals = ckv[:, :, kv_size:].reshape(b, smax, cfg.kv_heads,
-                                           cfg.head_dim)
-        if rep != 1:
-            keys = jnp.repeat(keys, rep, axis=2)
-            vals = jnp.repeat(vals, rep, axis=2)
-        scores = jnp.einsum("bhd,bshd->bhs", q, keys.astype(q.dtype),
-                            preferred_element_type=jnp.float32) * scale
-        scores = jnp.where(mask, scores, jnp.float32(-1e30))
-        probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-        attn = jnp.einsum("bhs,bshd->bhd", probs, vals.astype(q.dtype))
-        h = h + matmul_any(p, "wo", attn.reshape(b, cfg.dim)).astype(h.dtype)
-        x = gpt.rms_norm(h, p["ffn_norm"], cfg.norm_eps)
-        ffn = jax.nn.silu(matmul_any(p, "w1", x)) * matmul_any(p, "w3", x)
-        h = h + matmul_any(p, "w2", ffn)
-
-    h = gpt.rms_norm(h, params["norm"], cfg.norm_eps)
-    logits = matmul_any(params, "output", h).astype(jnp.float32)
-    return logits, gpt.KVCache(kv=tuple(new_kv))
+    acc = gpt.CacheAccum()
+    attend = gpt.attend_cache_xla(cfg, cache, pos, mask, freqs, acc)
+    logits = gpt.decode_stack(params, cfg, h, attend)
+    return logits, acc.as_cache(quantized=False)
 
 
 def _decode_step_slots_pallas(params, cfg: GPTConfig, emb: jnp.ndarray,
@@ -209,57 +162,14 @@ def _decode_step_slots_pallas(params, cfg: GPTConfig, emb: jnp.ndarray,
                               recent, compute_dtype=jnp.bfloat16,
                               prefix_pad: Optional[jnp.ndarray] = None):
     """Kernel-path slot decode: per-slot positions, in-place HBM cache."""
-    from llamagen_tpu.ops import attention as attn_lib
-
-    b = emb.shape[0]
     h = emb.astype(compute_dtype)
     freqs = gpt.freqs_cis_2d(cfg)[pos]  # [B, D//2, 2]
-    q_size = cfg.n_head * cfg.head_dim
 
-    def rope(x):
-        xf = x.astype(jnp.float32).reshape(*x.shape[:-1], -1, 2)
-        cos = freqs[:, None, :, 0]
-        sin = freqs[:, None, :, 1]
-        real = xf[..., 0] * cos - xf[..., 1] * sin
-        imag = xf[..., 1] * cos + xf[..., 0] * sin
-        return jnp.stack([real, imag], -1).reshape(x.shape).astype(x.dtype)
-
-    new_recent, new_kv, new_sc = [], [], []
-    for l in range(cfg.n_layer):
-        p = gpt.layer_params(params, l)
-        x = gpt.rms_norm(h, p["attention_norm"], cfg.norm_eps)
-        qkv = matmul_any(p, "wqkv", x)
-        q = rope(qkv[:, :q_size].reshape(b, cfg.n_head, cfg.head_dim)
-                 ).reshape(b, q_size)
-        k = rope(qkv[:, q_size:2 * q_size].reshape(b, cfg.n_head,
-                                                   cfg.head_dim)
-                 ).reshape(b, q_size)
-        v = qkv[:, 2 * q_size:]
-
-        kv_new = jnp.concatenate([k, v], axis=-1)
-        if cache.quantized:
-            attn, ckv, csc, r = attn_lib.decode_attention(
-                q.astype(compute_dtype), kv_new, recent[l], cache.kv[l],
-                pos, cfg.n_head, prefix_pad=prefix_pad,
-                kv_scale=cache.kv_scale[l])
-            new_sc.append(csc)
-        else:
-            attn, ckv, r = attn_lib.decode_attention(
-                q.astype(compute_dtype), kv_new, recent[l], cache.kv[l],
-                pos, cfg.n_head, prefix_pad=prefix_pad)
-        new_recent.append(r)
-        new_kv.append(ckv)
-        h = h + matmul_any(p, "wo", attn.astype(x.dtype)).astype(h.dtype)
-        x = gpt.rms_norm(h, p["ffn_norm"], cfg.norm_eps)
-        ffn = jax.nn.silu(matmul_any(p, "w1", x)) * matmul_any(p, "w3", x)
-        h = h + matmul_any(p, "w2", ffn)
-
-    h = gpt.rms_norm(h, params["norm"], cfg.norm_eps)
-    logits = matmul_any(params, "output", h).astype(jnp.float32)
-    new_cache = gpt.KVCache(
-        kv=tuple(new_kv),
-        kv_scale=tuple(new_sc) if cache.quantized else None)
-    return logits, new_cache, tuple(new_recent)
+    acc = gpt.CacheAccum()
+    attend = gpt.attend_cache_pallas(cfg, cache, recent, pos, freqs, acc,
+                                     prefix_pad=prefix_pad)
+    logits = gpt.decode_stack(params, cfg, h, attend)
+    return logits, acc.as_cache(cache.quantized), tuple(acc.recent)
 
 
 def make_engine_step(params, cfg: GPTConfig, max_new_tokens: int,

@@ -124,67 +124,21 @@ def _local_decode_step(params, cfg: GPTConfig, h_local: int,
                        cache: gpt.KVCache, recent, compute_dtype,
                        prefix_pad: Optional[jnp.ndarray] = None):
     """Per-chip slot decode: local heads through the Pallas kernel,
-    row-parallel reductions over `tp` (parallel/tp_decode.py:77-117 with
+    row-parallel reductions over `tp` (gpt.decode_stack with tp_axis;
     per-slot positions and optional int8 cache); matmul_any transparently
     dequantizes W8A16 or pre-sharded W4 layer-weight shards."""
-    from llamagen_tpu.ops import attention as attn_lib
-    from llamagen_tpu.ops.quant_matmul import matmul_any
     from llamagen_tpu.parallel.tp_decode import squeeze_tp_w4
 
     params = squeeze_tp_w4(params)
-
-    b = emb.shape[0]
-    d_local = h_local * cfg.head_dim
     h = emb.astype(compute_dtype)
     freqs = gpt.freqs_cis_2d(cfg)[pos]  # [B, head_dim//2, 2]
 
-    def rope(x):  # x: [B, H_local, head_dim]
-        xf = x.astype(jnp.float32).reshape(*x.shape[:-1], -1, 2)
-        cos = freqs[:, None, :, 0]
-        sin = freqs[:, None, :, 1]
-        real = xf[..., 0] * cos - xf[..., 1] * sin
-        imag = xf[..., 1] * cos + xf[..., 0] * sin
-        return jnp.stack([real, imag], -1).reshape(x.shape).astype(x.dtype)
-
-    new_kv, new_sc, new_r = [], [], []
-    for l in range(cfg.n_layer):
-        p = gpt.layer_params(params, l)
-        x = gpt.rms_norm(h, p["attention_norm"], cfg.norm_eps)
-        qkv = matmul_any(p, "wqkv", x)  # [B, 3*d_local] (head-major)
-        q = rope(qkv[:, :d_local].reshape(b, h_local, cfg.head_dim)
-                 ).reshape(b, d_local)
-        k = rope(qkv[:, d_local:2 * d_local].reshape(b, h_local,
-                                                     cfg.head_dim)
-                 ).reshape(b, d_local)
-        v = qkv[:, 2 * d_local:]
-
-        kv_new = jnp.concatenate([k, v], axis=-1)
-        if cache.quantized:
-            attn, ckv, csc, r = attn_lib.decode_attention(
-                q.astype(compute_dtype), kv_new, recent[l], cache.kv[l],
-                pos, h_local, prefix_pad=prefix_pad,
-                kv_scale=cache.kv_scale[l])
-            new_sc.append(csc)
-        else:
-            attn, ckv, r = attn_lib.decode_attention(
-                q.astype(compute_dtype), kv_new, recent[l], cache.kv[l],
-                pos, h_local, prefix_pad=prefix_pad)
-        new_kv.append(ckv)
-        new_r.append(r)
-        part = matmul_any(p, "wo", attn.astype(x.dtype))
-        h = h + jax.lax.psum(part, "tp").astype(h.dtype)
-
-        x = gpt.rms_norm(h, p["ffn_norm"], cfg.norm_eps)
-        ffn = jax.nn.silu(matmul_any(p, "w1", x)) * matmul_any(p, "w3", x)
-        h = h + jax.lax.psum(matmul_any(p, "w2", ffn), "tp").astype(h.dtype)
-
-    h = gpt.rms_norm(h, params["norm"], cfg.norm_eps)
-    logits_local = (h @ params["output"].astype(h.dtype)
-                    ).astype(jnp.float32)  # [B, V/ntp]
-    logits = jax.lax.all_gather(logits_local, "tp", axis=1, tiled=True)
-    cache = gpt.KVCache(kv=tuple(new_kv),
-                        kv_scale=tuple(new_sc) if cache.quantized else None)
-    return logits, cache, tuple(new_r)
+    acc = gpt.CacheAccum()
+    attend = gpt.attend_cache_pallas(cfg, cache, recent, pos, freqs, acc,
+                                     prefix_pad=prefix_pad,
+                                     n_local_heads=h_local)
+    logits = gpt.decode_stack(params, cfg, h, attend, tp_axis="tp")
+    return logits, acc.as_cache(cache.quantized), tuple(acc.recent)
 
 
 def make_tp_engine_step(cfg: GPTConfig,
