@@ -35,9 +35,26 @@ def build_cfg_batch(params, cfg: GPTConfig, cond: jnp.ndarray,
     return jnp.concatenate([cond, null], axis=0)
 
 
-def _kernel_supported(cfg: GPTConfig) -> bool:
-    return (cfg.kv_heads == cfg.n_head
-            and (cfg.n_head * cfg.head_dim) % 128 == 0)
+def _kernel_supported(cfg: GPTConfig, *, warn: bool = True) -> bool:
+    """Whether the Pallas decode-attention kernel handles this geometry.
+
+    MHA-only by design: the released LlamaGen zoo is entirely MHA
+    (ref gpt.py:229-230 supports GQA but no released config uses it), so
+    the kernel's [F, H] segment-mask contraction assumes kv_heads ==
+    n_head. GQA models fall back to the XLA decode path — loudly, so
+    nobody ships a silently-slow serving config (PARITY.md "known gaps").
+    """
+    ok = (cfg.kv_heads == cfg.n_head
+          and (cfg.n_head * cfg.head_dim) % 128 == 0)
+    if not ok and warn:
+        import warnings
+        reason = ("GQA (kv_heads != n_head)" if cfg.kv_heads != cfg.n_head
+                  else f"F={cfg.n_head * cfg.head_dim} not 128-aligned")
+        warnings.warn(
+            f"Pallas decode-attention kernel unsupported for this config "
+            f"({reason}); falling back to the XLA decode path "
+            f"(~3x slower per step at GPT-L scale).", stacklevel=2)
+    return ok
 
 
 @functools.partial(

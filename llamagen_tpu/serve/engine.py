@@ -454,7 +454,8 @@ class Request:
     sp: Optional[SamplingParams] = None      # per-request override
     result: Optional[np.ndarray] = None
     submitted_at: float = field(default_factory=time.time)
-    first_token_at: Optional[float] = None   # TTFT (chunk-granular)
+    admitted_at: Optional[float] = None      # host time of admission dispatch
+    first_token_at: Optional[float] = None   # TTFT (sub-chunk, see _harvest)
     finished_at: Optional[float] = None
 
 
@@ -678,6 +679,11 @@ class ServeEngine:
         busy = self._slot_remaining > 0
         n_steps = int(min(self._slot_remaining[busy].min(), self.chunk)) \
             if busy.any() else self.chunk
+        now = time.time()
+        for req in newly_admitted:
+            # host time of the admission dispatch; _harvest interpolates the
+            # actual first-token time from the measured per-step rate
+            req.admitted_at = now
         self.state = self.step_fn(
             self._params, self.state, jnp.asarray(admit_mask),
             jnp.asarray(admit_labels),
@@ -686,11 +692,6 @@ class ServeEngine:
             jnp.int32(n_steps))
         self._slot_remaining = np.maximum(
             self._slot_remaining - (self._slot_remaining > 0) * n_steps, 0)
-        now = time.time()
-        for req in newly_admitted:
-            # first token lands within the admission chunk (chunk-granular
-            # TTFT, the finest the compiled-chunk design observes)
-            req.first_token_at = now
 
     def _harvest(self):
         if not any(self.slot_request):
@@ -706,7 +707,21 @@ class ServeEngine:
                 req.result = tokens[i].copy()
                 req.finished_at = time.time()
                 self._latencies.append(req.finished_at - req.submitted_at)
-                if req.first_token_at is not None:
+                if req.admitted_at is not None:
+                    # sub-chunk TTFT: the only true wall-clock observations
+                    # are the admission dispatch and the harvest sync, so
+                    # interpolate the first-token time at the measured
+                    # per-step rate. c2i samples its first token on step 1
+                    # of the admission chunk (`n_steps` known to the host);
+                    # t2i samples it in the admission prefill (~one step).
+                    # Error <= 1 step, vs <= 1 chunk before (vLLM StatLogger
+                    # records per-step, llm_engine.py:588-659).
+                    steps = self.max_new_tokens \
+                        if self.cfg.model_type == "c2i" \
+                        else self.max_new_tokens - 1
+                    per_step = (req.finished_at - req.admitted_at) \
+                        / max(steps, 1)
+                    req.first_token_at = req.admitted_at + per_step
                     self._ttfts.append(req.first_token_at - req.submitted_at)
                 self._completed += 1
                 self.slot_request[i] = None
@@ -744,7 +759,8 @@ class ServeEngine:
         ttft = np.asarray(self._ttfts) if self._ttfts else None
         elapsed = max(time.time() - self._started, 1e-9)
         # TPOT (time per output token after the first), vLLM StatLogger
-        # parity (llm_engine.py:588-659); chunk-granular like TTFT
+        # parity (llm_engine.py:588-659); TTFT is step-granular (see
+        # _harvest interpolation), so TPOT inherits <=1-step error
         tpot = None
         if lat is not None and ttft is not None and len(lat) == len(ttft) \
                 and self.max_new_tokens > 1:

@@ -321,3 +321,47 @@ def test_sample_t2i_fid_and_evaluate_t2i_cli(tmp_path):
     evaluate_t2i.main(["--result", os.path.join(sample_dir, "result.jsonl"),
                        "--ref-batch", ref, "--batch-size", "2"])
     assert os.path.exists(os.path.join(sample_dir, "result_eval.txt"))
+
+
+def test_validate_release_runbook(tmp_path, capsys):
+    """Drives `tools validate-release` end-to-end on synthetic stand-in
+    "released" checkpoints saved in the reference's .pt dict layout,
+    INCLUDING the torch oracle gate — so the day real weights land, the
+    validated command path already exists (VERDICT r3 item 7). A tiny
+    GPT config stands in for the zoo names (same code path); the VQ is
+    the real VQ-16 architecture."""
+    torch = pytest.importorskip("torch")
+    conftest.add_reference_to_path()
+    from autoregressive.models.gpt import GPT_models, ModelArgs, Transformer
+    from tokenizer.tokenizer_image.vq_model import VQ_models
+
+    from llamagen_tpu.cli import tools
+
+    GPT_models["GPT-nano"] = lambda **kw: Transformer(
+        ModelArgs(dim=128, n_layer=2, n_head=2, **kw))
+    torch.manual_seed(0)
+    latent = 32 // 16
+    ref_gpt = GPT_models["GPT-nano"](
+        vocab_size=16384, block_size=latent * latent, num_classes=1000,
+        cls_token_num=1, model_type="c2i")
+    torch.nn.init.normal_(ref_gpt.output.weight, std=0.02)
+    gpt_pt = str(tmp_path / "c2i_nano_32.pt")
+    torch.save({"model": ref_gpt.state_dict()}, gpt_pt)
+
+    torch.manual_seed(1)
+    ref_vq = VQ_models["VQ-16"]()
+    vq_pt = str(tmp_path / "vq_ds16_c2i.pt")
+    torch.save({"model": ref_vq.state_dict()}, vq_pt)
+
+    out = str(tmp_path / "release")
+    tools.main(["validate-release", "--gpt-pt", gpt_pt, "--vq-pt", vq_pt,
+                "--out", out, "--gpt-model", "GPT-nano",
+                "--image-size", "32", "--oracle-tokens", "4",
+                "--classes", "1,2,3,4"])
+    text = capsys.readouterr().out
+    assert "[2/4 oracle ] PASS" in text, text   # the gate actually ran
+    assert os.path.exists(os.path.join(out, "sample_grid.png"))
+    # converted dirs restore into the normal loaders
+    from llamagen_tpu.cli.common import load_gpt, load_vq
+    load_gpt(os.path.join(out, "gpt"), "GPT-nano", 32, 16)
+    load_vq(os.path.join(out, "vq"), "VQ-16")
