@@ -1,5 +1,7 @@
-"""t2i serving-engine throughput bench (not pytest): GPT-XL 256px,
-120-token caption prefill at admission, int8 KV (+ optional int8 weights).
+"""t2i serving-engine throughput bench (not pytest): GPT-XL 256px or
+512px (--image-size 512: grid-32, seq 120+1024=1144 -> kernel cache 1152,
+the released stage-2 geometry, ref README.md:91), 120-token caption
+prefill at admission, int8 KV (+ optional int8 weights).
 
 No reference baseline exists (the reference serves c2i only); this records
 absolute throughput of the t2i serving path.
@@ -15,13 +17,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(int8_weights=True, w4k=None):
+def main(int8_weights=True, w4k=None, image_size=256, n_req=24, pairs=8):
     from llamagen_tpu.config import gpt_config
     from llamagen_tpu.models import gpt
     from llamagen_tpu.ops.quant_matmul import quantize_gpt_params
     from llamagen_tpu.serve.engine import SamplingParams, ServeEngine
 
-    cfg = gpt_config("GPT-XL", block_size=256, cls_token_num=120,
+    grid = image_size // 16
+    cfg = gpt_config("GPT-XL", block_size=grid * grid, cls_token_num=120,
                      model_type="t2i", caption_dim=2048)
     params = gpt.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     if w4k:
@@ -30,7 +33,6 @@ def main(int8_weights=True, w4k=None):
     elif int8_weights:
         params = quantize_gpt_params(params)
 
-    n_req = 24
     rng = np.random.RandomState(0)
     caps = rng.randn(n_req, 120, 2048).astype(np.float32)
     masks = np.ones((n_req, 120), np.int32)
@@ -39,7 +41,8 @@ def main(int8_weights=True, w4k=None):
         masks[i, :pad] = 0
         caps[i, :pad] = 0
 
-    eng = ServeEngine(params, cfg, num_pairs=8, max_new_tokens=256,
+    eng = ServeEngine(params, cfg, num_pairs=pairs,
+                      max_new_tokens=cfg.block_size,
                       sampling_params=SamplingParams(cfg_scale=7.5),
                       chunk=64, compute_dtype=jnp.bfloat16,
                       cache_dtype=jnp.int8, use_kernel=True)
@@ -49,12 +52,17 @@ def main(int8_weights=True, w4k=None):
     out = eng.generate_t2i(caps, masks)
     dt = time.time() - t0
     tag = f"+w4k-{w4k}" if w4k else ("+int8w" if int8_weights else "")
-    print(f"t2i engine GPT-XL 256 (120-tok captions, int8kv{tag}): "
+    print(f"t2i engine GPT-XL {image_size} (120-tok captions, "
+          f"int8kv{tag}, {pairs} pairs): "
           f"{n_req} reqs in {dt:.2f}s = {n_req / dt:.3f} img/s")
-    assert out.shape == (n_req, 256)
+    assert out.shape == (n_req, cfg.block_size)
 
 
 if __name__ == "__main__":
-    w4k = ("pc" if "--w4k-pc" in sys.argv
-           else ("g" if "--w4k" in sys.argv else None))
-    main(int8_weights=not ("--bf16" in sys.argv), w4k=w4k)
+    a = sys.argv[1:]
+    w4k = ("pc" if "--w4k-pc" in a else ("g" if "--w4k" in a else None))
+    size = int(a[a.index("--image-size") + 1]) if "--image-size" in a else 256
+    n_req = int(a[a.index("--reqs") + 1]) if "--reqs" in a else 24
+    pairs = int(a[a.index("--pairs") + 1]) if "--pairs" in a else 8
+    main(int8_weights=not ("--bf16" in a), w4k=w4k, image_size=size,
+         n_req=n_req, pairs=pairs)
