@@ -61,10 +61,16 @@ SEG_ROWS = 128  # group-scale row granularity (also the MXU-friendly size)
 import os as _os  # noqa: E402
 
 GROUPED_MODE = _os.environ.get("LLAMAGEN_W4_GROUPED", "seg")
+# DMA-block lane target and in-kernel unpack chunk budget (elements of
+# i32 live range); env knobs so the real chip can A/B block geometry
+BN_TARGET = int(_os.environ.get("LLAMAGEN_W4_BN_TARGET", "640"))
+CHUNK_BUDGET = int(_os.environ.get("LLAMAGEN_W4_CHUNK", "500000"))
 
 
-def _pick_bn(n: int, target: int = 640) -> int:
+def _pick_bn(n: int, target: Optional[int] = None) -> int:
     """Largest multiple of 128 that divides N and is <= target."""
+    if target is None:
+        target = BN_TARGET
     best = 0
     for k in range(1, n // 128 + 1):
         bn = 128 * k
@@ -203,7 +209,7 @@ def _w4_kernel(lidx_ref, x_ref, s_ref, w_hbm, o_ref, w_scr, sems,
         # static chunk loop bounds the live range so BN stays wide
         # (fewer, bigger DMAs — measured 533 -> wider-block stream)
         if per_channel:
-            ch = max(256, min(k2, 500_000 // bn // 8 * 8))
+            ch = max(256, min(k2, CHUNK_BUDGET // bn // 8 * 8))
             acc = jnp.zeros((batch, bn), jnp.float32)
             for c0 in range(0, k2, ch):
                 rows = min(ch, k2 - c0)
@@ -234,7 +240,7 @@ def _w4_kernel(lidx_ref, x_ref, s_ref, w_hbm, o_ref, w_scr, sems,
             acc = jnp.zeros((batch, bn), jnp.float32)
             # chunks align to group boundaries so every segment is fully
             # contained in exactly one chunk
-            ch = max(seg, min(k2, 500_000 // bn // seg * seg))
+            ch = max(seg, min(k2, CHUNK_BUDGET // bn // seg * seg))
             for c0 in range(0, k2, ch):
                 rows = min(ch, k2 - c0)
                 p32 = w_scr[slot, c0:c0 + rows, :].astype(jnp.int32)
