@@ -159,10 +159,9 @@ def _decode_attn_kernel(
         bnd = boundary_of(b)
         r_idx = pos - bnd
         q_row = q_ref[b, 0].astype(jnp.float32)[None, :]
-        recent = recent_scr[b].astype(jnp.float32)  # [w, 2F]
-        rk = recent[:, :f]
-        rv = recent[:, f:]
-        r_scores = jnp.dot(rk * q_row, seg,
+        rk = recent_scr[b][:, :f]   # bf16; convert fuses into the q-mul
+        rv = recent_scr[b][:, f:]
+        r_scores = jnp.dot(rk.astype(jnp.float32) * q_row, seg,
                            preferred_element_type=jnp.float32) * scale
         j = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
         r_valid = j <= r_idx
@@ -176,7 +175,8 @@ def _decode_attn_kernel(
         p_r = jnp.exp(r_scores - m_new)
         l_fin = l_acc * alpha + jnp.sum(p_r, axis=0, keepdims=True)
         p_r_flat = jnp.dot(p_r, seg.T, preferred_element_type=jnp.float32)
-        pv_r = jnp.sum(p_r_flat * rv, axis=0, keepdims=True)
+        pv_r = jnp.sum(p_r_flat * rv.astype(jnp.float32), axis=0,
+                       keepdims=True)
         alpha_flat = jnp.dot(alpha, seg.T,
                              preferred_element_type=jnp.float32)
         acc = acc * alpha_flat + pv_r
@@ -186,10 +186,16 @@ def _decode_attn_kernel(
         @pl.when(r_idx == w - 1)
         def _():
             if quantized:
-                ksc = jnp.max(jnp.abs(rk), axis=1, keepdims=True) / 127.0 + 1e-8
-                vsc = jnp.max(jnp.abs(rv), axis=1, keepdims=True) / 127.0 + 1e-8
-                qk = jnp.clip(jnp.round(rk / ksc), -127, 127)
-                qv = jnp.clip(jnp.round(rv / vsc), -127, 127)
+                # flush math stays f32-exact (scale precision feeds every
+                # later read of these rows)
+                rk32 = rk.astype(jnp.float32)
+                rv32 = rv.astype(jnp.float32)
+                ksc = jnp.max(jnp.abs(rk32), axis=1,
+                              keepdims=True) / 127.0 + 1e-8
+                vsc = jnp.max(jnp.abs(rv32), axis=1,
+                              keepdims=True) / 127.0 + 1e-8
+                qk = jnp.clip(jnp.round(rk32 / ksc), -127, 127)
+                qv = jnp.clip(jnp.round(rv32 / vsc), -127, 127)
                 flush_stage[:] = jnp.concatenate([qk, qv], axis=1).astype(
                     jnp.int32).astype(jnp.int8)
                 # k scale broadcast in lanes [0, 64), v scale in [64, 128)
@@ -239,10 +245,14 @@ def _decode_attn_kernel(
                 start_dma((slot + 1) % 2, nb, nblk2)
 
             wait_dma(slot, b, blk)
-            kvb = kv_scratch[slot].astype(jnp.float32)  # [S_blk, 2F]
-            kb = kvb[:, :f]
-            vb = kvb[:, f:]
-            scores = jnp.dot(kb * q_row, seg,
+            # convert each int8 half INSIDE its consuming elementwise chain
+            # (instead of one upfront [S_blk, 2F] f32 convert): Mosaic fuses
+            # convert+multiply into one VPU traversal, and the decode step
+            # at XXL/3B scale is VPU-pass-bound, not DMA-bound (BENCH.md r4
+            # step anatomies — attention is 2.67 of XXL's 4.46 ms)
+            kb = kv_scratch[slot][:, :f]
+            vb = kv_scratch[slot][:, f:]
+            scores = jnp.dot(kb.astype(jnp.float32) * q_row, seg,
                              preferred_element_type=jnp.float32)
             if quantized:
                 # per-row symmetric scales fold into the [S_blk, H] scores
@@ -265,7 +275,8 @@ def _decode_attn_kernel(
             else:
                 p_v = p
             p_flat = jnp.dot(p_v, seg.T, preferred_element_type=jnp.float32)
-            pv = jnp.sum(p_flat * vb, axis=0, keepdims=True)
+            pv = jnp.sum(p_flat * vb.astype(jnp.float32), axis=0,
+                         keepdims=True)
             alpha_flat = jnp.dot(alpha, seg.T,
                                  preferred_element_type=jnp.float32)
             return m_new, l_new, acc * alpha_flat + pv, (slot + 1) % 2

@@ -19,7 +19,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from llamagen_tpu.config import GPTConfig
 from llamagen_tpu.models import gpt
 from llamagen_tpu.parallel import partition
-from llamagen_tpu.train.train_state import (TrainState, ema_update,
+from llamagen_tpu.train.train_state import (TrainState, as_dropout_key,
+                                             ema_update,
                                             init_train_state, make_optimizer)
 
 
@@ -46,7 +47,8 @@ def make_train_step(cfg: GPTConfig, tx: optax.GradientTransformation,
     """Build the jitted train step; sharding propagates from input placement."""
 
     def train_step(state: TrainState, batch: Batch, rng):
-        rng = jax.random.fold_in(rng, state.step)
+        # rbg keys: hardware-RNG dropout masks (train_state.as_dropout_key)
+        rng = jax.random.fold_in(as_dropout_key(rng), state.step)
         loss, grads = jax.value_and_grad(loss_fn)(
             state.params, cfg, batch, rng, compute_dtype, remat)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

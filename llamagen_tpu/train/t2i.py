@@ -58,7 +58,9 @@ def make_t2i_train_step(gpt_cfg: GPTConfig, vq_cfg: VQConfig,
     """vq_params are closure constants (frozen tokenizer)."""
 
     def train_step(state: TrainState, batch: T2IBatch, rng):
-        rng = jax.random.fold_in(rng, state.step)
+        from llamagen_tpu.train.train_state import as_dropout_key
+        # rbg keys: hardware-RNG dropout masks (train_state.as_dropout_key)
+        rng = jax.random.fold_in(as_dropout_key(rng), state.step)
         loss, grads = jax.value_and_grad(t2i_loss_fn)(
             state.params, vq_params, gpt_cfg, vq_cfg, batch, rng,
             compute_dtype, remat)

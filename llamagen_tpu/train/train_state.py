@@ -68,3 +68,21 @@ def ema_update(ema_params, params, decay: float = 0.9999):
     return jax.tree.map(
         lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay),
         ema_params, params)
+
+
+def as_dropout_key(rng):
+    """Re-wrap a PRNG key as an `rbg` key for dropout-mask generation.
+
+    The training step draws ~1.3G random bits per GPT-B batch-256 step
+    (token/resid/ffn dropout masks over [B, S, D] x 25 instances,
+    generated TWICE under remat). With the default threefry2x32 that is
+    the largest non-attention item of the step (+0.112 s of 0.666,
+    tests/bench_train_anatomy.py); `rbg` uses the TPU's hardware RNG
+    instructions. Dropout needs no counter-based reproducibility
+    guarantees across jax versions/backends — same-run determinism
+    (same key -> same mask) is preserved.
+    """
+    data = rng if rng.dtype == jnp.uint32 else jax.random.key_data(rng)
+    data = data.reshape(-1)[:2]
+    return jax.random.wrap_key_data(
+        jnp.concatenate([data, data]), impl="rbg")
