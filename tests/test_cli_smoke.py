@@ -11,6 +11,10 @@ import pytest
 
 import conftest  # noqa: F401
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # engine/e2e tier (pyproject markers)
+
 
 def _make_tiny_image_folder(root, n=6, size=32):
     from PIL import Image

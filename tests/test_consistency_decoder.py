@@ -13,6 +13,10 @@ import pytest
 
 import conftest  # noqa: F401
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # engine/e2e tier (pyproject markers)
+
 torch = pytest.importorskip("torch")
 
 import jax

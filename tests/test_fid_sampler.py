@@ -5,6 +5,10 @@ import numpy as np
 
 import conftest  # noqa: F401
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # engine/e2e tier (pyproject markers)
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P

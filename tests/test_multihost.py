@@ -18,6 +18,10 @@ import pytest
 
 import conftest  # noqa: F401
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # engine/e2e tier (pyproject markers)
+
 
 def _free_port():
     s = socket.socket()

@@ -5,6 +5,10 @@ import pytest
 
 import conftest  # noqa: F401  (forces cpu + 8 virtual devices)
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # engine/e2e tier (pyproject markers)
+
 import jax
 import jax.numpy as jnp
 

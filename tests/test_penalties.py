@@ -83,6 +83,7 @@ def test_repetition_penalty_reduces_repeats_in_generate():
     assert pen > base, (base, pen)
 
 
+@pytest.mark.slow
 def test_engine_penalties_match_generate():
     """Greedy engine with penalties equals generate() with penalties."""
     from llamagen_tpu.config import GPTConfig

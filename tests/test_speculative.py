@@ -174,6 +174,7 @@ def test_self_draft_stochastic_accepts_everything():
     assert int(rounds) == -(-(max_new - 1) // (k + 1))
 
 
+@pytest.mark.slow
 def test_force_accept_harness_round_count():
     """The bench harness knob commits exactly force_accept+1 per round."""
     cfg, params = _tiny(0)

@@ -7,6 +7,10 @@ import pytest
 
 import conftest
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # engine/e2e tier (pyproject markers)
+
 torch = pytest.importorskip("torch")
 conftest.add_reference_to_path()
 

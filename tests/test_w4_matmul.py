@@ -116,6 +116,7 @@ def test_w4k_rejected_on_tp_path():
         shard_tp_params(qp, cfg, mesh)
 
 
+@pytest.mark.slow
 def test_w4k_engine_matches_generate_greedy():
     """The serving engine's slot path must route W4-kernel params through
     the same dispatch as generate(): identical quantized weights ->
