@@ -652,12 +652,17 @@ def attend_cache_pallas(cfg: GPTConfig, cache: KVCache, recent,
 
     hn = n_local_heads if n_local_heads is not None else cfg.n_head
     d_local = hn * cfg.head_dim
+    # GQA: the cache/kv rows carry kv_heads*head_dim lanes; the kernel
+    # lane-expands them per query head (TP is MHA-only, asserted by the
+    # TP builders, so n_local_heads implies kv == q heads)
+    kvh = cfg.kv_heads if n_local_heads is None else hn
+    d_kv = kvh * cfg.head_dim
 
     def attend(l, p, qkv):
         b = qkv.shape[0]
-        q, k, v = split_heads(qkv, hn, hn, cfg.head_dim)
+        q, k, v = split_heads(qkv, hn, kvh, cfg.head_dim)
         q = rope_heads(q, freqs).reshape(b, d_local)
-        k = rope_heads(k, freqs).reshape(b, d_local)
+        k = rope_heads(k, freqs).reshape(b, d_kv)
         kv_new = jnp.concatenate([k, v], axis=-1)
         if cache.quantized:
             attn, ckv, csc, r = attn_lib.decode_attention(
@@ -721,10 +726,11 @@ def decode_step_pallas(params: Params, cfg: GPTConfig, token: jnp.ndarray,
     the new k|v land in per-layer [B, w, 2F] recent windows
     (llamagen_tpu.ops.attention docstring) carried by the sampling scan.
 
-    Requires n_kv_head == n_head (true for the whole LlamaGen family) and a
-    128-aligned cache length. Returns (logits, cache, recent).
+    Requires a 128-aligned cache length; GQA (kv_heads < n_head) is
+    supported — the kernel lane-expands cache rows per query head
+    (ops/attention.expand_kv). Returns (logits, cache, recent).
     """
-    assert cfg.kv_heads == cfg.n_head, "kernel path assumes MHA"
+    assert cfg.n_head % cfg.kv_heads == 0
     h = params["tok_embeddings"][token].astype(compute_dtype)  # [B, D]
     freqs = jax.lax.dynamic_slice_in_dim(
         freqs_cis_2d(cfg), pos, 1, axis=0)[0]

@@ -70,7 +70,7 @@ def _decode_attn_kernel(
     kv_scratch, sc_scratch, flush_stage, scale_stage, recent_scr, sems,
     write_sem, recent_sem,
     *, block_s: int, scale: float, n_head: int, head_dim: int,
-    use_prefix: bool, quantized: bool, w: int, batch: int,
+    kv_heads: int, use_prefix: bool, quantized: bool, w: int, batch: int,
 ):
     """grid=(1,): one program walks all batch elements, next DMA always in
     flight. recent: [B, w, 2F] exact window (HBM, aliased in/out; the kernel
@@ -79,7 +79,21 @@ def _decode_attn_kernel(
     chunks in VMEM and writing back only touched chunks); kv_cache:
     [B, S, 2F]."""
     f = n_head * head_dim
+    f_kv = kv_heads * head_dim     # cache lane width (GQA: f_kv < f)
+    rep = n_head // kv_heads
     seg = seg_ref[:]
+
+    def expand_kv(x):
+        """[rows, f_kv] cache half -> [rows, f] by LANE-TILING `rep`
+        copies (GQA; identity under MHA). Mosaic cannot lower a
+        per-head broadcast reshape ("unsupported shape cast"), but a
+        static lane concat of aligned tiles is legal — so the kernel
+        works in TILED head order (tiled head t reads kv head t %
+        kv_heads) and the decode_attention wrapper permutes q in /
+        out of that order at the XLA level."""
+        if rep == 1:
+            return x
+        return jnp.concatenate([x] * rep, axis=-1)
     # Stage the window into VMEM scratch by 8-row chunks, PREFIX-ONLY: rows
     # past max_b(pos % w) hold no live entries (masked by r_valid anyway),
     # so skipping their DMA saves ~half the window traffic on average —
@@ -105,7 +119,7 @@ def _decode_attn_kernel(
         @pl.when(c >= nst)
         def _(c=c):
             recent_scr[:, c * 8:(c + 1) * 8] = jnp.zeros(
-                (batch, 8, 2 * f), recent_scr.dtype)
+                (batch, 8, 2 * f_kv), recent_scr.dtype)
 
     def boundary_of(b):
         return (pos_ref[b] // w) * w
@@ -159,8 +173,10 @@ def _decode_attn_kernel(
         bnd = boundary_of(b)
         r_idx = pos - bnd
         q_row = q_ref[b, 0].astype(jnp.float32)[None, :]
-        rk = recent_scr[b][:, :f]   # bf16; convert fuses into the q-mul
-        rv = recent_scr[b][:, f:]
+        rk_raw = recent_scr[b][:, :f_kv]   # unexpanded: the flush writes
+        rv_raw = recent_scr[b][:, f_kv:]   # cache rows at f_kv lanes
+        rk = expand_kv(rk_raw)   # bf16; convert fuses into the q-mul
+        rv = expand_kv(rv_raw)
         r_scores = jnp.dot(rk.astype(jnp.float32) * q_row, seg,
                            preferred_element_type=jnp.float32) * scale
         j = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
@@ -187,9 +203,10 @@ def _decode_attn_kernel(
         def _():
             if quantized:
                 # flush math stays f32-exact (scale precision feeds every
-                # later read of these rows)
-                rk32 = rk.astype(jnp.float32)
-                rv32 = rv.astype(jnp.float32)
+                # later read of these rows); raw f_kv-lane halves — the
+                # cache stores unexpanded kv rows
+                rk32 = rk_raw.astype(jnp.float32)
+                rv32 = rv_raw.astype(jnp.float32)
                 ksc = jnp.max(jnp.abs(rk32), axis=1,
                               keepdims=True) / 127.0 + 1e-8
                 vsc = jnp.max(jnp.abs(rv32), axis=1,
@@ -250,8 +267,8 @@ def _decode_attn_kernel(
             # convert+multiply into one VPU traversal, and the decode step
             # at XXL/3B scale is VPU-pass-bound, not DMA-bound (BENCH.md r4
             # step anatomies — attention is 2.67 of XXL's 4.46 ms)
-            kb = kv_scratch[slot][:, :f]
-            vb = kv_scratch[slot][:, f:]
+            kb = expand_kv(kv_scratch[slot][:, :f_kv])
+            vb = expand_kv(kv_scratch[slot][:, f_kv:])
             scores = jnp.dot(kb.astype(jnp.float32) * q_row, seg,
                              preferred_element_type=jnp.float32)
             if quantized:
@@ -349,11 +366,34 @@ def decode_attention(q: jnp.ndarray, kv_new: jnp.ndarray,
     assert f % 128 == 0, f"flattened features {f} must be 128-aligned"
     assert f % n_head == 0
     head_dim = f // n_head
+    # GQA: the cache stores kv_heads*head_dim lanes (f_kv <= f); the
+    # kernel lane-expands each streamed half to f (query head h reads
+    # kv head h // rep — gpt._attention's jnp.repeat order)
+    f_kv = kv_cache.shape[2] // 2
+    assert f % f_kv == 0 and f_kv % head_dim == 0, (f, f_kv, head_dim)
+    kv_heads = f_kv // head_dim
+    rep = f // f_kv
+    assert f_kv % 128 == 0 or rep == 1, (
+        f"GQA cache half {f_kv} must be 128-aligned (lane tiling)")
+    assert (2 * f_kv) % 128 == 0, (
+        f"cache lanes 2*{f_kv} must be 128-aligned")
+    if rep > 1:
+        # the kernel lane-TILES each kv half (Mosaic-legal), so it works
+        # in tiled head order: tiled head t = r*kv_heads + g attends kv
+        # head g. Permute the model-order heads (h -> kv h // rep, the
+        # jnp.repeat convention) in and out at the XLA level.
+        b_ = q.shape[0]
+        tiled_to_model = np.array(
+            [(t % kv_heads) * rep + t // kv_heads for t in range(n_head)])
+        model_to_tiled = np.argsort(tiled_to_model)
+        q = q.reshape(b_, n_head, head_dim)[:, tiled_to_model, :] \
+             .reshape(b_, f)
     block_s = min(block_s, smax)
     assert smax % block_s == 0, (
         f"cache len {smax} not aligned to block {block_s}")
-    assert recent.shape == (b, w, 2 * f), (recent.shape, (b, w, 2 * f))
-    assert kv_new.shape == (b, 2 * f), (kv_new.shape, (b, 2 * f))
+    assert recent.shape == (b, w, 2 * f_kv), (recent.shape,
+                                              (b, w, 2 * f_kv))
+    assert kv_new.shape == (b, 2 * f_kv), (kv_new.shape, (b, 2 * f_kv))
     scale = head_dim ** -0.5
 
     use_prefix = prefix_pad is not None
@@ -380,11 +420,11 @@ def decode_attention(q: jnp.ndarray, kv_new: jnp.ndarray,
             pl.BlockSpec(memory_space=pl.ANY),          # recent (aliased)
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, block_s, 2 * f), kv_cache.dtype),  # kv blocks
+            pltpu.VMEM((2, block_s, 2 * f_kv), kv_cache.dtype),  # kv blocks
             pltpu.VMEM((2, block_s, 128), kv_scale.dtype),    # scale blocks
-            pltpu.VMEM((w, 2 * f), kv_cache.dtype),           # flush staging
+            pltpu.VMEM((w, 2 * f_kv), kv_cache.dtype),        # flush staging
             pltpu.VMEM((w, 128), kv_scale.dtype),             # scale staging
-            pltpu.VMEM((b, w, 2 * f), recent.dtype),          # window stage
+            pltpu.VMEM((b, w, 2 * f_kv), recent.dtype),       # window stage
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
@@ -393,8 +433,8 @@ def decode_attention(q: jnp.ndarray, kv_new: jnp.ndarray,
 
     kernel = functools.partial(
         _decode_attn_kernel, block_s=block_s, scale=scale, n_head=n_head,
-        head_dim=head_dim, use_prefix=use_prefix, quantized=quantized, w=w,
-        batch=b)
+        head_dim=head_dim, kv_heads=kv_heads, use_prefix=use_prefix,
+        quantized=quantized, w=w, batch=b)
 
     out, kv_cache, kv_scale, recent = pl.pallas_call(
         kernel,
@@ -414,6 +454,11 @@ def decode_attention(q: jnp.ndarray, kv_new: jnp.ndarray,
       jnp.asarray(_seg_mask(n_head, head_dim)),
       q[:, None, :], kv_new.astype(recent.dtype)[:, None, :], recent,
       kv_cache, kv_scale)
+    out = out[:, 0, :]
+    if rep > 1:
+        # back to model head order (see the tiled-order note above)
+        out = out.reshape(-1, n_head, head_dim)[:, model_to_tiled, :] \
+                 .reshape(-1, f)
     if quantized:
-        return out[:, 0, :], kv_cache, kv_scale, recent
-    return out[:, 0, :], kv_cache, recent
+        return out, kv_cache, kv_scale, recent
+    return out, kv_cache, recent

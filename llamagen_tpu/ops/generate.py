@@ -38,22 +38,25 @@ def build_cfg_batch(params, cfg: GPTConfig, cond: jnp.ndarray,
 def _kernel_supported(cfg: GPTConfig, *, warn: bool = True) -> bool:
     """Whether the Pallas decode-attention kernel handles this geometry.
 
-    MHA-only by design: the released LlamaGen zoo is entirely MHA
-    (ref gpt.py:229-230 supports GQA but no released config uses it), so
-    the kernel's [F, H] segment-mask contraction assumes kv_heads ==
-    n_head. GQA models fall back to the XLA decode path — loudly, so
-    nobody ships a silently-slow serving config (PARITY.md "known gaps").
+    MHA and GQA both run (the kernel lane-expands kv rows per query
+    head, ops/attention.expand_kv); the lane-width constraints are that
+    F = n_head*head_dim is 128-aligned and the cache rows
+    2*kv_heads*head_dim are 128-aligned. Unsupported geometries fall
+    back to the XLA decode path — loudly, so nobody ships a
+    silently-slow serving config.
     """
-    ok = (cfg.kv_heads == cfg.n_head
-          and (cfg.n_head * cfg.head_dim) % 128 == 0)
+    gqa = cfg.kv_heads != cfg.n_head
+    ok = (cfg.n_head % cfg.kv_heads == 0
+          and (cfg.n_head * cfg.head_dim) % 128 == 0
+          and (cfg.kv_heads * cfg.head_dim) % (128 if gqa else 64) == 0)
     if not ok and warn:
         import warnings
-        reason = ("GQA (kv_heads != n_head)" if cfg.kv_heads != cfg.n_head
-                  else f"F={cfg.n_head * cfg.head_dim} not 128-aligned")
         warnings.warn(
             f"Pallas decode-attention kernel unsupported for this config "
-            f"({reason}); falling back to the XLA decode path "
-            f"(~3x slower per step at GPT-L scale).", stacklevel=2)
+            f"(n_head={cfg.n_head}, kv_heads={cfg.kv_heads}, "
+            f"head_dim={cfg.head_dim}: F or kv lanes not 128-aligned); "
+            f"falling back to the XLA decode path (~3x slower per step "
+            f"at GPT-L scale).", stacklevel=2)
     return ok
 
 

@@ -279,7 +279,11 @@ def generate_speculative(params, draft_params, rng: jax.Array,
     assert draft_cfg.model_type == cfg.model_type
     from llamagen_tpu.ops.generate import _kernel_supported
     if use_kernel is None:
+        # the CHUNK verify kernel is MHA-only (ops/chunk_attention.py);
+        # GQA targets/drafts fall back to the XLA verify path
         use_kernel = (jax.default_backend() == "tpu"
+                      and cfg.kv_heads == cfg.n_head
+                      and draft_cfg.kv_heads == draft_cfg.n_head
                       and _kernel_supported(cfg)
                       and _kernel_supported(draft_cfg))
     use_cfg = cfg_scale > 1.0

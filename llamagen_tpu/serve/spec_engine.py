@@ -347,7 +347,10 @@ class SpecEngine:
         assert draft_cfg.cls_token_num == cfg.cls_token_num
         assert draft_cfg.model_type == cfg.model_type
         if use_kernel is None:
+            # chunk verify kernel is MHA-only (ops/chunk_attention.py)
             use_kernel = (jax.default_backend() == "tpu"
+                          and cfg.kv_heads == cfg.n_head
+                          and draft_cfg.kv_heads == draft_cfg.n_head
                           and _kernel_supported(cfg)
                           and _kernel_supported(draft_cfg))
         self.cfg = cfg

@@ -283,3 +283,68 @@ def test_kernel_odd_head_dim():
     expected = np.einsum("bhs,bshd->bhd", p, v_hist)
     np.testing.assert_allclose(np.asarray(out).reshape(B, h2, d2), expected,
                                atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("kv_heads,pos", [(2, 40), (2, 100), (2, 7)])
+def test_kernel_gqa(kv_heads, pos):
+    """GQA (kv_heads < n_head): the kernel lane-expands cache rows per
+    query head (query head h reads kv head h // rep — the model path's
+    jnp.repeat order, gpt._attention)."""
+    h, d = 4, 64
+    f = h * d
+    f_kv = kv_heads * d          # 2*f_kv in {128, 256}: lane-aligned
+    rep = h // kv_heads
+    rng = np.random.RandomState(13)
+    q = rng.randn(B, h, d).astype(np.float32)
+    k_hist = rng.randn(B, pos + 1, kv_heads, d).astype(np.float32)
+    v_hist = rng.randn(B, pos + 1, kv_heads, d).astype(np.float32)
+
+    boundary = (pos // RECENT) * RECENT
+    merged = np.concatenate([k_hist.reshape(B, pos + 1, f_kv),
+                             v_hist.reshape(B, pos + 1, f_kv)], -1)
+    kv_cache = rng.randn(B, 128, 2 * f_kv).astype(np.float32)
+    kv_cache[:, :boundary] = merged[:, :boundary]
+    recent = rng.randn(B, RECENT, 2 * f_kv).astype(np.float32)
+    recent[:, :pos - boundary] = merged[:, boundary:pos]
+    kv_new = merged[:, pos]
+
+    out, kv_upd, recent_upd = decode_attention(
+        jnp.asarray(q.reshape(B, f)), jnp.asarray(kv_new),
+        jnp.asarray(recent), jnp.asarray(kv_cache), jnp.int32(pos), h,
+        block_s=64, interpret=True)
+
+    k_exp = np.repeat(k_hist, rep, axis=2)   # [B, S, h, d]
+    v_exp = np.repeat(v_hist, rep, axis=2)
+    expected = _dense_oracle(q, k_exp, v_exp)
+    np.testing.assert_allclose(np.asarray(out).reshape(B, h, d), expected,
+                               atol=2e-5, rtol=1e-4)
+    # the window insert stores UNEXPANDED kv rows
+    np.testing.assert_allclose(
+        np.asarray(recent_upd)[:, pos - boundary], kv_new, atol=1e-6)
+
+
+def test_gqa_generate_kernel_vs_xla():
+    """End-to-end greedy GQA generation: kernel path == XLA path."""
+    from llamagen_tpu.config import GPTConfig
+    from llamagen_tpu.models import gpt as gpt_lib
+    from llamagen_tpu.ops.generate import _kernel_supported, generate
+
+    cfg = GPTConfig(dim=256, n_layer=2, n_head=4, n_kv_head=2,
+                    block_size=16, num_classes=10, vocab_size=128,
+                    cls_token_num=1, token_dropout_p=0.0,
+                    resid_dropout_p=0.0, ffn_dropout_p=0.0)
+    assert _kernel_supported(cfg, warn=False)  # GQA now kernel-eligible
+    params = gpt_lib.init_params(jax.random.PRNGKey(0), cfg,
+                                 dtype=jnp.float32)
+    params = dict(params)
+    params["output"] = jax.random.normal(
+        jax.random.PRNGKey(1), params["output"].shape) * 0.02
+
+    labels = jnp.asarray([1, 4])
+    kw = dict(cfg=cfg, max_new_tokens=16, cfg_scale=2.0,
+              sample_logits=False, compute_dtype=jnp.float32)
+    ref = generate(params, jax.random.PRNGKey(0), labels,
+                   use_kernel=False, cache_dtype=jnp.float32, **kw)
+    out = generate(params, jax.random.PRNGKey(0), labels,
+                   use_kernel=True, cache_dtype=jnp.float32, **kw)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
