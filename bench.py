@@ -87,30 +87,34 @@ def main():
         "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 3),
     }
 
-    # Engine mode (continuous batching, 16 CFG pairs, 48 requests): the
-    # best serving configuration — the vLLM-equivalent capacity comparison.
-    # Reported as the headline; the batch-8 row above matches the reference
-    # benchmark's exact operating point and is kept in extra fields.
+    # Engine mode (continuous batching at measured capacity: 48 CFG pairs
+    # = 96 slots; 64 pairs exceeds the 16 MB scoped-VMEM window staging,
+    # BENCH.md capacity sweep): the vLLM-equivalent throughput
+    # comparison. Reported as the headline; the batch-8 row above matches
+    # the reference benchmark's exact operating point (extra fields).
     if not os.environ.get("BENCH_SKIP_ENGINE"):
         from llamagen_tpu.ops.quant_matmul import quantize_gpt_params
         from llamagen_tpu.serve.engine import SamplingParams, ServeEngine
 
         params_e = gpt.init_params(jax.random.PRNGKey(0), cfg,
                                    dtype=jnp.bfloat16)
-        # at 32 slots the int8 head fuses profitably (BENCH.md)
+        # at >=32 slots the int8 head fuses profitably (BENCH.md)
         params_e = quantize_gpt_params(params_e, quantize_head=True)
-        eng = ServeEngine(params_e, cfg, num_pairs=16, max_new_tokens=576,
+        pairs = int(os.environ.get("BENCH_ENGINE_PAIRS", "48"))
+        eng = ServeEngine(params_e, cfg, num_pairs=pairs,
+                          max_new_tokens=576,
                           sampling_params=SamplingParams(cfg_scale=2.0),
                           chunk=64, compute_dtype=jnp.bfloat16,
                           cache_dtype=jnp.int8, use_kernel=True)
         eng.generate(list(range(4)))  # compile chunk + harvest paths
-        n_req = 48
+        n_req = pairs * 3
         labels_e = list(np.arange(n_req) * 17 % 1000)
         t0 = time.time()
         eng.generate(labels_e)
         eng_ips = n_req / (time.time() - t0)
         record.update({
-            "metric": "images_per_sec_gpt_l_c2i_384_engine_16pairs_48req",
+            "metric": f"images_per_sec_gpt_l_c2i_384_engine_{pairs}pairs"
+                      f"_{n_req}req",
             "value": round(eng_ips, 3),
             "vs_baseline": round(eng_ips / BASELINE_IMG_PER_SEC, 3),
             "generate_batch8_img_per_s": round(img_per_sec, 3),
