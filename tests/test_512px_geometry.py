@@ -131,6 +131,7 @@ def test_kernel_512px_int8_cache():
                                expected, atol=2e-2, rtol=2e-2)  # int8 cache
 
 
+@pytest.mark.slow
 def test_t2i_512_generate_kernel_vs_xla():
     """Greedy grid-32 t2i generation: kernel path == XLA path token-exact
     at the full 1144-token geometry (tiny model, both paths on CPU)."""

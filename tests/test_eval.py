@@ -115,6 +115,7 @@ def test_stream_npz_matches_full_load(tmp_path):
     np.testing.assert_array_equal(got, arr)
 
 
+@pytest.mark.slow
 def test_features_from_batches_matches_features():
     import jax
     from llamagen_tpu.eval import inception as inc

@@ -2,6 +2,8 @@
 
 import numpy as np
 
+import pytest
+
 import conftest  # noqa: F401
 
 import jax
@@ -12,6 +14,7 @@ from llamagen_tpu.models import gpt, vq
 from llamagen_tpu.utils import hub
 
 
+@pytest.mark.slow
 def test_gpt_hub_roundtrip(tmp_path):
     cfg = GPTConfig(dim=64, n_layer=2, n_head=4, block_size=16,
                     num_classes=10, vocab_size=128, cls_token_num=1)
@@ -30,6 +33,7 @@ def test_gpt_hub_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_vq_hub_roundtrip(tmp_path):
     import dataclasses
 

@@ -137,6 +137,7 @@ def test_quantized_gpt_greedy_agreement():
     assert agree >= 0.9, f"greedy agreement {agree:.3f}"
 
 
+@pytest.mark.slow
 def test_int4_gpt_forward_close_and_generates():
     """W4A16 end-to-end: decode runs through matmul_any's _q4 dispatch and
     teacher-forced logits track bf16 closely (int4 is a lossier opt-in

@@ -156,6 +156,7 @@ def _t2i_cfg_for(use_kernel):
 
 
 @pytest.mark.parametrize("use_kernel", [False, True])
+@pytest.mark.slow
 def test_t2i_engine_matches_generate_greedy(t2i_params, use_kernel):
     """Greedy t2i engine output equals the batch generate() path
     (mirrors test_engine_matches_generate_greedy for c2i)."""
@@ -187,6 +188,7 @@ def test_t2i_engine_matches_generate_greedy(t2i_params, use_kernel):
     np.testing.assert_array_equal(out, np.asarray(ref))
 
 
+@pytest.mark.slow
 def test_t2i_engine_int8_cache_agreement(t2i_params):
     """int8 KV t2i engine greedily agrees with the bf16-cache engine
     (kernel path; quantize-at-admission + quantize-at-flush)."""
@@ -218,6 +220,7 @@ def test_t2i_engine_int8_cache_agreement(t2i_params):
     assert agree >= 0.6, f"int8 t2i agreement {agree}"
 
 
+@pytest.mark.slow
 def test_t2i_slot_reuse(t2i_params):
     """More requests than slots: reused slots must not leak stale caption
     KV or prefix pads."""
@@ -246,6 +249,7 @@ def test_engine_latency_stats(params):
     assert st["throughput_img_per_s"] > 0
 
 
+@pytest.mark.slow
 def test_per_request_sampling_params(params):
     """Two requests with DIFFERENT cfg_scale run in one engine instance
     (one compiled program, params are traced data — VERDICT r2 #4) and
@@ -282,6 +286,7 @@ def test_per_request_topk_gating(params):
     np.testing.assert_array_equal(r_k.result[None], np.asarray(ref))
 
 
+@pytest.mark.slow
 def test_t2i_per_request_cfg_scale(t2i_params):
     """t2i: per-request cfg_scale through admission prefill + decode."""
     emb, mask = _t2i_caption()
@@ -317,6 +322,7 @@ def test_ttft_tpot_stats(params):
     assert st["ttft_p50_s"] <= st["e2e_latency_p50_s"] / 8
 
 
+@pytest.mark.slow
 def test_t2i_ttft_and_batched_admission(t2i_params):
     """t2i TTFT/TPOT stats populate; batched admission (odd request count
     exercises the padded tail of the _abatch-wide prefill)."""

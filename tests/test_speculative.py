@@ -71,6 +71,7 @@ def test_self_draft_greedy_accepts_everything():
     assert int(rounds) == -(-(max_new - 1) // (k + 1))
 
 
+@pytest.mark.slow
 def test_stochastic_runs_and_is_in_range():
     cfg, params = _tiny(0)
     _, draft_params = _tiny(1)
@@ -87,6 +88,7 @@ def test_stochastic_runs_and_is_in_range():
 
 
 @pytest.mark.parametrize("model_type", ["c2i", "t2i"])
+@pytest.mark.slow
 def test_kernel_mode_greedy_token_exact(model_type):
     """use_kernel=True (Pallas chunk attention, interpret on CPU) commits
     the same greedy tokens as plain generate, c2i and t2i."""
@@ -158,6 +160,7 @@ def test_verify_step_matches_sequential_decode():
                                atol=2e-4, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_self_draft_stochastic_accepts_everything():
     """With draft == target, q == p at every slot, so even STOCHASTIC
     acceptance (u < p/q) never rejects — this requires the draft cache to
@@ -239,6 +242,7 @@ def test_warped_probs_matches_sampler_filters():
     assert ((a > 0).sum(-1) <= 5).all()  # top-k warp really applied
 
 
+@pytest.mark.slow
 def test_t2i_prefix_pad_path():
     cfg, params = _tiny(0, model_type="t2i", cls_token_num=8,
                         caption_dim=32)
