@@ -71,6 +71,7 @@ def _decode_attn_kernel(
     write_sem, recent_sem,
     *, block_s: int, scale: float, n_head: int, head_dim: int,
     kv_heads: int, use_prefix: bool, quantized: bool, w: int, batch: int,
+    per_b_window: bool,
 ):
     """grid=(1,): one program walks all batch elements, next DMA always in
     flight. recent: [B, w, 2F] exact window (HBM, aliased in/out; the kernel
@@ -94,32 +95,44 @@ def _decode_attn_kernel(
         if rep == 1:
             return x
         return jnp.concatenate([x] * rep, axis=-1)
-    # Stage the window into VMEM scratch by 8-row chunks, PREFIX-ONLY: rows
-    # past max_b(pos % w) hold no live entries (masked by r_valid anyway),
-    # so skipping their DMA saves ~half the window traffic on average —
-    # the window read+write was the dominant per-launch fixed cost
-    # ([16, 32, 2F] bf16 per layer: 13 MB round trip on GPT-3B).
+    # Window staging (two modes):
+    #   bulk  — stage ALL batch rows' windows into a [B, w, 2F_kv] scratch
+    #           by 8-row chunks, PREFIX-ONLY (rows past max_b(pos % w)
+    #           hold no live entries), and write touched chunks back at
+    #           the end. Fewest DMA issues; scratch grows with B and hits
+    #           the 16 MB scoped-VMEM limit at ~96-128 slots (BENCH.md
+    #           capacity sweeps).
+    #   per-b — stage ONE row's window into a [w, 2F_kv] scratch inside
+    #           the batch walk and write back only the insert's 8-row
+    #           chunk. Scratch is B-INDEPENDENT (no VMEM ceiling), costs
+    #           ~B/4x more (tiny) DMA issues; selected automatically for
+    #           large B by the wrapper.
     nch = w // 8
-    rmax = jax.lax.fori_loop(
-        0, batch,
-        lambda bb, m: jnp.maximum(m, pos_ref[bb] % w),
-        jnp.int32(0))
-    nst = rmax // 8 + 1
-    for c in range(nch):
-        @pl.when(c < nst)
-        def _(c=c):
-            ccp = pltpu.make_async_copy(
-                recent_in.at[:, pl.ds(c * 8, 8)],
-                recent_scr.at[:, pl.ds(c * 8, 8)], recent_sem)
-            ccp.start()
-            ccp.wait()
+    if not per_b_window:
+        rmax = jax.lax.fori_loop(
+            0, batch,
+            lambda bb, m: jnp.maximum(m, pos_ref[bb] % w),
+            jnp.int32(0))
+        nst = rmax // 8 + 1
+        for c in range(nch):
+            @pl.when(c < nst)
+            def _(c=c):
+                ccp = pltpu.make_async_copy(
+                    recent_in.at[:, pl.ds(c * 8, 8)],
+                    recent_scr.at[:, pl.ds(c * 8, 8)], recent_sem)
+                ccp.start()
+                ccp.wait()
 
-        # unstaged chunks must still be FINITE: masked probabilities are
-        # exactly 0 but 0 * NaN/Inf garbage = NaN in the pv accumulation
-        @pl.when(c >= nst)
-        def _(c=c):
-            recent_scr[:, c * 8:(c + 1) * 8] = jnp.zeros(
-                (batch, 8, 2 * f_kv), recent_scr.dtype)
+            # unstaged chunks must still be FINITE: masked probabilities
+            # are exactly 0 but 0 * NaN/Inf garbage = NaN in the pv
+            # accumulation
+            @pl.when(c >= nst)
+            def _(c=c):
+                recent_scr[:, c * 8:(c + 1) * 8] = jnp.zeros(
+                    (batch, 8, 2 * f_kv), recent_scr.dtype)
+
+    def win_read(b):
+        return recent_scr[:] if per_b_window else recent_scr[b]
 
     def boundary_of(b):
         return (pos_ref[b] // w) * w
@@ -173,8 +186,9 @@ def _decode_attn_kernel(
         bnd = boundary_of(b)
         r_idx = pos - bnd
         q_row = q_ref[b, 0].astype(jnp.float32)[None, :]
-        rk_raw = recent_scr[b][:, :f_kv]   # unexpanded: the flush writes
-        rv_raw = recent_scr[b][:, f_kv:]   # cache rows at f_kv lanes
+        win = win_read(b)
+        rk_raw = win[:, :f_kv]   # unexpanded: the flush writes
+        rv_raw = win[:, f_kv:]   # cache rows at f_kv lanes
         rk = expand_kv(rk_raw)   # bf16; convert fuses into the q-mul
         rv = expand_kv(rv_raw)
         r_scores = jnp.dot(rk.astype(jnp.float32) * q_row, seg,
@@ -225,7 +239,7 @@ def _decode_attn_kernel(
                     write_sem.at[1])
                 sw.start()
             else:
-                flush_stage[:] = recent_scr[b]
+                flush_stage[:] = win_read(b)
             kw = pltpu.make_async_copy(
                 flush_stage, kv_cache_out.at[b, pl.ds(bnd, w)],
                 write_sem.at[0])
@@ -239,12 +253,33 @@ def _decode_attn_kernel(
     def outer(b, slot):
         bnd = boundary_of(b)
         nblk = nblk_of(b)
+        if per_b_window:
+            # stage THIS row's live window chunks (prefix-only), zero the
+            # rest; overlaps with the block-0 cache DMA already in flight
+            nst_b = (pos_ref[b] % w) // 8 + 1
+            for c in range(nch):
+                @pl.when(c < nst_b)
+                def _(c=c):
+                    ccp = pltpu.make_async_copy(
+                        recent_in.at[b, pl.ds(c * 8, 8)],
+                        recent_scr.at[pl.ds(c * 8, 8)], recent_sem)
+                    ccp.start()
+                    ccp.wait()
+
+                @pl.when(c >= nst_b)
+                def _(c=c):
+                    recent_scr[c * 8:(c + 1) * 8] = jnp.zeros(
+                        (8, 2 * f_kv), recent_scr.dtype)
         # insert this position's k|v row into the rolling window (masked
         # full-window select: dynamic sublane stores need static 8-aligned
         # indices on Mosaic, a [w, 2F] where does not)
         j_w = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
-        recent_scr[b] = jnp.where(j_w == pos_ref[b] - bnd, kv_new_ref[b],
-                                  recent_scr[b])
+        if per_b_window:
+            recent_scr[:] = jnp.where(j_w == pos_ref[b] - bnd,
+                                      kv_new_ref[b], recent_scr[:])
+        else:
+            recent_scr[b] = jnp.where(j_w == pos_ref[b] - bnd,
+                                      kv_new_ref[b], recent_scr[b])
         # scale folded into q once per (b, layer); int8 dequant scales fold
         # into the tiny [S_blk, H] scores/probs instead of [S_blk, F] rows
         q_row = q_ref[b, 0].astype(jnp.float32)[None, :] * scale
@@ -301,26 +336,36 @@ def _decode_attn_kernel(
         m, l_acc, acc, slot = jax.lax.fori_loop(
             0, nblk, body, (m0, l0, acc0, slot))
         finish_batch(b, m, l_acc, acc)
+        if per_b_window:
+            # only the insert's 8-row chunk changed; write it back before
+            # the next batch row reuses the scratch
+            c_ins = (pos_ref[b] - bnd) // 8
+            wcp = pltpu.make_async_copy(
+                recent_scr.at[pl.ds(c_ins * 8, 8)],
+                recent_out.at[b, pl.ds(c_ins * 8, 8)], recent_sem)
+            wcp.start()
+            wcp.wait()
         return slot
 
     jax.lax.fori_loop(0, batch, outer, jnp.int32(0))
 
-    # write back only the chunks that received this step's insert (all of
-    # them are <= rmax//8, hence staged for every batch element; untouched
-    # staged rows write back their unchanged values)
-    cmin = jax.lax.fori_loop(
-        0, batch,
-        lambda bb, m: jnp.minimum(m, (pos_ref[bb] % w) // 8),
-        jnp.int32(nch))
-    cmax = rmax // 8
-    for c in range(nch):
-        @pl.when((cmin <= c) & (c <= cmax))
-        def _(c=c):
-            wcp = pltpu.make_async_copy(
-                recent_scr.at[:, pl.ds(c * 8, 8)],
-                recent_out.at[:, pl.ds(c * 8, 8)], recent_sem)
-            wcp.start()
-            wcp.wait()
+    if not per_b_window:
+        # write back only the chunks that received this step's insert (all
+        # of them are <= rmax//8, hence staged for every batch element;
+        # untouched staged rows write back their unchanged values)
+        cmin = jax.lax.fori_loop(
+            0, batch,
+            lambda bb, m: jnp.minimum(m, (pos_ref[bb] % w) // 8),
+            jnp.int32(nch))
+        cmax = rmax // 8
+        for c in range(nch):
+            @pl.when((cmin <= c) & (c <= cmax))
+            def _(c=c):
+                wcp = pltpu.make_async_copy(
+                    recent_scr.at[:, pl.ds(c * 8, 8)],
+                    recent_out.at[:, pl.ds(c * 8, 8)], recent_sem)
+                wcp.start()
+                wcp.wait()
 
 
 def decode_attention(q: jnp.ndarray, kv_new: jnp.ndarray,
@@ -402,6 +447,20 @@ def decode_attention(q: jnp.ndarray, kv_new: jnp.ndarray,
     if not quantized:
         kv_scale = jnp.ones((b, 1, 128), jnp.float32)
 
+    # window staging mode: bulk [B, w, 2F_kv] scratch whenever it fits the
+    # 16 MB scoped-VMEM budget (fastest — measured 5.48x vs per-b's 4.02x
+    # at the GPT-L 96-slot point), B-independent per-b staging beyond it
+    # (slower per step — its staging DMAs serialize per batch row — but it
+    # UNLOCKS slot counts the bulk mode cannot compile: 3B 32 slots
+    # measured 2.57x vs the bulk ceiling's 2.49x; BENCH.md capacity
+    # sweeps). LLAMAGEN_WINDOW_MODE=bulk|perb overrides.
+    mode = _os.environ.get("LLAMAGEN_WINDOW_MODE", "auto")
+    bulk_bytes = b * w * 2 * f_kv * recent.dtype.itemsize
+    per_b_window = (mode == "perb" or
+                    (mode == "auto" and bulk_bytes > 12.25 * 2 ** 20))
+    win_scr_shape = ((w, 2 * f_kv) if per_b_window
+                     else (b, w, 2 * f_kv))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(1,),
@@ -424,7 +483,7 @@ def decode_attention(q: jnp.ndarray, kv_new: jnp.ndarray,
             pltpu.VMEM((2, block_s, 128), kv_scale.dtype),    # scale blocks
             pltpu.VMEM((w, 2 * f_kv), kv_cache.dtype),        # flush staging
             pltpu.VMEM((w, 128), kv_scale.dtype),             # scale staging
-            pltpu.VMEM((b, w, 2 * f_kv), recent.dtype),       # window stage
+            pltpu.VMEM(win_scr_shape, recent.dtype),          # window stage
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
@@ -434,7 +493,7 @@ def decode_attention(q: jnp.ndarray, kv_new: jnp.ndarray,
     kernel = functools.partial(
         _decode_attn_kernel, block_s=block_s, scale=scale, n_head=n_head,
         head_dim=head_dim, kv_heads=kv_heads, use_prefix=use_prefix,
-        quantized=quantized, w=w, batch=b)
+        quantized=quantized, w=w, batch=b, per_b_window=per_b_window)
 
     out, kv_cache, kv_scale, recent = pl.pallas_call(
         kernel,

@@ -348,3 +348,23 @@ def test_gqa_generate_kernel_vs_xla():
     out = generate(params, jax.random.PRNGKey(0), labels,
                    use_kernel=True, cache_dtype=jnp.float32, **kw)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+@pytest.mark.parametrize("pos", [0, 63, 100, 255])
+def test_kernel_perb_window_mode(pos, monkeypatch):
+    """Forced per-b window staging (the large-B VMEM-safe mode) matches
+    the dense oracle at non-flush, flush, and wrap positions."""
+    monkeypatch.setenv("LLAMAGEN_WINDOW_MODE", "perb")
+    out, expected, kv_upd, _, recent, boundary = _run(pos, seed=4)
+    np.testing.assert_allclose(out, expected, atol=2e-5, rtol=1e-4)
+    if pos % 8 == 7:  # flush step: window must land in the cache
+        np.testing.assert_allclose(kv_upd[:, boundary:pos + 1],
+                                   recent[:, :pos + 1 - boundary],
+                                   atol=1e-6)
+
+
+def test_kernel_perb_per_slot_flush(monkeypatch):
+    """per-b mode with ragged per-slot positions (engine shape): each
+    row flushes independently of its neighbours."""
+    monkeypatch.setenv("LLAMAGEN_WINDOW_MODE", "perb")
+    test_kernel_per_slot_positions()
