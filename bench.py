@@ -112,11 +112,14 @@ def main():
         t0 = time.time()
         eng.generate(labels_e)
         eng_ips = n_req / (time.time() - t0)
+        # stable metric key across rounds (ADVICE r4): the pairs/request
+        # geometry lives in extra fields, not the key name
         record.update({
-            "metric": f"images_per_sec_gpt_l_c2i_384_engine_{pairs}pairs"
-                      f"_{n_req}req",
+            "metric": "images_per_sec_gpt_l_c2i_384_engine_capacity",
             "value": round(eng_ips, 3),
             "vs_baseline": round(eng_ips / BASELINE_IMG_PER_SEC, 3),
+            "engine_pairs": pairs,
+            "engine_requests": n_req,
             "generate_batch8_img_per_s": round(img_per_sec, 3),
             "generate_batch8_vs_baseline": round(
                 img_per_sec / BASELINE_IMG_PER_SEC, 3),

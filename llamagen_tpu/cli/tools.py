@@ -195,9 +195,20 @@ def cmd_validate_release(args):
                 vocab_size=gcfg.vocab_size, block_size=gcfg.block_size,
                 num_classes=gcfg.num_classes,
                 cls_token_num=gcfg.cls_token_num, model_type=args.gpt_type)
-            ref.load_state_dict(
+            # strict=False only to tolerate derived buffers (freqs_cis,
+            # causal_mask); a MISSING model weight would silently fall back
+            # to random init and surface as a confusing logits divergence,
+            # so fail fast on anything unexpected (ADVICE r4)
+            inc = ref.load_state_dict(
                 {k: torch.from_numpy(np.asarray(v)) for k, v in
                  load_torch_state_dict(args.gpt_pt).items()}, strict=False)
+            _derived = ("freqs_cis", "causal_mask")
+            bad = [k for k in inc.missing_keys
+                   if not k.endswith(_derived)]
+            assert not bad and not inc.unexpected_keys, (
+                f"reference GPT state dict mismatch: missing={bad} "
+                f"unexpected={inc.unexpected_keys} — the oracle would run "
+                f"on random init for those weights")
             ref = ref.eval().float()
 
             rng = np.random.RandomState(0)
@@ -238,9 +249,14 @@ def cmd_validate_release(args):
             ref_vq = VQ_models[args.vq_model](
                 codebook_size=args.codebook_size,
                 codebook_embed_dim=args.codebook_embed_dim)
-            ref_vq.load_state_dict(
+            inc_vq = ref_vq.load_state_dict(
                 {k: torch.from_numpy(np.asarray(v)) for k, v in
                  load_torch_state_dict(args.vq_pt).items()}, strict=False)
+            assert not inc_vq.missing_keys and not inc_vq.unexpected_keys, (
+                f"reference VQ state dict mismatch: "
+                f"missing={inc_vq.missing_keys} "
+                f"unexpected={inc_vq.unexpected_keys} — the oracle would "
+                f"run on random init for those weights")
             ref_vq = ref_vq.eval().float()
             x = np.random.RandomState(42).uniform(
                 -1, 1, size=(2, 64, 64, 3)).astype(np.float32)

@@ -714,8 +714,13 @@ class ServeEngine:
                     # per-step rate. c2i samples its first token on step 1
                     # of the admission chunk (`n_steps` known to the host);
                     # t2i samples it in the admission prefill (~one step).
-                    # Error <= 1 step, vs <= 1 chunk before (vLLM StatLogger
-                    # records per-step, llm_engine.py:588-659).
+                    # The admitted_at->finished_at window also includes
+                    # async-dispatch backlog and host overhead between
+                    # chunks, so the interpolation error is ~1 step in the
+                    # uncontended case but can exceed that under load; it
+                    # is still far below the <= 1 chunk bound of the
+                    # pre-interpolation estimate (vLLM StatLogger records
+                    # per-step, llm_engine.py:588-659).
                     steps = self.max_new_tokens \
                         if self.cfg.model_type == "c2i" \
                         else self.max_new_tokens - 1
