@@ -16,10 +16,10 @@ import os
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from llamagen_tpu.config import vq_config
+from llamagen_tpu.parallel.mesh import make_mesh
 from llamagen_tpu.train import vq as vq_train
 from llamagen_tpu.utils import checkpoint
 from llamagen_tpu.utils.logger import create_logger
@@ -90,6 +90,9 @@ def main(argv=None):
     p.add_argument("--lpips-lins", default=
                    "/root/reference/tokenizer/tokenizer_image/cache/vgg.pth")
     p.add_argument("--ema", action="store_true")
+    p.add_argument("--dp", type=int, default=-1,
+                   help="data-parallel mesh size (-1 = all devices; the "
+                        "reference's DDP over the cluster, vq_train.py:169)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-every", type=int, default=100)
     p.add_argument("--ckpt-every", type=int, default=5000)
@@ -117,14 +120,12 @@ def main(argv=None):
         lpips_params = lpips_lib.load_params(vgg_sd, lin_sd)
 
     logger = create_logger(args.results_dir)
-    tx_g = vq_train.make_vq_optimizer(args.lr)
-    tx_d = vq_train.make_vq_optimizer(args.lr)
-    state = vq_train.init_vq_train_state(
-        jax.random.PRNGKey(args.seed), cfg, loss_cfg, tx_g, tx_d,
-        use_ema=args.ema)
-    step_fn = vq_train.make_vq_train_step(
-        cfg, loss_cfg, tx_g, tx_d, lpips_params=lpips_params,
-        ema_decay=0.999 if args.ema else None)
+    mesh = make_mesh(dp=args.dp)
+    logger.info(f"mesh: dp={mesh.shape['dp']} over {len(jax.devices())} "
+                f"device(s)")
+    state, step_fn = vq_train.build_trainer(
+        cfg, loss_cfg, mesh, lr=args.lr, use_ema=args.ema,
+        ema_decay=0.999, seed=args.seed, lpips_params=lpips_params)
 
     if args.synthetic_steps > 0:
         batches = synthetic_batches(args.image_size, args.global_batch_size,
@@ -141,7 +142,7 @@ def main(argv=None):
     for step, imgs in enumerate(batches, 1):
         if max_steps > 0 and step > max_steps:
             break
-        state, metrics = step_fn(state, jnp.asarray(imgs))
+        state, metrics = step_fn(state, vq_train.shard_vq_batch(imgs, mesh))
         if step % args.log_every == 0:
             sps = (step - last) / (time.time() - t0)
             logger.info(

@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
 from llamagen_tpu.config import VQConfig
 from llamagen_tpu.models import discriminator as disc_lib
 from llamagen_tpu.models import lpips as lpips_lib
@@ -113,13 +115,16 @@ def init_vq_train_state(key, cfg: VQConfig, loss_cfg: VQLossConfig,
         usage_window=jnp.zeros((USAGE_WINDOW,), jnp.int32))
 
 
-def make_vq_train_step(cfg: VQConfig, loss_cfg: VQLossConfig, tx_gen, tx_disc,
-                       lpips_params=None, ema_decay: Optional[float] = None,
+def make_train_step_fn(cfg: VQConfig, loss_cfg: VQLossConfig, tx_gen, tx_disc,
+                       *, use_lpips: bool,
+                       ema_decay: Optional[float] = None,
                        compute_dtype=jnp.float32):
-    """Build the jitted combined generator+discriminator step.
+    """Un-jitted combined generator+discriminator step
+    `(state, imgs, lpips_params) -> (state, metrics)`.
 
-    lpips_params: frozen LPIPS weights (closure constant — donated to device
-    once); None disables the perceptual term (perceptual_weight*0).
+    lpips_params travels as a runtime ARGUMENT (not a closure constant) so
+    the ~15M-param VGG tree is a device-resident operand instead of an HLO
+    constant blob in the compile payload; `use_lpips` is the static switch.
     """
     disc_apply = disc_lib.DISC_APPLY[loss_cfg.disc_type]
     d_loss = D_LOSSES[loss_cfg.disc_loss]
@@ -138,23 +143,23 @@ def make_vq_train_step(cfg: VQConfig, loss_cfg: VQLossConfig, tx_gen, tx_disc,
         dec["conv_out"] = {**dec["conv_out"], "kernel": kernel}
         return {**params, "decoder": dec}
 
-    def _nll_and_adv(params, disc_params, imgs_f, recons):
+    def _nll_and_adv(params, disc_params, imgs_f, recons, lp):
         recons_f = recons.astype(jnp.float32)
         rec = rec_loss_fn(loss_cfg.reconstruction_loss, imgs_f, recons_f)
-        if lpips_params is not None and loss_cfg.perceptual_weight > 0:
-            p = lpips_lib.lpips_mean(lpips_params, imgs_f, recons_f)
+        if use_lpips and loss_cfg.perceptual_weight > 0:
+            p = lpips_lib.lpips_mean(lp, imgs_f, recons_f)
         else:
             p = jnp.float32(0.0)
         logits_fake = disc_apply(disc_params, recons)
         adv = g_adv(logits_fake.astype(jnp.float32))
         return rec, p, adv
 
-    def gen_loss(params, disc_params, imgs, step):
+    def gen_loss(params, disc_params, imgs, step, lp):
         z_q, cb, indices = vq.encode(params, imgs.astype(compute_dtype),
                                      cfg, train=True)
         recons = vq.decode(params, z_q, cfg)
         imgs_f = imgs.astype(jnp.float32)
-        rec, p, adv = _nll_and_adv(params, disc_params, imgs_f, recons)
+        rec, p, adv = _nll_and_adv(params, disc_params, imgs_f, recons, lp)
         dw = disc_gate(step)
 
         if loss_cfg.disc_adaptive_weight:
@@ -164,13 +169,14 @@ def make_vq_train_step(cfg: VQConfig, loss_cfg: VQLossConfig, tx_gen, tx_disc,
 
             def nll_of(kernel):
                 r2 = vq.decode(_swap_last(params, kernel), z_sg, cfg)
-                rec2, p2, _ = _nll_and_adv(params, disc_params, imgs_f, r2)
+                rec2, p2, _ = _nll_and_adv(params, disc_params, imgs_f, r2,
+                                           lp)
                 return (loss_cfg.reconstruction_weight * rec2
                         + loss_cfg.perceptual_weight * p2)
 
             def adv_of(kernel):
                 r2 = vq.decode(_swap_last(params, kernel), z_sg, cfg)
-                return _nll_and_adv(params, disc_params, imgs_f, r2)[2]
+                return _nll_and_adv(params, disc_params, imgs_f, r2, lp)[2]
 
             kernel = jax.lax.stop_gradient(
                 params["decoder"]["conv_out"]["kernel"])
@@ -204,11 +210,11 @@ def make_vq_train_step(cfg: VQConfig, loss_cfg: VQLossConfig, tx_gen, tx_disc,
                       "logits_real": jnp.mean(logits_real),
                       "logits_fake": jnp.mean(logits_fake)}
 
-    def train_step(state: VQTrainState, imgs):
+    def train_step(state: VQTrainState, imgs, lp):
         # generator update (ref: vq_train.py:187-204)
         (g_total, (recons, indices, g_metrics)), grads = jax.value_and_grad(
             gen_loss, has_aux=True)(state.params, state.disc_params, imgs,
-                                    state.step)
+                                    state.step, lp)
         updates, opt_state = tx_gen.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
 
@@ -237,7 +243,87 @@ def make_vq_train_step(cfg: VQConfig, loss_cfg: VQLossConfig, tx_gen, tx_disc,
                             disc_opt_state=disc_opt_state,
                             ema_params=ema, usage_window=window), metrics
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    return train_step
+
+
+def make_vq_train_step(cfg: VQConfig, loss_cfg: VQLossConfig, tx_gen, tx_disc,
+                       lpips_params=None, ema_decay: Optional[float] = None,
+                       compute_dtype=jnp.float32):
+    """Single-device convenience wrapper: `(state, imgs) -> (state, metrics)`
+    with lpips_params bound once. Mesh training uses `build_trainer`."""
+    fn = make_train_step_fn(cfg, loss_cfg, tx_gen, tx_disc,
+                            use_lpips=lpips_params is not None,
+                            ema_decay=ema_decay, compute_dtype=compute_dtype)
+    jfn = jax.jit(fn, donate_argnums=(0,))
+    lp = (jax.tree.map(jnp.asarray, lpips_params)
+          if lpips_params is not None else None)
+
+    def step(state, imgs):
+        return jfn(state, imgs, lp)
+
+    return step
+
+
+def build_trainer(cfg: VQConfig, loss_cfg: VQLossConfig, mesh: Mesh, *,
+                  lr: float = 1e-4, beta1: float = 0.9, beta2: float = 0.95,
+                  max_grad_norm: float = 1.0, use_ema: bool = False,
+                  ema_decay: float = 0.999, seed: int = 0,
+                  lpips_params=None, compute_dtype=jnp.float32):
+    """Mesh-sharded (data-parallel) VQ-GAN trainer: `(state, step_fn)`.
+
+    Replaces the reference's DDP stage-1 driver
+    (`/root/reference/tokenizer/tokenizer_image/vq_train.py:169-216`: DDP
+    wrap of model AND discriminator, torchrun-launched). TPU-native design:
+    the 72M generator + discriminator + both Adam states + the EMA all
+    REPLICATE (P()); the image batch splits over (dp, fsdp); XLA inserts the
+    gradient all-reduces from the sharding annotations — including the
+    discriminator's BatchNorm batch statistics, whose batch-mean reductions
+    become global psums, so the sharded step computes exactly the
+    single-device math (parity-tested on the virtual 8-device mesh). The
+    rolling 65536-entry usage window stays replicated: its append reads the
+    (sharded) index grid, which XLA all-gathers — 64 KB/step, noise.
+    """
+    tx_g = make_vq_optimizer(lr, beta1, beta2, max_grad_norm)
+    tx_d = make_vq_optimizer(lr, beta1, beta2, max_grad_norm)
+    repl = NamedSharding(mesh, P())
+
+    def init_fn(rng):
+        return init_vq_train_state(rng, cfg, loss_cfg, tx_g, tx_d,
+                                   use_ema=use_ema)
+
+    abstract = jax.eval_shape(init_fn, jax.random.PRNGKey(seed))
+    out_shardings = jax.tree.map(lambda _: repl, abstract)
+    state = jax.jit(init_fn, out_shardings=out_shardings)(
+        jax.random.PRNGKey(seed))
+
+    lp = (jax.device_put(lpips_params, repl)
+          if lpips_params is not None else None)
+    fn = make_train_step_fn(cfg, loss_cfg, tx_g, tx_d,
+                            use_lpips=lpips_params is not None,
+                            ema_decay=ema_decay if use_ema else None,
+                            compute_dtype=compute_dtype)
+    jfn = jax.jit(fn, donate_argnums=(0,))
+
+    def step_fn(state, imgs):
+        return jfn(state, imgs, lp)
+
+    return state, step_fn
+
+
+def shard_vq_batch(imgs, mesh: Mesh):
+    """Split an image batch [B, H, W, 3] across (dp, fsdp).
+
+    Single-process: `imgs` is the global batch (device_put sharded).
+    Multi-host: `imgs` holds THIS PROCESS's rows and the global array is
+    assembled from process-local shards (the reference's DistributedSampler
+    semantics, vq_train.py:120-133, without any gather)."""
+    import numpy as np
+
+    spec = P(("dp", "fsdp"))
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec), np.asarray(imgs))
+    return jax.device_put(imgs, NamedSharding(mesh, spec))
 
 
 def codebook_usage(indices: jnp.ndarray, codebook_size: int) -> jnp.ndarray:
