@@ -71,7 +71,7 @@ def _decode_attn_kernel(
     write_sem, recent_sem,
     *, block_s: int, scale: float, n_head: int, head_dim: int,
     kv_heads: int, use_prefix: bool, quantized: bool, w: int, batch: int,
-    per_b_window: bool,
+    per_b_window: bool, split_window: bool,
 ):
     """grid=(1,): one program walks all batch elements, next DMA always in
     flight. recent: [B, w, 2F] exact window (HBM, aliased in/out; the kernel
@@ -95,31 +95,42 @@ def _decode_attn_kernel(
         if rep == 1:
             return x
         return jnp.concatenate([x] * rep, axis=-1)
-    # Window staging (two modes):
+    # Window staging (three modes):
     #   bulk  — stage ALL batch rows' windows into a [B, w, 2F_kv] scratch
     #           by 8-row chunks, PREFIX-ONLY (rows past max_b(pos % w)
     #           hold no live entries), and write touched chunks back at
     #           the end. Fewest DMA issues; scratch grows with B and hits
     #           the 16 MB scoped-VMEM limit at ~96-128 slots (BENCH.md
     #           capacity sweeps).
+    #   split — bulk in TWO batch halves: stage rows [0, B/2), walk them,
+    #           write back + stage rows [B/2, B) at the midpoint. Halves
+    #           the scratch (unlocks the 128-slot tier the bulk mode
+    #           cannot compile) at +nch DMA issues per half-swap — still
+    #           ~B/8x fewer issues than per-b.
     #   per-b — stage ONE row's window into a [w, 2F_kv] scratch inside
     #           the batch walk and write back only the insert's 8-row
     #           chunk. Scratch is B-INDEPENDENT (no VMEM ceiling), costs
     #           ~B/4x more (tiny) DMA issues; selected automatically for
     #           large B by the wrapper.
     nch = w // 8
-    if not per_b_window:
+    half = (batch + 1) // 2 if split_window else batch
+
+    def _stage_group(row0, nrows):
+        """Stage window rows [row0, row0+nrows) (prefix-only) into
+        recent_scr rows [0, nrows); zero the dead chunks. row0/nrows are
+        trace-time constants."""
         rmax = jax.lax.fori_loop(
-            0, batch,
-            lambda bb, m: jnp.maximum(m, pos_ref[bb] % w),
+            0, nrows,
+            lambda bb, m: jnp.maximum(m, pos_ref[row0 + bb] % w),
             jnp.int32(0))
         nst = rmax // 8 + 1
         for c in range(nch):
             @pl.when(c < nst)
             def _(c=c):
                 ccp = pltpu.make_async_copy(
-                    recent_in.at[:, pl.ds(c * 8, 8)],
-                    recent_scr.at[:, pl.ds(c * 8, 8)], recent_sem)
+                    recent_in.at[pl.ds(row0, nrows), pl.ds(c * 8, 8)],
+                    recent_scr.at[pl.ds(0, nrows), pl.ds(c * 8, 8)],
+                    recent_sem)
                 ccp.start()
                 ccp.wait()
 
@@ -128,11 +139,41 @@ def _decode_attn_kernel(
             # accumulation
             @pl.when(c >= nst)
             def _(c=c):
-                recent_scr[:, c * 8:(c + 1) * 8] = jnp.zeros(
-                    (batch, 8, 2 * f_kv), recent_scr.dtype)
+                recent_scr[pl.ds(0, nrows), c * 8:(c + 1) * 8] = jnp.zeros(
+                    (nrows, 8, 2 * f_kv), recent_scr.dtype)
+
+    def _writeback_group(row0, nrows):
+        """Write back scratch rows [0, nrows) chunks that received an
+        insert (chunks in [min, max] of the group's pos%w//8 — all staged,
+        untouched staged rows rewrite their unchanged values)."""
+        cmin = jax.lax.fori_loop(
+            0, nrows,
+            lambda bb, m: jnp.minimum(m, (pos_ref[row0 + bb] % w) // 8),
+            jnp.int32(nch))
+        cmax = jax.lax.fori_loop(
+            0, nrows,
+            lambda bb, m: jnp.maximum(m, (pos_ref[row0 + bb] % w) // 8),
+            jnp.int32(0))
+        for c in range(nch):
+            @pl.when((cmin <= c) & (c <= cmax))
+            def _(c=c):
+                wcp = pltpu.make_async_copy(
+                    recent_scr.at[pl.ds(0, nrows), pl.ds(c * 8, 8)],
+                    recent_out.at[pl.ds(row0, nrows), pl.ds(c * 8, 8)],
+                    recent_sem)
+                wcp.start()
+                wcp.wait()
+
+    if not per_b_window:
+        _stage_group(0, half)
+
+    def local_row(b):
+        if split_window:
+            return jnp.where(b >= half, b - half, b)
+        return b
 
     def win_read(b):
-        return recent_scr[:] if per_b_window else recent_scr[b]
+        return recent_scr[:] if per_b_window else recent_scr[local_row(b)]
 
     def boundary_of(b):
         return (pos_ref[b] // w) * w
@@ -253,6 +294,13 @@ def _decode_attn_kernel(
     def outer(b, slot):
         bnd = boundary_of(b)
         nblk = nblk_of(b)
+        if split_window:
+            # midpoint swap: retire the first half's window rows, stage
+            # the second half's (the walk never revisits rows < half)
+            @pl.when(b == half)
+            def _():
+                _writeback_group(0, half)
+                _stage_group(half, batch - half)
         if per_b_window:
             # stage THIS row's live window chunks (prefix-only), zero the
             # rest; overlaps with the block-0 cache DMA already in flight
@@ -278,8 +326,9 @@ def _decode_attn_kernel(
             recent_scr[:] = jnp.where(j_w == pos_ref[b] - bnd,
                                       kv_new_ref[b], recent_scr[:])
         else:
-            recent_scr[b] = jnp.where(j_w == pos_ref[b] - bnd,
-                                      kv_new_ref[b], recent_scr[b])
+            bl = local_row(b)
+            recent_scr[bl] = jnp.where(j_w == pos_ref[b] - bnd,
+                                       kv_new_ref[b], recent_scr[bl])
         # scale folded into q once per (b, layer); int8 dequant scales fold
         # into the tiny [S_blk, H] scores/probs instead of [S_blk, F] rows
         q_row = q_ref[b, 0].astype(jnp.float32)[None, :] * scale
@@ -350,22 +399,13 @@ def _decode_attn_kernel(
     jax.lax.fori_loop(0, batch, outer, jnp.int32(0))
 
     if not per_b_window:
-        # write back only the chunks that received this step's insert (all
-        # of them are <= rmax//8, hence staged for every batch element;
-        # untouched staged rows write back their unchanged values)
-        cmin = jax.lax.fori_loop(
-            0, batch,
-            lambda bb, m: jnp.minimum(m, (pos_ref[bb] % w) // 8),
-            jnp.int32(nch))
-        cmax = rmax // 8
-        for c in range(nch):
-            @pl.when((cmin <= c) & (c <= cmax))
-            def _(c=c):
-                wcp = pltpu.make_async_copy(
-                    recent_scr.at[:, pl.ds(c * 8, 8)],
-                    recent_out.at[:, pl.ds(c * 8, 8)], recent_sem)
-                wcp.start()
-                wcp.wait()
+        # retire the group still in scratch: rows [half, batch) in split
+        # mode (the first half retired at the midpoint swap), all rows in
+        # bulk mode (where half == batch)
+        if split_window:
+            _writeback_group(half, batch - half)
+        else:
+            _writeback_group(0, batch)
 
 
 def decode_attention(q: jnp.ndarray, kv_new: jnp.ndarray,
@@ -449,17 +489,25 @@ def decode_attention(q: jnp.ndarray, kv_new: jnp.ndarray,
 
     # window staging mode: bulk [B, w, 2F_kv] scratch whenever it fits the
     # 16 MB scoped-VMEM budget (fastest — measured 5.48x vs per-b's 4.02x
-    # at the GPT-L 96-slot point), B-independent per-b staging beyond it
-    # (slower per step — its staging DMAs serialize per batch row — but it
-    # UNLOCKS slot counts the bulk mode cannot compile: 3B 32 slots
+    # at the GPT-L 96-slot point); split-bulk ([B/2, w, 2F_kv], two
+    # half-batch stage/retire phases) when only half fits — near-bulk DMA
+    # count, unlocks the 128-slot tier bulk cannot compile; B-independent
+    # per-b staging beyond that (slower per step — its staging DMAs
+    # serialize per batch row — but it has NO VMEM ceiling: 3B 32 slots
     # measured 2.57x vs the bulk ceiling's 2.49x; BENCH.md capacity
-    # sweeps). LLAMAGEN_WINDOW_MODE=bulk|perb overrides.
+    # sweeps). LLAMAGEN_WINDOW_MODE=bulk|split|perb overrides.
     mode = _os.environ.get("LLAMAGEN_WINDOW_MODE", "auto")
     bulk_bytes = b * w * 2 * f_kv * recent.dtype.itemsize
-    per_b_window = (mode == "perb" or
-                    (mode == "auto" and bulk_bytes > 12.25 * 2 ** 20))
+    budget = 12.25 * 2 ** 20
+    if mode == "auto":
+        mode = ("bulk" if bulk_bytes <= budget
+                else ("split" if b > 1 and bulk_bytes / 2 <= budget
+                      else "perb"))
+    per_b_window = mode == "perb"
+    split_window = mode == "split"
     win_scr_shape = ((w, 2 * f_kv) if per_b_window
-                     else (b, w, 2 * f_kv))
+                     else (((b + 1) // 2, w, 2 * f_kv) if split_window
+                           else (b, w, 2 * f_kv)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -493,7 +541,8 @@ def decode_attention(q: jnp.ndarray, kv_new: jnp.ndarray,
     kernel = functools.partial(
         _decode_attn_kernel, block_s=block_s, scale=scale, n_head=n_head,
         head_dim=head_dim, kv_heads=kv_heads, use_prefix=use_prefix,
-        quantized=quantized, w=w, batch=b, per_b_window=per_b_window)
+        quantized=quantized, w=w, batch=b, per_b_window=per_b_window,
+        split_window=split_window)
 
     out, kv_cache, kv_scale, recent = pl.pallas_call(
         kernel,

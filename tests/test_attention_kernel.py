@@ -368,3 +368,49 @@ def test_kernel_perb_per_slot_flush(monkeypatch):
     row flushes independently of its neighbours."""
     monkeypatch.setenv("LLAMAGEN_WINDOW_MODE", "perb")
     test_kernel_per_slot_positions()
+
+
+@pytest.mark.parametrize("pos", [0, 7, 63, 100, 255])
+def test_kernel_split_window_mode(pos, monkeypatch):
+    """Forced split-bulk window staging (two batch halves — the 128-slot
+    mode) matches the dense oracle at non-flush, flush, and wrap
+    positions. B=2 here makes the halves 1 row each, exercising the
+    midpoint writeback/stage swap on every call."""
+    monkeypatch.setenv("LLAMAGEN_WINDOW_MODE", "split")
+    out, expected, kv_upd, _, recent, boundary = _run(pos, seed=4)
+    np.testing.assert_allclose(out, expected, atol=2e-5, rtol=1e-4)
+    if pos % 8 == 7:  # flush step: window must land in the cache
+        np.testing.assert_allclose(kv_upd[:, boundary:pos + 1],
+                                   recent[:, :pos + 1 - boundary],
+                                   atol=1e-6)
+
+
+def test_kernel_split_per_slot_flush(monkeypatch):
+    """split mode with ragged per-slot positions (engine shape): the two
+    halves stage/retire independently with per-group live prefixes."""
+    monkeypatch.setenv("LLAMAGEN_WINDOW_MODE", "split")
+    test_kernel_per_slot_positions()
+
+
+def test_kernel_split_window_insert_persists(monkeypatch):
+    """split mode writes the non-flush insert back to HBM for BOTH
+    halves (the midpoint retire covers half 0, the tail retire half 1)."""
+    monkeypatch.setenv("LLAMAGEN_WINDOW_MODE", "split")
+    pos = 100  # boundary 96 -> insert at window slot 4, no flush
+    _, _, _, _, _, boundary = _run(pos, seed=6)
+    rng = np.random.RandomState(6)
+    q = rng.randn(B, H, D).astype(np.float32)
+    k_hist = rng.randn(B, pos + 1, H, D).astype(np.float32)
+    v_hist = rng.randn(B, pos + 1, H, D).astype(np.float32)
+    kv_cache = rng.randn(B, S, 2 * F).astype(np.float32)
+    merged = _merge(k_hist, v_hist)
+    kv_cache[:, :boundary] = merged[:, :boundary]
+    recent = rng.randn(B, RECENT, 2 * F).astype(np.float32)
+    recent[:, :pos - boundary] = merged[:, boundary:pos]
+    kv_new = merged[:, pos]
+    _, _, recent_upd = decode_attention(
+        jnp.asarray(q.reshape(B, F)), jnp.asarray(kv_new),
+        jnp.asarray(recent), jnp.asarray(kv_cache), jnp.int32(pos), H,
+        block_s=64, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(recent_upd)[:, pos - boundary], kv_new, atol=1e-6)
