@@ -68,6 +68,12 @@ def main(argv=None):
     p.add_argument("--wandb", action="store_true",
                    help="mirror metrics.jsonl to wandb when importable "
                         "(ref train_c2i_fsdp.py:148-154)")
+    p.add_argument("--remat", default="full",
+                   choices=["full", "save_attn", "none"],
+                   help="rematerialization policy: full layer remat "
+                        "(default), save_attn (selective — save each "
+                        "layer's attention output, recompute the rest), "
+                        "or none (needs activation memory headroom)")
     args = p.parse_args(argv)
 
     latent = args.image_size // args.downsample_size
@@ -93,7 +99,9 @@ def main(argv=None):
         cfg, mesh, lr=args.lr, weight_decay=args.weight_decay,
         beta1=args.beta1, beta2=args.beta2,
         max_grad_norm=args.max_grad_norm, warmup_steps=args.warmup_steps,
-        use_ema=not args.no_ema, seed=args.seed)
+        use_ema=not args.no_ema, seed=args.seed,
+        remat={"full": True, "save_attn": "save_attn",
+               "none": False}[args.remat])
 
     start_step = 0
     if args.resume:

@@ -26,6 +26,7 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 from llamagen_tpu.config import GPTConfig
 from llamagen_tpu.ops.quant_matmul import matmul_any
@@ -292,6 +293,13 @@ def _attention(p: Params, x: jnp.ndarray, freqs: jnp.ndarray,
         # cache-less einsum fallback: under bf16 compute, keep the S^2
         # score buffer bf16 too
         out = _sdpa(q, k, v, mask, cfg, bf16_scores=cache_kv is None)
+    if cache_kv is None:
+        # selective-remat anchor: under remat="save_attn" this [B, S, F]
+        # tensor is the ONLY saved residual per layer — the attention
+        # kernel's fwd is then pruned from the backward recompute (its
+        # own VJP residuals are q/k/v, rebuilt by the cheap wqkv matmul;
+        # only wo's backward needed this output). See _run_layers.
+        out = checkpoint_name(out, "attn_core")
     out = matmul_any(p, "wo", out)
     return out, new_cache
 
@@ -339,7 +347,7 @@ def _block(p: Params, h: jnp.ndarray, freqs: jnp.ndarray,
 def _run_layers(params: Params, h: jnp.ndarray, freqs: jnp.ndarray,
                 mask: Optional[jnp.ndarray], cfg: GPTConfig,
                 cache: Optional[KVCache] = None, pos=None,
-                dropout_rng=None, remat: bool = False):
+                dropout_rng=None, remat=False):
     """Scan a single compiled block over the stacked layer weights."""
     layers = params["layers"]
     n_layer = cfg.n_layer
@@ -367,7 +375,17 @@ def _run_layers(params: Params, h: jnp.ndarray, freqs: jnp.ndarray,
                             drop_path_rate=dpr_l)
             return out, None
 
-        if remat:
+        if remat == "save_attn":
+            # selective policy: save each layer's attention-core output
+            # (the "attn_core" name above) and recompute everything else.
+            # Trades +[B, S, F] bf16 HBM per layer for skipping the
+            # attention kernel's fwd in the backward recompute — the
+            # single most expensive op in the step anatomy (BENCH.md).
+            scan_fn = jax.checkpoint(
+                scan_fn,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "attn_core"))
+        elif remat:
             scan_fn = jax.checkpoint(scan_fn)
         if layer_rngs is not None:
             xs = ((layers, layer_rngs, dpr) if dpr is not None
@@ -429,7 +447,7 @@ def forward_train(params: Params, cfg: GPTConfig, cond: jnp.ndarray,
                   idx: jnp.ndarray, targets: Optional[jnp.ndarray] = None,
                   valid: Optional[jnp.ndarray] = None,
                   rng=None, train: bool = True,
-                  compute_dtype=jnp.float32, remat: bool = False):
+                  compute_dtype=jnp.float32, remat=False):
     """Full-sequence teacher-forced forward (ref: gpt.py:341-346,358-381).
 
     cond: [B] labels or [B,T,caption_dim]; idx: [B, block_size-?] token ids

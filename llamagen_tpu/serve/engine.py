@@ -780,10 +780,18 @@ class ServeEngine:
             "e2e_latency_mean_s": float(lat.mean()) if lat is not None else None,
             "e2e_latency_p50_s": float(np.percentile(lat, 50))
             if lat is not None else None,
+            "e2e_latency_p95_s": float(np.percentile(lat, 95))
+            if lat is not None else None,
             "e2e_latency_p99_s": float(np.percentile(lat, 99))
             if lat is not None else None,
             "ttft_mean_s": float(ttft.mean()) if ttft is not None else None,
             "ttft_p50_s": float(np.percentile(ttft, 50))
             if ttft is not None else None,
+            "ttft_p95_s": float(np.percentile(ttft, 95))
+            if ttft is not None else None,
             "tpot_mean_s": float(tpot.mean()) if tpot is not None else None,
+            "tpot_p50_s": float(np.percentile(tpot, 50))
+            if tpot is not None else None,
+            "tpot_p95_s": float(np.percentile(tpot, 95))
+            if tpot is not None else None,
         }

@@ -32,7 +32,7 @@ class Batch(NamedTuple):
 
 
 def loss_fn(params, cfg: GPTConfig, batch: Batch, rng,
-            compute_dtype=jnp.bfloat16, remat: bool = True):
+            compute_dtype=jnp.bfloat16, remat=True):
     """Teacher-forced CE over the code grid (ref: gpt.py:370-381)."""
     _, loss = gpt.forward_train(
         params, cfg, batch.labels, batch.tokens[:, :-1],
@@ -43,7 +43,7 @@ def loss_fn(params, cfg: GPTConfig, batch: Batch, rng,
 
 def make_train_step(cfg: GPTConfig, tx: optax.GradientTransformation,
                     ema_decay: Optional[float] = 0.9999,
-                    compute_dtype=jnp.bfloat16, remat: bool = True):
+                    compute_dtype=jnp.bfloat16, remat=True):
     """Build the jitted train step; sharding propagates from input placement."""
 
     def train_step(state: TrainState, batch: Batch, rng):
@@ -85,7 +85,7 @@ def build_trainer(cfg: GPTConfig, mesh: Mesh, *, lr: float = 1e-4,
                   warmup_steps: int = 0, use_ema: bool = True,
                   ema_decay: float = 0.9999, seed: int = 0,
                   param_dtype=jnp.float32, compute_dtype=jnp.bfloat16,
-                  remat: bool = True):
+                  remat=True):
     """Initialize a mesh-sharded train state and the jitted step function.
 
     Parameters are initialized directly into their FSDP/TP shards (no

@@ -32,7 +32,7 @@ class T2IBatch(NamedTuple):
 
 def t2i_loss_fn(gpt_params, vq_params, gpt_cfg: GPTConfig, vq_cfg: VQConfig,
                 batch: T2IBatch, rng, compute_dtype=jnp.bfloat16,
-                remat: bool = True):
+                remat=True):
     # online VQ tokenization (frozen tokenizer — stop_gradient)
     _, _, idx = vq.encode(jax.lax.stop_gradient(vq_params),
                           batch.images.astype(compute_dtype), vq_cfg)
@@ -54,7 +54,7 @@ def t2i_loss_fn(gpt_params, vq_params, gpt_cfg: GPTConfig, vq_cfg: VQConfig,
 def make_t2i_train_step(gpt_cfg: GPTConfig, vq_cfg: VQConfig,
                         tx: optax.GradientTransformation, vq_params,
                         ema_decay: Optional[float] = 0.9999,
-                        compute_dtype=jnp.bfloat16, remat: bool = True):
+                        compute_dtype=jnp.bfloat16, remat=True):
     """vq_params are closure constants (frozen tokenizer)."""
 
     def train_step(state: TrainState, batch: T2IBatch, rng):
@@ -82,7 +82,7 @@ def build_trainer(gpt_cfg: GPTConfig, vq_cfg: VQConfig, vq_params, mesh, *,
                   max_grad_norm: float = 1.0, warmup_steps: int = 0,
                   use_ema: bool = True, ema_decay: float = 0.9999,
                   seed: int = 0, param_dtype=jnp.float32,
-                  compute_dtype=jnp.bfloat16, remat: bool = True):
+                  compute_dtype=jnp.bfloat16, remat=True):
     """Mesh-sharded t2i trainer (same DP/FSDP/TP semantics as train.c2i;
     the frozen VQ encoder is replicated). Ref driver:
     autoregressive/train/train_t2i.py:154-164."""

@@ -1,11 +1,15 @@
 """Serving-engine throughput bench (not pytest).
 
 Usage: python tests/bench_engine.py [GPT-L] [--pairs 16] [--reqs 48]
-         [--bf16 | --w4k | --w4k-pc]
+         [--bf16 | --w8 | --w4k | --w4k-pc | --w4k-g64] [--stats]
 
 Default: GPT-L 384, 16 CFG pairs, 48 queued requests, int8 KV + W8A16.
-Baselines: A100+vLLM serve table seconds per 8-image batch."""
+Baselines: A100+vLLM serve table seconds per 8-image batch.
+--stats prints the full engine.stats() dict (e2e/TTFT/TPOT p50/p95) —
+the latency side of the throughput headline (vLLM StatLogger parity,
+/root/reference/autoregressive/serve/llm_engine.py:588-659)."""
 
+import json
 import sys
 import time
 
@@ -19,7 +23,8 @@ BASELINE_S = {"GPT-B": 2.39, "GPT-L": 3.48, "GPT-XL": 4.84,
               "GPT-XXL": 6.36, "GPT-3B": 6.26}
 
 
-def main(name="GPT-L", pairs=16, n_req=48, int8_weights=True, w4k=None):
+def main(name="GPT-L", pairs=16, n_req=48, int8_weights=True, w4k=None,
+         show_stats=False):
     from llamagen_tpu.config import gpt_config
     from llamagen_tpu.models import gpt
     from llamagen_tpu.ops.quant_matmul import quantize_gpt_params
@@ -31,8 +36,9 @@ def main(name="GPT-L", pairs=16, n_req=48, int8_weights=True, w4k=None):
         # W4A16 Pallas kernel path; at 32 slots the grouped mode's segment
         # dots amortize over 2x the batch rows (ops/w4_matmul.py)
         from llamagen_tpu.ops.w4_matmul import quantize_gpt_params_w4k
-        params = quantize_gpt_params_w4k(params, per_channel=(w4k == "pc"),
-                                         int8_head=True)
+        params = quantize_gpt_params_w4k(
+            params, per_channel=(w4k == "pc"), int8_head=True,
+            group_size=64 if w4k == "g64" else 128)
     elif int8_weights:
         # at 32 slots the int8 head DOES fuse profitably (batch-dependent
         # XLA fusion choice; at batch 16 the bf16 head wins — BENCH.md)
@@ -44,25 +50,35 @@ def main(name="GPT-L", pairs=16, n_req=48, int8_weights=True, w4k=None):
                       cache_dtype=jnp.int8, use_kernel=True)
     # warm: one full drain at small load (compiles chunk + harvest paths)
     eng.generate(list(range(4)))
+    # reset gauges so stats() reflects only the measured run
+    eng._latencies, eng._ttfts = [], []
+    eng._completed, eng._started = 0, time.time()
 
     labels = list(np.arange(n_req) * 17 % 1000)
     t0 = time.time()
     out = eng.generate(labels)
     dt = time.time() - t0
     ips = n_req / dt
-    tag = f"+w4k-{w4k}" if w4k else ("+int8w" if int8_weights else "")
+    tag = (f"+w4k-{w4k}" if w4k
+           else ("+int8w" if int8_weights else ""))
     base = 8.0 / BASELINE_S[name]
     print(f"engine {name} 384 ({pairs} pairs) int8kv{tag}: "
           f"{n_req} reqs in {dt:.2f}s = {ips:.3f} img/s "
           f"(vs_baseline {ips / base:.3f})")
+    if show_stats:
+        print("stats " + json.dumps(
+            {k: (round(v, 4) if isinstance(v, float) else v)
+             for k, v in eng.stats().items()}))
     assert out.shape == (n_req, 576)
 
 
 if __name__ == "__main__":
     args = sys.argv[1:]
     w4k = ("pc" if "--w4k-pc" in args
-           else ("g" if "--w4k" in args else None))
+           else ("g64" if "--w4k-g64" in args
+                 else ("g" if "--w4k" in args else None)))
     name = next((a for a in args if a.startswith("GPT-")), "GPT-L")
     pairs = int(args[args.index("--pairs") + 1]) if "--pairs" in args else 16
     n_req = int(args[args.index("--reqs") + 1]) if "--reqs" in args else 48
-    main(name, pairs, n_req, int8_weights=not ("--bf16" in args), w4k=w4k)
+    main(name, pairs, n_req, int8_weights=not ("--bf16" in args), w4k=w4k,
+         show_stats="--stats" in args)

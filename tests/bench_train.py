@@ -4,7 +4,10 @@ The reference publishes no training throughput, so this line documents
 our own: tokens/sec and model-FLOPs-utilization for the pjit'd training
 step (`train/c2i.py` — fused forward+backward+adamw+ema, bf16 compute).
 
-Usage: python tests/bench_train.py [GPT-B] [batch]
+Usage: python tests/bench_train.py [GPT-B] [batch] [--save-attn]
+  --save-attn: selective remat (save each layer's attention-core output,
+  recompute only the rest — skips the attention kernel fwd in the
+  backward recompute at +[B,S,F] bf16 HBM per layer)
 """
 
 import json
@@ -20,7 +23,7 @@ import numpy as np
 V5E_BF16_FLOPS = 197e12  # peak per chip
 
 
-def main(model="GPT-B", batch=256):
+def main(model="GPT-B", batch=256, remat=True):
     from llamagen_tpu.config import gpt_config
     from llamagen_tpu.parallel.mesh import make_mesh
     from llamagen_tpu.train import c2i
@@ -28,7 +31,7 @@ def main(model="GPT-B", batch=256):
     latent = 16
     cfg = gpt_config(model, block_size=latent * latent, cls_token_num=1)
     mesh = make_mesh(1, 1, 1)
-    state, step_fn = c2i.build_trainer(cfg, mesh)
+    state, step_fn = c2i.build_trainer(cfg, mesh, remat=remat)
 
     rng = np.random.RandomState(0)
     batch_data = c2i.shard_batch(c2i.Batch(
@@ -51,6 +54,7 @@ def main(model="GPT-B", batch=256):
     flops = 6 * n_params * tokens  # fwd+bwd matmul FLOPs
     print(json.dumps({
         "model": model, "batch": batch,
+        "remat": remat if isinstance(remat, str) else "full",
         "sec_per_step": round(dt, 4),
         "tokens_per_sec": round(tokens / dt),
         "samples_per_sec": round(batch / dt, 1),
@@ -59,5 +63,7 @@ def main(model="GPT-B", batch=256):
 
 
 if __name__ == "__main__":
-    main(*(sys.argv[1:2] or ["GPT-B"]),
-         *(int(a) for a in sys.argv[2:3]))
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    remat = "save_attn" if "--save-attn" in sys.argv else True
+    main(*(args[0:1] or ["GPT-B"]), *(int(a) for a in args[1:2]),
+         remat=remat)
