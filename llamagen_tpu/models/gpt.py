@@ -280,14 +280,14 @@ def _attention(p: Params, x: jnp.ndarray, freqs: jnp.ndarray,
         # forward_train's mask is always pure causal (t2i folds caption
         # validity into the embeddings, train/t2i.py:41-44), which the
         # kernel applies internally.
-        from llamagen_tpu.ops.train_attention import causal_attention_bshd
+        from llamagen_tpu.ops.train_attention import causal_attention_padded
 
         kk, vv = k, v
         if cfg.kv_heads != cfg.n_head:
             rep = cfg.n_head // cfg.kv_heads
             kk = jnp.repeat(kk, rep, axis=2)
             vv = jnp.repeat(vv, rep, axis=2)
-        out = causal_attention_bshd(q, kk, vv, cfg.head_dim ** -0.5)
+        out = causal_attention_padded(q, kk, vv, cfg.head_dim ** -0.5)
         out = out.reshape(*q.shape[:2], cfg.n_head * cfg.head_dim)
     else:
         # cache-less einsum fallback: under bf16 compute, keep the S^2

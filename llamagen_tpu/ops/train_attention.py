@@ -22,9 +22,14 @@ Backward is the same structure (recompute scores from q/k in VMEM, then
 dv = pᵀ·do, dp = do·vᵀ, ds = p∘(dp − rowsum(dp∘p)), dq = ds·k,
 dk = dsᵀ·q), wired through jax.custom_vjp.
 
-Supported: head_dim multiple of 8 (static lane slices; every zoo model
-except GPT-3B's head_dim=100 — 3B trains in the FSDP regime and falls
-back to the einsum path). Replaces `F.scaled_dot_product_attention`
+Supported: ANY head_dim. Multiples of 8 run native (static lane
+slices); others (GPT-3B's head_dim=100) go through the zero-padding
+wrapper `causal_attention_padded` — q/k pad lanes contribute exactly 0
+to every score and the padded v lanes of the output slice off, so the
+math is bit-identical to the unpadded kernel at +(pad/d) q/k/v/o HBM
+traffic (3B: 100->104, +4%; LLAMAGEN_TRAIN_ATTN_PAD=128 forces full
+128-lane alignment if Mosaic rejects 104-lane slices). Replaces
+`F.scaled_dot_product_attention`
 (`/root/reference/autoregressive/models/gpt.py:232`) on the training
 path; decode keeps its own streaming kernel (ops/attention.py).
 """
@@ -43,7 +48,8 @@ NEG = -1e30  # python float: a jnp scalar would be a captured constant
 
 
 def supported(n_head: int, head_dim: int) -> bool:
-    return head_dim % 8 == 0
+    """Every head_dim is kernel-eligible (padding wrapper below)."""
+    return True
 
 
 def _causal(s: int):
@@ -167,3 +173,26 @@ def _bwd(scale, interpret, res, do):
 
 
 causal_attention_bshd.defvjp(_fwd, _bwd)
+
+
+def causal_attention_padded(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                            scale: float,
+                            interpret: Optional[bool] = None) -> jnp.ndarray:
+    """head_dim-agnostic entry: pads D to the kernel's lane-slice
+    alignment (next multiple of 8; LLAMAGEN_TRAIN_ATTN_PAD=128 forces
+    128) and slices the output back. Zero q/k pad lanes add exactly 0 to
+    every score; padded v lanes produce output lanes that are sliced
+    off — bit-identical math, +(pad/d) HBM traffic (3B head_dim 100:
+    +4% at pad 104). Gradients flow through pad/slice transparently
+    (both are linear)."""
+    import os
+
+    d = q.shape[-1]
+    align = int(os.environ.get("LLAMAGEN_TRAIN_ATTN_PAD", "8"))
+    dp = -(-d // align) * align
+    if dp == d:
+        return causal_attention_bshd(q, k, v, scale, interpret)
+    padw = ((0, 0),) * (q.ndim - 1) + ((0, dp - d),)
+    out = causal_attention_bshd(jnp.pad(q, padw), jnp.pad(k, padw),
+                                jnp.pad(v, padw), scale, interpret)
+    return out[..., :d]

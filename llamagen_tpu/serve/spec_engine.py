@@ -342,7 +342,23 @@ class SpecEngine:
                  chunk_rounds: int = 16, seed: int = 0,
                  compute_dtype=jnp.bfloat16,
                  use_kernel: Optional[bool] = None,
-                 force_accept: Optional[int] = None):
+                 force_accept: Optional[int] = None,
+                 mesh=None, tp: int = 1):
+        if mesh is not None or tp != 1:
+            # Documented won't-do (PARITY.md): TP composition requires
+            # shard_mapping BOTH models' kernels (the target's chunk-verify
+            # kernel AND the draft's decode kernel) over the tp axis — the
+            # machinery exists per-kernel (parallel/tp_decode.py) but the
+            # spec round interleaves them with host-side accept logic that
+            # would serialize cross-chip. Speculation's win is weights-
+            # bound single-chip decode; multi-chip serving of XXL/3B
+            # should use ServeEngine(mesh=, tp=) whose TP stack already
+            # beats the spec break-even there.
+            raise NotImplementedError(
+                "SpecEngine is single-chip by design: use ServeEngine with "
+                "mesh=/tp= for multi-chip serving, or SpecEngine on one "
+                "chip for the weights-bound tail (see PARITY.md, "
+                "'speculative engine' section).")
         assert draft_cfg.vocab_size == cfg.vocab_size
         assert draft_cfg.cls_token_num == cfg.cls_token_num
         assert draft_cfg.model_type == cfg.model_type

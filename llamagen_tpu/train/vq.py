@@ -116,7 +116,7 @@ def init_vq_train_state(key, cfg: VQConfig, loss_cfg: VQLossConfig,
 
 
 def make_train_step_fn(cfg: VQConfig, loss_cfg: VQLossConfig, tx_gen, tx_disc,
-                       *, use_lpips: bool,
+                       *, use_lpips: bool, use_disc: bool = True,
                        ema_decay: Optional[float] = None,
                        compute_dtype=jnp.float32):
     """Un-jitted combined generator+discriminator step
@@ -125,6 +125,9 @@ def make_train_step_fn(cfg: VQConfig, loss_cfg: VQLossConfig, tx_gen, tx_disc,
     lpips_params travels as a runtime ARGUMENT (not a closure constant) so
     the ~15M-param VGG tree is a device-resident operand instead of an HLO
     constant blob in the compile payload; `use_lpips` is the static switch.
+    use_disc=False statically removes the discriminator forward AND its
+    update (a runtime disc_weight=0 still pays both) — for GAN-free
+    warm-up phases and the step-anatomy bench.
     """
     disc_apply = disc_lib.DISC_APPLY[loss_cfg.disc_type]
     d_loss = D_LOSSES[loss_cfg.disc_loss]
@@ -150,8 +153,11 @@ def make_train_step_fn(cfg: VQConfig, loss_cfg: VQLossConfig, tx_gen, tx_disc,
             p = lpips_lib.lpips_mean(lp, imgs_f, recons_f)
         else:
             p = jnp.float32(0.0)
-        logits_fake = disc_apply(disc_params, recons)
-        adv = g_adv(logits_fake.astype(jnp.float32))
+        if use_disc:
+            logits_fake = disc_apply(disc_params, recons)
+            adv = g_adv(logits_fake.astype(jnp.float32))
+        else:
+            adv = jnp.float32(0.0)
         return rec, p, adv
 
     def gen_loss(params, disc_params, imgs, step, lp):
@@ -219,12 +225,19 @@ def make_train_step_fn(cfg: VQConfig, loss_cfg: VQLossConfig, tx_gen, tx_disc,
         params = optax.apply_updates(state.params, updates)
 
         # discriminator update (ref: vq_train.py:206-216)
-        (d_total, d_metrics), d_grads = jax.value_and_grad(
-            disc_loss, has_aux=True)(state.disc_params, imgs, recons,
-                                     state.step)
-        d_updates, disc_opt_state = tx_disc.update(
-            d_grads, state.disc_opt_state, state.disc_params)
-        disc_params = optax.apply_updates(state.disc_params, d_updates)
+        if use_disc:
+            (d_total, d_metrics), d_grads = jax.value_and_grad(
+                disc_loss, has_aux=True)(state.disc_params, imgs, recons,
+                                         state.step)
+            d_updates, disc_opt_state = tx_disc.update(
+                d_grads, state.disc_opt_state, state.disc_params)
+            disc_params = optax.apply_updates(state.disc_params, d_updates)
+        else:
+            d_metrics = {"disc_loss": jnp.float32(0.0),
+                         "logits_real": jnp.float32(0.0),
+                         "logits_fake": jnp.float32(0.0)}
+            disc_params = state.disc_params
+            disc_opt_state = state.disc_opt_state
 
         ema = state.ema_params
         if ema is not None and ema_decay is not None:
@@ -268,7 +281,8 @@ def build_trainer(cfg: VQConfig, loss_cfg: VQLossConfig, mesh: Mesh, *,
                   lr: float = 1e-4, beta1: float = 0.9, beta2: float = 0.95,
                   max_grad_norm: float = 1.0, use_ema: bool = False,
                   ema_decay: float = 0.999, seed: int = 0,
-                  lpips_params=None, compute_dtype=jnp.float32):
+                  lpips_params=None, use_disc: bool = True,
+                  compute_dtype=jnp.float32):
     """Mesh-sharded (data-parallel) VQ-GAN trainer: `(state, step_fn)`.
 
     Replaces the reference's DDP stage-1 driver
@@ -300,6 +314,7 @@ def build_trainer(cfg: VQConfig, loss_cfg: VQLossConfig, mesh: Mesh, *,
           if lpips_params is not None else None)
     fn = make_train_step_fn(cfg, loss_cfg, tx_g, tx_d,
                             use_lpips=lpips_params is not None,
+                            use_disc=use_disc,
                             ema_decay=ema_decay if use_ema else None,
                             compute_dtype=compute_dtype)
     jfn = jax.jit(fn, donate_argnums=(0,))

@@ -1,7 +1,7 @@
 """Speculative serving-engine throughput bench (not pytest).
 
 Usage: python tests/bench_spec_engine.py [GPT-XXL] [--draft GPT-B]
-         [--pairs 8] [--reqs 24] [--k 4] [--acc 0|2|4|-1]
+         [--pairs 8] [--reqs 24] [--k 4] [--acc 0|2|4|-1] [--w8]
 
 Continuous batching with draft/verify rounds (serve/spec_engine.py).
 --acc pins the per-round commit count via force_accept (all compute
@@ -29,7 +29,8 @@ BASELINE_S = {"GPT-B": 2.39, "GPT-L": 3.48, "GPT-XL": 4.84,
               "GPT-XXL": 6.36, "GPT-3B": 6.26}
 
 
-def main(name="GPT-XXL", draft="GPT-B", pairs=8, n_req=24, k=4, acc=4):
+def main(name="GPT-XXL", draft="GPT-B", pairs=8, n_req=24, k=4, acc=4,
+         w8=False):
     from llamagen_tpu.config import gpt_config
     from llamagen_tpu.models import gpt
     from llamagen_tpu.serve.engine import SamplingParams
@@ -40,6 +41,13 @@ def main(name="GPT-XXL", draft="GPT-B", pairs=8, n_req=24, k=4, acc=4):
     params = gpt.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     dparams = gpt.init_params(jax.random.PRNGKey(1), dcfg,
                               dtype=jnp.bfloat16)
+    if w8:
+        # W8A16 target+draft: the batch-path cross-check says the spec
+        # round is NOT weight-stream-bound (BENCH.md), so this should be
+        # ~free — this flag confirms it in the ENGINE
+        from llamagen_tpu.ops.quant_matmul import quantize_gpt_params
+        params = quantize_gpt_params(params)
+        dparams = quantize_gpt_params(dparams)
 
     eng = SpecEngine(params, dparams, cfg, dcfg, num_pairs=pairs,
                      max_new_tokens=576, k=k,
@@ -55,7 +63,8 @@ def main(name="GPT-XXL", draft="GPT-B", pairs=8, n_req=24, k=4, acc=4):
     ips = n_req / dt
     base = 8.0 / BASELINE_S[name]
     st = eng.stats()
-    print(f"spec engine {name}<-{draft} k={k} acc={acc} ({pairs} pairs): "
+    wtag = " w8a16" if w8 else ""
+    print(f"spec engine {name}<-{draft} k={k} acc={acc} ({pairs} pairs){wtag}: "
           f"{n_req} reqs in {dt:.2f}s = {ips:.3f} img/s "
           f"(vs_baseline {ips / base:.3f}) "
           f"tokens/round/slot {st['tokens_per_round_per_slot']:.2f} "
@@ -71,4 +80,4 @@ if __name__ == "__main__":
     n_req = int(a[a.index("--reqs") + 1]) if "--reqs" in a else 24
     k = int(a[a.index("--k") + 1]) if "--k" in a else 4
     acc = int(a[a.index("--acc") + 1]) if "--acc" in a else 4
-    main(name, draft, pairs, n_req, k, acc)
+    main(name, draft, pairs, n_req, k, acc, w8="--w8" in a)

@@ -13,11 +13,16 @@ import time
 sys.path.insert(0, "/root/repo")
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 import jax.numpy as jnp
 import numpy as np
 
 
-def main(int8_weights=True, w4k=None, image_size=256, n_req=24, pairs=8):
+def main(int8_weights=True, w4k=None, image_size=256, n_req=24, pairs=8,
+         show_stats=False):
     from llamagen_tpu.config import gpt_config
     from llamagen_tpu.models import gpt
     from llamagen_tpu.ops.quant_matmul import quantize_gpt_params
@@ -48,6 +53,9 @@ def main(int8_weights=True, w4k=None, image_size=256, n_req=24, pairs=8):
                       cache_dtype=jnp.int8, use_kernel=True)
     eng.generate_t2i(caps[:2], masks[:2])  # warm (chunk + admit compiles)
 
+    import time as _t
+    eng._latencies, eng._ttfts = [], []
+    eng._completed, eng._started = 0, _t.time()
     t0 = time.time()
     out = eng.generate_t2i(caps, masks)
     dt = time.time() - t0
@@ -55,6 +63,11 @@ def main(int8_weights=True, w4k=None, image_size=256, n_req=24, pairs=8):
     print(f"t2i engine GPT-XL {image_size} (120-tok captions, "
           f"int8kv{tag}, {pairs} pairs): "
           f"{n_req} reqs in {dt:.2f}s = {n_req / dt:.3f} img/s")
+    if show_stats:
+        import json
+        print("stats " + json.dumps(
+            {k: (round(v, 4) if isinstance(v, float) else v)
+             for k, v in eng.stats().items()}))
     assert out.shape == (n_req, cfg.block_size)
 
 
@@ -65,4 +78,4 @@ if __name__ == "__main__":
     n_req = int(a[a.index("--reqs") + 1]) if "--reqs" in a else 24
     pairs = int(a[a.index("--pairs") + 1]) if "--pairs" in a else 8
     main(int8_weights=not ("--bf16" in a), w4k=w4k, image_size=size,
-         n_req=n_req, pairs=pairs)
+         n_req=n_req, pairs=pairs, show_stats="--stats" in a)
