@@ -87,9 +87,10 @@ def main():
         "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 3),
     }
 
-    # Engine mode (continuous batching at measured capacity: 48 CFG pairs
-    # = 96 slots; 64 pairs exceeds the 16 MB scoped-VMEM window staging,
-    # BENCH.md capacity sweep): the vLLM-equivalent throughput
+    # Engine mode (continuous batching at measured capacity: 64 CFG pairs
+    # = 128 slots — the r5 split window-staging mode lifted the 16 MB
+    # scoped-VMEM ceiling that capped r4 at 48 pairs; BENCH.md
+    # latency-throughput curve): the vLLM-equivalent throughput
     # comparison. Reported as the headline; the batch-8 row above matches
     # the reference benchmark's exact operating point (extra fields).
     if not os.environ.get("BENCH_SKIP_ENGINE"):
@@ -100,7 +101,7 @@ def main():
                                    dtype=jnp.bfloat16)
         # at >=32 slots the int8 head fuses profitably (BENCH.md)
         params_e = quantize_gpt_params(params_e, quantize_head=True)
-        pairs = int(os.environ.get("BENCH_ENGINE_PAIRS", "48"))
+        pairs = int(os.environ.get("BENCH_ENGINE_PAIRS", "64"))
         eng = ServeEngine(params_e, cfg, num_pairs=pairs,
                           max_new_tokens=576,
                           sampling_params=SamplingParams(cfg_scale=2.0),
