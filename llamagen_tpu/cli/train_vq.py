@@ -90,6 +90,13 @@ def main(argv=None):
     p.add_argument("--lpips-lins", default=
                    "/root/reference/tokenizer/tokenizer_image/cache/vgg.pth")
     p.add_argument("--ema", action="store_true")
+    p.add_argument("--mixed-precision", default="bf16",
+                   choices=["none", "bf16"],
+                   help="autocast compute dtype (ref vq_train.py:314 "
+                        "default bf16); params/optimizer stay f32")
+    p.add_argument("--no-remat", action="store_true",
+                   help="disable per-block activation checkpointing "
+                        "(remat is required for 256px batches >=32/chip)")
     p.add_argument("--dp", type=int, default=-1,
                    help="data-parallel mesh size (-1 = all devices; the "
                         "reference's DDP over the cluster, vq_train.py:169)")
@@ -123,9 +130,13 @@ def main(argv=None):
     mesh = make_mesh(dp=args.dp)
     logger.info(f"mesh: dp={mesh.shape['dp']} over {len(jax.devices())} "
                 f"device(s)")
+    import jax.numpy as jnp
     state, step_fn = vq_train.build_trainer(
         cfg, loss_cfg, mesh, lr=args.lr, use_ema=args.ema,
-        ema_decay=0.999, seed=args.seed, lpips_params=lpips_params)
+        ema_decay=0.999, seed=args.seed, lpips_params=lpips_params,
+        compute_dtype=(jnp.bfloat16 if args.mixed_precision == "bf16"
+                       else jnp.float32),
+        remat=not args.no_remat)
 
     if args.synthetic_steps > 0:
         batches = synthetic_batches(args.image_size, args.global_batch_size,

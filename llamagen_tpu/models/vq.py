@@ -127,41 +127,56 @@ def upsample(params: Params, x: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def encoder_apply(params: Params, x: jnp.ndarray, cfg: VQConfig) -> jnp.ndarray:
-    """Conv encoder NHWC [B,H,W,3] -> [B,h,w,z_channels] (ref: vq_model.py:64-124)."""
+def encoder_apply(params: Params, x: jnp.ndarray, cfg: VQConfig,
+                  remat: bool = False) -> jnp.ndarray:
+    """Conv encoder NHWC [B,H,W,3] -> [B,h,w,z_channels] (ref: vq_model.py:64-124).
+
+    remat=True checkpoints each resnet/attn block for training: only block
+    INPUTS are saved for the backward pass instead of the ~6 internal
+    full-resolution temps per block (the 256px f32 step OOMs 16 GB HBM at
+    batch 32 without this). Recompute is deterministic — same HLO — so
+    losses are bit-identical to the no-remat program.
+    """
+    res_f = jax.checkpoint(resnet_block) if remat else resnet_block
+    attn_f = jax.checkpoint(attn_block) if remat else attn_block
     num_res = len(cfg.encoder_ch_mult)
     h = conv2d(params["conv_in"], x)
     for i_level in range(num_res):
         level = params["down"][i_level]
         for i_block in range(cfg.num_res_blocks):
-            h = resnet_block(level["res"][i_block], h)
+            h = res_f(level["res"][i_block], h)
             if i_level == num_res - 1:
-                h = attn_block(level["attn"][i_block], h)
+                h = attn_f(level["attn"][i_block], h)
         if i_level != num_res - 1:
             h = downsample(level["downsample"], h)
-    h = resnet_block(params["mid"][0], h)
-    h = attn_block(params["mid"][1], h)
-    h = resnet_block(params["mid"][2], h)
+    h = res_f(params["mid"][0], h)
+    h = attn_f(params["mid"][1], h)
+    h = res_f(params["mid"][2], h)
     h = group_norm(params["norm_out"], h)
     h = swish(h)
     return conv2d(params["conv_out"], h)
 
 
-def decoder_apply(params: Params, z: jnp.ndarray, cfg: VQConfig) -> jnp.ndarray:
-    """Conv decoder NHWC [B,h,w,z_channels] -> [B,H,W,3] (ref: vq_model.py:128-194)."""
+def decoder_apply(params: Params, z: jnp.ndarray, cfg: VQConfig,
+                  remat: bool = False) -> jnp.ndarray:
+    """Conv decoder NHWC [B,h,w,z_channels] -> [B,H,W,3] (ref: vq_model.py:128-194).
+
+    remat: checkpoint each block (see encoder_apply)."""
+    res_f = jax.checkpoint(resnet_block) if remat else resnet_block
+    attn_f = jax.checkpoint(attn_block) if remat else attn_block
     num_res = len(cfg.decoder_ch_mult)
     h = conv2d(params["conv_in"], z)
-    h = resnet_block(params["mid"][0], h)
-    h = attn_block(params["mid"][1], h)
-    h = resnet_block(params["mid"][2], h)
+    h = res_f(params["mid"][0], h)
+    h = attn_f(params["mid"][1], h)
+    h = res_f(params["mid"][2], h)
     # `up` is stored in application order (highest level first, ref iterates
     # reversed(range(num_resolutions)) at construction and then forward in order)
     for i_level in range(num_res):
         level = params["up"][i_level]
         for i_block in range(cfg.num_res_blocks + 1):
-            h = resnet_block(level["res"][i_block], h)
+            h = res_f(level["res"][i_block], h)
             if i_level == 0:
-                h = attn_block(level["attn"][i_block], h)
+                h = attn_f(level["attn"][i_block], h)
         if i_level != num_res - 1:
             h = upsample(level["upsample"], h)
     h = group_norm(params["norm_out"], h)
@@ -240,17 +255,19 @@ def codebook_lookup(params: Params, indices: jnp.ndarray, cfg: VQConfig) -> jnp.
 # ---------------------------------------------------------------------------
 
 
-def encode(params: Params, x: jnp.ndarray, cfg: VQConfig, train: bool = False):
+def encode(params: Params, x: jnp.ndarray, cfg: VQConfig, train: bool = False,
+           remat: bool = False):
     """Image NHWC [B,H,W,3] in [-1,1] -> (z_q, losses, indices [B,h,w])."""
-    h = encoder_apply(params["encoder"], x, cfg)
+    h = encoder_apply(params["encoder"], x, cfg, remat=remat)
     h = conv2d(params["quant_conv"], h)
     return quantize(params["quantize"], h, cfg, train=train)
 
 
-def decode(params: Params, z_q: jnp.ndarray, cfg: VQConfig) -> jnp.ndarray:
+def decode(params: Params, z_q: jnp.ndarray, cfg: VQConfig,
+           remat: bool = False) -> jnp.ndarray:
     """Quantized latents [B,h,w,e_dim] -> image NHWC [B,H,W,3]."""
     h = conv2d(params["post_quant_conv"], z_q)
-    return decoder_apply(params["decoder"], h, cfg)
+    return decoder_apply(params["decoder"], h, cfg, remat=remat)
 
 
 def decode_code(params: Params, indices: jnp.ndarray, cfg: VQConfig) -> jnp.ndarray:

@@ -137,18 +137,50 @@ def _resolve_interp(interpret):
     return interpret
 
 
-def _row_spec(s, hd):
-    return pl.BlockSpec((1, s, hd), lambda b: (b, 0, 0))
+_VMEM_BUDGET = 14 << 20  # scoped limit is 16 MB; leave compiler headroom
+
+
+def _pick_hg(s: int, h: int, dp: int, n_ops: int) -> int:
+    """Heads per grid block. Full-row (hg=h) when the n_ops
+    double-buffered [s, hg*dp] bf16 blocks + the f32 score temps fit
+    scoped VMEM (the GPT-B/L/XL/XXL geometries). Otherwise grid over
+    head groups — a PARTIAL block's lane minor must be a 128 multiple,
+    so candidates are divisors g of h with (g*dp) % 128 == 0 (3B at
+    dp=128: any g). Heads are independent in causal SDPA, so grouping
+    changes scheduling only, not math."""
+    temps = 3 * s * s * 4  # scores/p32/dp f32 value temps
+
+    def fits(g):
+        return n_ops * 2 * s * g * dp * 2 + temps <= _VMEM_BUDGET
+
+    if fits(h):
+        return h
+    cands = [g for g in range(h - 1, 0, -1)
+             if h % g == 0 and (g * dp) % 128 == 0]
+    for g in cands:
+        if fits(g):
+            return g
+    return cands[-1] if cands else h
+
+
+def _plan_fits(s: int, h: int, dp: int, n_ops: int) -> bool:
+    g = _pick_hg(s, h, dp, n_ops)
+    return n_ops * 2 * s * g * dp * 2 + 3 * s * s * 4 <= _VMEM_BUDGET
+
+
+def _blk_spec(s, w):
+    return pl.BlockSpec((1, s, w), lambda b, g: (b, 0, g))
 
 
 def _fwd(q, k, v, scale, interpret):
     b, s, h, d = q.shape
+    hg = _pick_hg(s, h, d, n_ops=4)
     qf, kf, vf = (x.reshape(b, s, h * d) for x in (q, k, v))
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, h=h, d=d),
-        grid=(b,),
-        in_specs=[_row_spec(s, h * d)] * 3,
-        out_specs=_row_spec(s, h * d),
+        functools.partial(_fwd_kernel, scale=scale, h=hg, d=d),
+        grid=(b, h // hg),
+        in_specs=[_blk_spec(s, hg * d)] * 3,
+        out_specs=_blk_spec(s, hg * d),
         out_shape=jax.ShapeDtypeStruct((b, s, h * d), q.dtype),
         interpret=_resolve_interp(interpret),
     )(qf, kf, vf)
@@ -158,12 +190,13 @@ def _fwd(q, k, v, scale, interpret):
 def _bwd(scale, interpret, res, do):
     q, k, v = res
     b, s, h, d = q.shape
-    blk = _row_spec(s, h * d)
+    hg = _pick_hg(s, h, d, n_ops=7)
+    blk = _blk_spec(s, hg * d)
     shp = jax.ShapeDtypeStruct((b, s, h * d), q.dtype)
     ops = [x.reshape(b, s, h * d) for x in (q, k, v, do)]
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale, h=h, d=d),
-        grid=(b,),
+        functools.partial(_bwd_kernel, scale=scale, h=hg, d=d),
+        grid=(b, h // hg),
         in_specs=[blk] * 4,
         out_specs=[blk] * 3,
         out_shape=[shp] * 3,
@@ -182,14 +215,25 @@ def causal_attention_padded(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     alignment (next multiple of 8; LLAMAGEN_TRAIN_ATTN_PAD=128 forces
     128) and slices the output back. Zero q/k pad lanes add exactly 0 to
     every score; padded v lanes produce output lanes that are sliced
-    off — bit-identical math, +(pad/d) HBM traffic (3B head_dim 100:
-    +4% at pad 104). Gradients flow through pad/slice transparently
-    (both are linear)."""
+    off — bit-identical math, +(pad/d) HBM traffic. Gradients flow
+    through pad/slice transparently (both are linear).
+
+    When the full [S, H*dp] row blows the VMEM budget AND dp is not a
+    128 multiple (3B: S=577, 32 heads, dp=104 -> 30 MB of double-
+    buffered fwd operands vs the 16 MB scoped limit), padding escalates
+    to 128 lanes so the kernel can grid over head GROUPS with 128-
+    aligned block minors (3B: fwd 8 heads/block, bwd 4) — +28% q/k/v/o
+    bytes buys a kernel that compiles at all; still far cheaper than
+    the einsum SDPA's [B,H,S,S] HBM score buffer."""
     import os
 
-    d = q.shape[-1]
+    b, s, h, d = q.shape
     align = int(os.environ.get("LLAMAGEN_TRAIN_ATTN_PAD", "8"))
     dp = -(-d // align) * align
+    if not _plan_fits(s, h, dp, n_ops=7):
+        # no fitting (aligned) head grouping at this pad width —
+        # escalate to 128 lanes, where every divisor of h aligns
+        dp = -(-d // 128) * 128
     if dp == d:
         return causal_attention_bshd(q, k, v, scale, interpret)
     padw = ((0, 0),) * (q.ndim - 1) + ((0, dp - d),)

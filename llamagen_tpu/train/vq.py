@@ -118,7 +118,7 @@ def init_vq_train_state(key, cfg: VQConfig, loss_cfg: VQLossConfig,
 def make_train_step_fn(cfg: VQConfig, loss_cfg: VQLossConfig, tx_gen, tx_disc,
                        *, use_lpips: bool, use_disc: bool = True,
                        ema_decay: Optional[float] = None,
-                       compute_dtype=jnp.float32):
+                       compute_dtype=jnp.float32, remat: bool = False):
     """Un-jitted combined generator+discriminator step
     `(state, imgs, lpips_params) -> (state, metrics)`.
 
@@ -128,6 +128,9 @@ def make_train_step_fn(cfg: VQConfig, loss_cfg: VQLossConfig, tx_gen, tx_disc,
     use_disc=False statically removes the discriminator forward AND its
     update (a runtime disc_weight=0 still pays both) — for GAN-free
     warm-up phases and the step-anatomy bench.
+    remat=True checkpoints every encoder/decoder block and the LPIPS
+    forward: required to fit 256px batches on one 16 GB chip (the f32
+    no-remat program wants 30 GB at batch 64); bit-identical losses.
     """
     disc_apply = disc_lib.DISC_APPLY[loss_cfg.disc_type]
     d_loss = D_LOSSES[loss_cfg.disc_loss]
@@ -146,11 +149,14 @@ def make_train_step_fn(cfg: VQConfig, loss_cfg: VQLossConfig, tx_gen, tx_disc,
         dec["conv_out"] = {**dec["conv_out"], "kernel": kernel}
         return {**params, "decoder": dec}
 
+    lpips_mean = (jax.checkpoint(lpips_lib.lpips_mean) if remat
+                  else lpips_lib.lpips_mean)
+
     def _nll_and_adv(params, disc_params, imgs_f, recons, lp):
         recons_f = recons.astype(jnp.float32)
         rec = rec_loss_fn(loss_cfg.reconstruction_loss, imgs_f, recons_f)
         if use_lpips and loss_cfg.perceptual_weight > 0:
-            p = lpips_lib.lpips_mean(lp, imgs_f, recons_f)
+            p = lpips_mean(lp, imgs_f, recons_f)
         else:
             p = jnp.float32(0.0)
         if use_disc:
@@ -162,8 +168,8 @@ def make_train_step_fn(cfg: VQConfig, loss_cfg: VQLossConfig, tx_gen, tx_disc,
 
     def gen_loss(params, disc_params, imgs, step, lp):
         z_q, cb, indices = vq.encode(params, imgs.astype(compute_dtype),
-                                     cfg, train=True)
-        recons = vq.decode(params, z_q, cfg)
+                                     cfg, train=True, remat=remat)
+        recons = vq.decode(params, z_q, cfg, remat=remat)
         imgs_f = imgs.astype(jnp.float32)
         rec, p, adv = _nll_and_adv(params, disc_params, imgs_f, recons, lp)
         dw = disc_gate(step)
@@ -174,14 +180,16 @@ def make_train_step_fn(cfg: VQConfig, loss_cfg: VQLossConfig, tx_gen, tx_disc,
             z_sg = jax.lax.stop_gradient(z_q)
 
             def nll_of(kernel):
-                r2 = vq.decode(_swap_last(params, kernel), z_sg, cfg)
+                r2 = vq.decode(_swap_last(params, kernel), z_sg, cfg,
+                               remat=remat)
                 rec2, p2, _ = _nll_and_adv(params, disc_params, imgs_f, r2,
                                            lp)
                 return (loss_cfg.reconstruction_weight * rec2
                         + loss_cfg.perceptual_weight * p2)
 
             def adv_of(kernel):
-                r2 = vq.decode(_swap_last(params, kernel), z_sg, cfg)
+                r2 = vq.decode(_swap_last(params, kernel), z_sg, cfg,
+                               remat=remat)
                 return _nll_and_adv(params, disc_params, imgs_f, r2, lp)[2]
 
             kernel = jax.lax.stop_gradient(
@@ -282,7 +290,7 @@ def build_trainer(cfg: VQConfig, loss_cfg: VQLossConfig, mesh: Mesh, *,
                   max_grad_norm: float = 1.0, use_ema: bool = False,
                   ema_decay: float = 0.999, seed: int = 0,
                   lpips_params=None, use_disc: bool = True,
-                  compute_dtype=jnp.float32):
+                  compute_dtype=jnp.float32, remat: bool = False):
     """Mesh-sharded (data-parallel) VQ-GAN trainer: `(state, step_fn)`.
 
     Replaces the reference's DDP stage-1 driver
@@ -316,7 +324,7 @@ def build_trainer(cfg: VQConfig, loss_cfg: VQLossConfig, mesh: Mesh, *,
                             use_lpips=lpips_params is not None,
                             use_disc=use_disc,
                             ema_decay=ema_decay if use_ema else None,
-                            compute_dtype=compute_dtype)
+                            compute_dtype=compute_dtype, remat=remat)
     jfn = jax.jit(fn, donate_argnums=(0,))
 
     def step_fn(state, imgs):

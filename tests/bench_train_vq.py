@@ -37,9 +37,11 @@ def run_config(batch, image_size, lpips_params, label, use_disc=True):
     cfg = vq_config("VQ-16")
     loss_cfg = vq_train.VQLossConfig(disc_start=0, image_size=image_size)
     mesh = make_mesh(-1, 1, 1)
+    # bf16 autocast + block remat: the reference's default precision
+    # (vq_train.py:314) and the only way a 256px batch fits 16 GB
     state, step_fn = vq_train.build_trainer(
         cfg, loss_cfg, mesh, use_ema=True, lpips_params=lpips_params,
-        use_disc=use_disc)
+        use_disc=use_disc, compute_dtype=jnp.bfloat16, remat=True)
 
     rng = np.random.RandomState(0)
     imgs = rng.uniform(-1, 1, (batch, image_size, image_size, 3)) \

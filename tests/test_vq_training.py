@@ -173,6 +173,31 @@ def test_vq_gan_train_step_runs_and_improves():
     assert float(metrics["disc_loss"]) != 0.0
 
 
+def test_vq_remat_matches_no_remat():
+    """Per-block activation checkpointing changes memory, not math: the
+    remat=True step reproduces the remat=False losses (same HLO recomputed;
+    only fusion boundaries move -> f32 rounding-level differences)."""
+    from llamagen_tpu.parallel.mesh import make_mesh
+
+    cfg = vq_config("VQ-8", codebook_size=64, codebook_embed_dim=4)
+    loss_cfg = vq_train.VQLossConfig(disc_start=0, image_size=32)
+    rng = np.random.RandomState(7)
+    imgs = rng.uniform(-1, 1, (4, 32, 32, 3)).astype(np.float32)
+    mesh = make_mesh(1, 1, 1, devices=jax.devices()[:1])
+
+    results = []
+    for remat in (False, True):
+        state, step_fn = vq_train.build_trainer(cfg, loss_cfg, mesh,
+                                                use_ema=True, seed=5,
+                                                remat=remat)
+        batch = vq_train.shard_vq_batch(imgs, mesh)
+        state, m1 = step_fn(state, batch)
+        state, m2 = step_fn(state, batch)
+        results.append((float(m1["gen_loss"]), float(m1["disc_loss"]),
+                        float(m2["gen_loss"])))
+    np.testing.assert_allclose(results[0], results[1], rtol=2e-4)
+
+
 def test_codebook_usage():
     idx = jnp.asarray(np.array([[0, 1], [1, 2]]))
     usage = vq_train.codebook_usage(idx, 8)
