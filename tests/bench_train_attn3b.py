@@ -75,12 +75,12 @@ def main(batch=32, seq=577):
         return jnp.einsum("bhqk,bkhd->bqhd", p, v)
 
     bench(f"einsum-sdpa b{batch} s{seq}", einsum_sdpa, q, k, v, scale)
+    # align=8 plans pad104 first, finds no VMEM-fitting 128-aligned head
+    # group at that width, and auto-escalates to pad128 with head-group
+    # gridding (fwd 8 heads/block, bwd 4)
     os.environ["LLAMAGEN_TRAIN_ATTN_PAD"] = "8"
-    bench(f"kernel-pad104 b{batch} s{seq}", causal_attention_padded,
-          q, k, v, scale)
-    os.environ["LLAMAGEN_TRAIN_ATTN_PAD"] = "128"
-    bench(f"kernel-pad128 b{batch} s{seq}", causal_attention_padded,
-          q, k, v, scale)
+    bench(f"kernel-auto(104->128,grouped) b{batch} s{seq}",
+          causal_attention_padded, q, k, v, scale)
 
 
 if __name__ == "__main__":
