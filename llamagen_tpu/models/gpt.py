@@ -661,19 +661,25 @@ def attend_cache_pallas(cfg: GPTConfig, cache: KVCache, recent,
                         accum: CacheAccum, *,
                         prefix_pad: Optional[jnp.ndarray] = None,
                         n_local_heads: Optional[int] = None,
+                        n_local_kv_heads: Optional[int] = None,
                         interpret: Optional[bool] = None):
     """Single-token Pallas decode-attention (ops/attention.py): in-place
     HBM cache (optionally int8 + scales), bf16 recent windows. Accepts
-    scalar or per-slot [B] positions. n_local_heads: per-chip head count
-    under TP shard_map (MHA only — asserted by the TP builders)."""
+    scalar or per-slot [B] positions. n_local_heads / n_local_kv_heads:
+    per-chip head counts under TP shard_map (r5: GQA supported — defaults
+    keep the global q:kv ratio when only n_local_heads is given)."""
     from llamagen_tpu.ops import attention as attn_lib
 
     hn = n_local_heads if n_local_heads is not None else cfg.n_head
     d_local = hn * cfg.head_dim
     # GQA: the cache/kv rows carry kv_heads*head_dim lanes; the kernel
-    # lane-expands them per query head (TP is MHA-only, asserted by the
-    # TP builders, so n_local_heads implies kv == q heads)
-    kvh = cfg.kv_heads if n_local_heads is None else hn
+    # lane-expands them per query head
+    if n_local_kv_heads is not None:
+        kvh = n_local_kv_heads
+    elif n_local_heads is None:
+        kvh = cfg.kv_heads
+    else:  # TP local: preserve the global ratio
+        kvh = hn * cfg.kv_heads // cfg.n_head
     d_kv = kvh * cfg.head_dim
 
     def attend(l, p, qkv):

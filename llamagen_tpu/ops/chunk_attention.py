@@ -59,13 +59,24 @@ def _chunk_attn_kernel(
     # scratch
     kv_scratch, recent2, sems, seed_sem, write_sem,
     *, block_s: int, scale: float, n_head: int, head_dim: int,
-    n_chunk: int, use_prefix: bool, w: int, batch: int,
+    kv_heads: int, n_chunk: int, use_prefix: bool, w: int, batch: int,
 ):
     """grid=(1,): one program walks all batch elements with the next
     cache-block DMA always in flight (same pipeline skeleton as
     ops/attention._decode_attn_kernel)."""
     f = n_head * head_dim
+    f_kv = kv_heads * head_dim
+    rep = n_head // kv_heads
     seg = seg_ref[:]
+
+    def expand_kv(x):
+        """[rows, f_kv] cache half -> [rows, f] by lane-tiling `rep`
+        copies (GQA; identity under MHA) — the decode kernel's scheme
+        (ops/attention.py): the kernel works in TILED head order and the
+        wrapper permutes q/out at the XLA level."""
+        if rep == 1:
+            return x
+        return jnp.concatenate([x] * rep, axis=-1)
 
     def boundary_of(b):
         return (pos_ref[b] // w) * w
@@ -117,7 +128,7 @@ def _chunk_attn_kernel(
         scp.wait()
         # second epoch tile starts empty; garbage would NaN-poison the
         # masked pv sums, so zero it explicitly
-        recent2[w:2 * w] = jnp.zeros((w, 2 * f), recent2.dtype)
+        recent2[w:2 * w] = jnp.zeros((w, 2 * f_kv), recent2.dtype)
 
         # insert the chunk's rows at slots (pos - bnd) + i (static unroll)
         j_r = jax.lax.broadcasted_iota(jnp.int32, (2 * w, 1), 0)
@@ -143,9 +154,9 @@ def _chunk_attn_kernel(
                 start_dma((slot + 1) % 2, nb, nblk2)
 
             wait_dma(slot, b, blk)
-            kvb = kv_scratch[slot].astype(jnp.float32)  # [S_blk, 2F]
-            kb = kvb[:, :f]
-            vb = kvb[:, f:]
+            kvb = kv_scratch[slot].astype(jnp.float32)  # [S_blk, 2F_kv]
+            kb = expand_kv(kvb[:, :f_kv])               # [S_blk, F]
+            vb = expand_kv(kvb[:, f_kv:])
             s_global = blk * block_s + jax.lax.broadcasted_iota(
                 jnp.int32, (block_s, 1), 0)
             valid = s_global < bnd
@@ -175,9 +186,9 @@ def _chunk_attn_kernel(
             0, nblk, body, (m0, l0, a0, slot))
 
         # ---- tail: committed rows [bnd, pos) + chunk rows (causal) ----
-        tail = recent2[:].astype(jnp.float32)  # [2w, 2F]
-        tk = tail[:, :f]
-        tv = tail[:, f:]
+        tail = recent2[:].astype(jnp.float32)  # [2w, 2F_kv]
+        tk = expand_kv(tail[:, :f_kv])         # [2w, F]
+        tv = expand_kv(tail[:, f_kv:])
         rows = []
         for c in range(n_chunk):
             scores = jnp.dot(tk * q_rows[c], seg,
@@ -232,11 +243,15 @@ def chunk_decode_attention(q: jnp.ndarray, kv_new: jnp.ndarray,
     """C-row chunk attention for one layer; cache updated in place.
 
     q:        [B, C, F]   post-RoPE queries for positions pos..pos+C-1
-    kv_new:   [B, C, 2F]  the chunk's k | v rows (post-RoPE k)
-    kv_cache: [B, S, 2F]  committed rows < pos are live; rows >= pos are
-                          scratch the kernel may rewrite. ALIASED in/out.
-                          S % 8 == 0 and S >= pos + C - 1 + spare w=8 rows
-                          (see module docstring).
+    kv_new:   [B, C, 2F_kv]  the chunk's k | v rows (post-RoPE k);
+                          F_kv = kv_heads*head_dim (GQA: F_kv < F, the
+                          cache stays at kv lanes and the kernel
+                          lane-expands each streamed half — the decode
+                          kernel's scheme, r5)
+    kv_cache: [B, S, 2F_kv]  committed rows < pos are live; rows >= pos
+                          are scratch the kernel may rewrite. ALIASED
+                          in/out. S % 8 == 0 and S >= pos + C - 1 +
+                          spare w=8 rows (see module docstring).
     pos:      [B] int32 (or scalar) chunk start positions.
     Returns (out [B, C, F], kv_cache).
     """
@@ -252,9 +267,24 @@ def chunk_decode_attention(q: jnp.ndarray, kv_new: jnp.ndarray,
     smax = kv_cache.shape[1]
     assert f % 128 == 0 and f % n_head == 0
     head_dim = f // n_head
+    f_kv = kv_cache.shape[2] // 2
+    assert f % f_kv == 0 and f_kv % head_dim == 0, (f, f_kv, head_dim)
+    kv_heads = f_kv // head_dim
+    rep = f // f_kv
+    assert f_kv % 128 == 0 or rep == 1, (
+        f"GQA cache half {f_kv} must be 128-aligned (lane tiling)")
+    if rep > 1:
+        # tiled head order (see ops/attention.decode_attention): tiled
+        # head t = r*kv_heads + g attends kv head g; permute the
+        # model-order q heads (h -> kv h // rep) in, and out back.
+        tiled_to_model = np.array(
+            [(t % kv_heads) * rep + t // kv_heads for t in range(n_head)])
+        model_to_tiled = np.argsort(tiled_to_model)
+        q = q.reshape(b, c, n_head, head_dim)[:, :, tiled_to_model, :] \
+             .reshape(b, c, f)
     block_s = min(block_s, smax)
     assert smax % block_s == 0 and smax % w == 0
-    assert kv_new.shape == (b, c, 2 * f)
+    assert kv_new.shape == (b, c, 2 * f_kv)
     scale = head_dim ** -0.5
 
     use_prefix = prefix_pad is not None
@@ -279,8 +309,8 @@ def chunk_decode_attention(q: jnp.ndarray, kv_new: jnp.ndarray,
             pl.BlockSpec(memory_space=pl.ANY),       # kv_cache (aliased)
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, block_s, 2 * f), kv_cache.dtype),  # kv blocks
-            pltpu.VMEM((2 * w, 2 * f), kv_cache.dtype),       # tail epochs
+            pltpu.VMEM((2, block_s, 2 * f_kv), kv_cache.dtype),  # kv blocks
+            pltpu.VMEM((2 * w, 2 * f_kv), kv_cache.dtype),      # tail epochs
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
@@ -289,7 +319,8 @@ def chunk_decode_attention(q: jnp.ndarray, kv_new: jnp.ndarray,
 
     kernel = functools.partial(
         _chunk_attn_kernel, block_s=block_s, scale=scale, n_head=n_head,
-        head_dim=head_dim, n_chunk=c, use_prefix=use_prefix, w=w, batch=b)
+        head_dim=head_dim, kv_heads=kv_heads, n_chunk=c,
+        use_prefix=use_prefix, w=w, batch=b)
 
     out, kv_cache = pl.pallas_call(
         kernel,
@@ -305,4 +336,8 @@ def chunk_decode_attention(q: jnp.ndarray, kv_new: jnp.ndarray,
       jnp.broadcast_to(jnp.asarray(prefix_pad, jnp.int32).reshape(-1),
                        (b,)),
       jnp.asarray(_seg_mask(n_head, head_dim)), qp, kvp, kv_cache)
-    return out[:, :c], kv_cache
+    out = out[:, :c]
+    if rep > 1:
+        out = out.reshape(b, c, n_head, head_dim)[:, :, model_to_tiled, :] \
+                 .reshape(b, c, f)
+    return out, kv_cache

@@ -120,12 +120,14 @@ def _attend_chunk_pallas(cfg: GPTConfig, cache: gpt.KVCache,
     from llamagen_tpu.ops.chunk_attention import chunk_decode_attention
 
     q_size = cfg.n_head * cfg.head_dim
+    kv_size = cfg.kv_heads * cfg.head_dim
 
     def attend(l, p, qkv):
         b, c = qkv.shape[:2]
-        q, k, v = gpt.split_heads(qkv, cfg.n_head, cfg.n_head, cfg.head_dim)
+        q, k, v = gpt.split_heads(qkv, cfg.n_head, cfg.kv_heads,
+                                  cfg.head_dim)
         q = gpt.rope_heads(q, freqs).reshape(b, c, q_size)
-        k = gpt.rope_heads(k, freqs).reshape(b, c, q_size)
+        k = gpt.rope_heads(k, freqs).reshape(b, c, kv_size)
         kv_new = jnp.concatenate([k, v], axis=-1).astype(cache.kv[l].dtype)
         attn, ckv = chunk_decode_attention(q, kv_new, cache.kv[l], pos,
                                            cfg.n_head,
@@ -164,9 +166,12 @@ def verify_step_slots(params, cfg: GPTConfig, toks: jnp.ndarray,
 
     acc = gpt.CacheAccum()
     if use_kernel:
-        assert cfg.kv_heads == cfg.n_head \
-            and (cfg.n_head * cfg.head_dim) % 128 == 0, \
-            "chunk kernel requires MHA with 128-aligned features"
+        gqa = cfg.kv_heads != cfg.n_head
+        lanes_ok = ((cfg.kv_heads * cfg.head_dim) % 128 == 0 if gqa
+                    else (cfg.n_head * cfg.head_dim) % 128 == 0)
+        assert cfg.n_head % cfg.kv_heads == 0 and lanes_ok, \
+            "chunk kernel: 128-aligned features (GQA r5: 128-aligned " \
+            "kv lanes, mirroring ops.attention.decode_attention)"
         attend = _attend_chunk_pallas(cfg, cache, pos, freqs, acc,
                                       prefix_pad=prefix_pad)
     else:
@@ -279,11 +284,10 @@ def generate_speculative(params, draft_params, rng: jax.Array,
     assert draft_cfg.model_type == cfg.model_type
     from llamagen_tpu.ops.generate import _kernel_supported
     if use_kernel is None:
-        # the CHUNK verify kernel is MHA-only (ops/chunk_attention.py);
-        # GQA targets/drafts fall back to the XLA verify path
+        # r5: the chunk verify kernel supports GQA (same lane-tiling
+        # scheme as the decode kernel), so kernel eligibility is exactly
+        # _kernel_supported for both models
         use_kernel = (jax.default_backend() == "tpu"
-                      and cfg.kv_heads == cfg.n_head
-                      and draft_cfg.kv_heads == draft_cfg.n_head
                       and _kernel_supported(cfg)
                       and _kernel_supported(draft_cfg))
     use_cfg = cfg_scale > 1.0

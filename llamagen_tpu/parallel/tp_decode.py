@@ -78,16 +78,6 @@ def tp_param_specs(cfg: GPTConfig, quantized: bool = False):
     }
 
 
-def reorder_wqkv_head_major(params, cfg: GPTConfig):
-    """Rearrange wqkv columns from [Q | K | V] to per-head-group-contiguous
-    [(q,k,v) of head-group 0 | head-group 1 | ...] so a plain `tp`-axis
-    column shard gives each chip whole heads of q, k, AND v."""
-    qs = cfg.n_head * cfg.head_dim
-    w = params["layers"]["wqkv"]  # [L, D, 3*qs] (MHA)
-    q, k, v = w[..., :qs], w[..., qs:2 * qs], w[..., 2 * qs:]
-    return q, k, v
-
-
 def make_tp_decode_step(cfg: GPTConfig, mesh: Mesh, ntp: int,
                         compute_dtype=jnp.bfloat16,
                         quantized_weights: bool = False,
@@ -104,14 +94,18 @@ def make_tp_decode_step(cfg: GPTConfig, mesh: Mesh, ntp: int,
     from llamagen_tpu.ops.quant_matmul import matmul_any
 
     assert cfg.n_head % ntp == 0, "heads must divide tp"
+    assert cfg.kv_heads % ntp == 0, (
+        "GQA TP requires kv_heads % tp == 0 (each shard owns whole kv "
+        "heads; query head h reads kv head h // rep shard-locally)")
     h_local = cfg.n_head // ntp
+    kv_local = cfg.kv_heads // ntp
 
     def local_step(params, token, pos, cache_kv, recent):
         params = squeeze_tp_w4(params)
         # runs per-chip on local shards; params['layers']['wqkv'] shard is
-        # [L, D, 3*h_local*head_dim] laid out q|k|v of the LOCAL heads;
-        # gpt.decode_stack handles the row-parallel psums + vocab-parallel
-        # logits all-gather via tp_axis
+        # [L, D, (h_local+2*kv_local)*head_dim] laid out q|k|v of the
+        # LOCAL heads; gpt.decode_stack handles the row-parallel psums +
+        # vocab-parallel logits all-gather via tp_axis
         h = params["tok_embeddings"][token].astype(compute_dtype)
         freqs = jax.lax.dynamic_slice_in_dim(
             gpt.freqs_cis_2d(cfg), pos, 1, axis=0)[0]
@@ -119,7 +113,7 @@ def make_tp_decode_step(cfg: GPTConfig, mesh: Mesh, ntp: int,
         acc = gpt.CacheAccum()
         attend = gpt.attend_cache_pallas(
             cfg, gpt.KVCache(kv=cache_kv), recent, pos, freqs, acc,
-            n_local_heads=h_local)
+            n_local_heads=h_local, n_local_kv_heads=kv_local)
         logits = gpt.decode_stack(params, cfg, h, attend, tp_axis="tp")
         return logits, tuple(acc.kv), tuple(acc.recent)
 
@@ -165,19 +159,23 @@ def squeeze_tp_w4(params):
 
 
 def _head_major(arr: jnp.ndarray, cfg: GPTConfig, ntp: int) -> jnp.ndarray:
-    """Permute a [..., 3*qs] last dim from [Q | K | V] to per-head-group
+    """Permute a [..., qs+2*ks] last dim from [Q | K | V] to per-head-group
     [(q|k|v) of group 0 | group 1 | ...] so a plain `tp` column shard gives
-    each chip whole heads of q, k AND v. Column permutations commute with
-    per-output-channel quantization, so this applies unchanged to w_q and
-    to the [_, 3*qs] scale rows."""
+    each chip whole heads of q, k AND v. GQA (r5): shard i gets query
+    heads [i*hpg, (i+1)*hpg) and kv heads [i*kv_hpg, (i+1)*kv_hpg) —
+    query head h reads kv head h // rep, so shard-local q heads map
+    exactly onto shard-local kv heads (requires kv_heads % ntp == 0).
+    Column permutations commute with per-output-channel quantization, so
+    this applies unchanged to w_q and to the scale rows."""
     qs = cfg.n_head * cfg.head_dim
+    ks = cfg.kv_heads * cfg.head_dim
     hpg = cfg.n_head // ntp
+    kv_hpg = cfg.kv_heads // ntp
     lead = arr.shape[:-1]
-    grp = lead + (ntp, hpg * cfg.head_dim)
-    q = arr[..., :qs].reshape(grp)
-    k = arr[..., qs:2 * qs].reshape(grp)
-    v = arr[..., 2 * qs:].reshape(grp)
-    return jnp.concatenate([q, k, v], axis=-1).reshape(lead + (3 * qs,))
+    q = arr[..., :qs].reshape(lead + (ntp, hpg * cfg.head_dim))
+    k = arr[..., qs:qs + ks].reshape(lead + (ntp, kv_hpg * cfg.head_dim))
+    v = arr[..., qs + ks:].reshape(lead + (ntp, kv_hpg * cfg.head_dim))
+    return jnp.concatenate([q, k, v], axis=-1).reshape(lead + (qs + 2 * ks,))
 
 
 def quantize_gpt_params_w4k_tp(params, cfg: GPTConfig, ntp: int, *,
@@ -257,12 +255,14 @@ def _head_major_inv(arr: jnp.ndarray, cfg: GPTConfig,
     """Inverse of _head_major: per-head-group [(q|k|v) of group i] back
     to the plain [Q | K | V] column order."""
     qs = cfg.n_head * cfg.head_dim
-    hpg = cfg.n_head // ntp
+    ks = cfg.kv_heads * cfg.head_dim
+    hq = qs // ntp
+    hk = ks // ntp
     lead = arr.shape[:-1]
-    grp = arr.reshape(*lead, ntp, 3, hpg * cfg.head_dim)
-    q = grp[..., 0, :].reshape(*lead, qs)
-    k = grp[..., 1, :].reshape(*lead, qs)
-    v = grp[..., 2, :].reshape(*lead, qs)
+    grp = arr.reshape(*lead, ntp, hq + 2 * hk)
+    q = grp[..., :hq].reshape(*lead, qs)
+    k = grp[..., hq:hq + hk].reshape(*lead, ks)
+    v = grp[..., hq + hk:].reshape(*lead, ks)
     return jnp.concatenate([q, k, v], axis=-1)
 
 

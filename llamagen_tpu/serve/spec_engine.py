@@ -363,10 +363,9 @@ class SpecEngine:
         assert draft_cfg.cls_token_num == cfg.cls_token_num
         assert draft_cfg.model_type == cfg.model_type
         if use_kernel is None:
-            # chunk verify kernel is MHA-only (ops/chunk_attention.py)
+            # r5: the chunk verify kernel supports GQA (lane-tiled like
+            # the decode kernel), so eligibility == _kernel_supported
             use_kernel = (jax.default_backend() == "tpu"
-                          and cfg.kv_heads == cfg.n_head
-                          and draft_cfg.kv_heads == draft_cfg.n_head
                           and _kernel_supported(cfg)
                           and _kernel_supported(draft_cfg))
         self.cfg = cfg

@@ -126,7 +126,9 @@ def _local_decode_step(params, cfg: GPTConfig, h_local: int,
     """Per-chip slot decode: local heads through the Pallas kernel,
     row-parallel reductions over `tp` (gpt.decode_stack with tp_axis;
     per-slot positions and optional int8 cache); matmul_any transparently
-    dequantizes W8A16 or pre-sharded W4 layer-weight shards."""
+    dequantizes W8A16 or pre-sharded W4 layer-weight shards. GQA (r5):
+    attend_cache_pallas derives the local kv-head count from the global
+    q:kv ratio (kv_heads % ntp == 0, asserted by make_tp_engine_step)."""
     from llamagen_tpu.parallel.tp_decode import squeeze_tp_w4
 
     params = squeeze_tp_w4(params)
@@ -159,13 +161,17 @@ def make_tp_engine_step(cfg: GPTConfig,
     """
     is_t2i = cfg.model_type == "t2i"
     assert cfg.n_head % ntp == 0
-    assert cfg.kv_heads == cfg.n_head, (
-        "TP serving does not support GQA: _local_decode_step splits the "
-        "fused qkv into equal thirds and the cache lanes assume "
-        "kv_heads == n_head (mirrors ops.generate._kernel_supported)")
+    assert cfg.kv_heads % ntp == 0, (
+        "GQA TP serving requires kv_heads % tp == 0 (each chip owns "
+        "whole kv heads; the head-major wqkv shard keeps query head h "
+        "with its kv head h // rep — parallel.tp_decode._head_major)")
     h_local = cfg.n_head // ntp
     assert (h_local * cfg.head_dim) % 128 == 0, (
         "per-chip flattened heads must stay 128-lane aligned")
+    if cfg.kv_heads != cfg.n_head:
+        assert (cfg.kv_heads // ntp * cfg.head_dim) % 128 == 0, (
+            "per-chip GQA kv lanes must stay 128-lane aligned "
+            "(ops.attention lane-tiling)")
 
     def one_step(params, state: EngineState) -> EngineState:
         p = state.pos
@@ -268,9 +274,12 @@ def make_tp_admit_pair(cfg: GPTConfig, mesh: Mesh, ntp: int,
     from llamagen_tpu.ops.quant_matmul import matmul_any
     from llamagen_tpu.ops import sampling as sampling_lib
 
-    assert cfg.kv_heads == cfg.n_head
+    assert cfg.kv_heads % ntp == 0, "GQA TP: kv_heads % tp == 0"
     h_local_n = cfg.n_head // ntp
+    kv_local_n = cfg.kv_heads // ntp
+    rep = h_local_n // kv_local_n
     d_local = h_local_n * cfg.head_dim
+    kd_local = kv_local_n * cfg.head_dim
     t = cfg.cls_token_num
 
     def local_admit(params, caption, emb_mask, rng, sp_row: SlotSampling):
@@ -296,22 +305,27 @@ def make_tp_admit_pair(cfg: GPTConfig, mesh: Mesh, ntp: int,
         for l in range(cfg.n_layer):
             p = gpt.layer_params(params, l)
             x = gpt.rms_norm(h, p["attention_norm"], cfg.norm_eps)
-            qkv = matmul_any(p, "wqkv", x)  # [2, T, 3*d_local] head-major
+            # [2, T, d_local+2*kd_local] head-major (GQA: kv lanes narrower)
+            qkv = matmul_any(p, "wqkv", x)
             q = qkv[..., :d_local].reshape(2, t, h_local_n, cfg.head_dim)
-            k = qkv[..., d_local:2 * d_local].reshape(2, t, h_local_n,
-                                                      cfg.head_dim)
-            v = qkv[..., 2 * d_local:].reshape(2, t, h_local_n,
-                                               cfg.head_dim)
+            k = qkv[..., d_local:d_local + kd_local].reshape(
+                2, t, kv_local_n, cfg.head_dim)
+            v = qkv[..., d_local + kd_local:].reshape(
+                2, t, kv_local_n, cfg.head_dim)
             q = gpt.apply_rope(q, freqs)
             k = gpt.apply_rope(k, freqs)
-            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+            kk, vv = k, v
+            if rep != 1:  # GQA: local query head h reads local kv h//rep
+                kk = jnp.repeat(kk, rep, axis=2)
+                vv = jnp.repeat(vv, rep, axis=2)
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, kk,
                                 preferred_element_type=jnp.float32) * scale
             scores = jnp.where(mask, scores, jnp.float32(-1e30))
             probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-            attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v
+            attn = jnp.einsum("bhqk,bkhd->bqhd", probs, vv
                               ).reshape(2, t, d_local)
             rows.append(jnp.concatenate(
-                [k.reshape(2, t, d_local), v.reshape(2, t, d_local)],
+                [k.reshape(2, t, kd_local), v.reshape(2, t, kd_local)],
                 axis=-1).astype(jnp.bfloat16))
             part = matmul_any(p, "wo", attn)
             h = h + jax.lax.psum(part, "tp").astype(h.dtype)

@@ -115,6 +115,49 @@ def test_backward_position_jump_across_calls():
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.parametrize("rep", [2, 4])
+def test_gqa_matches_einsum_oracle(rep):
+    """GQA (r5): cache rows stay at kv_heads*head_dim lanes; the kernel
+    lane-tiles each streamed half and the wrapper permutes q/out through
+    tiled head order. Oracle: query head h attends kv head h // rep
+    (gpt._attention's jnp.repeat convention)."""
+    rng = np.random.RandomState(4)
+    n_head, head_dim = 8, 64
+    kv_heads = n_head // rep
+    f, f_kv = n_head * head_dim, kv_heads * head_dim
+    b, c, smax = 2, 5, 64
+    pos = np.asarray([37, 14], np.int32)
+    q = rng.randn(b, c, f).astype(np.float32)
+    kv_new = rng.randn(b, c, 2 * f_kv).astype(np.float32)
+    cache = rng.randn(b, smax, 2 * f_kv).astype(np.float32)
+
+    full = cache.copy()
+    ref = np.zeros((b, c, f), np.float32)
+    for bb in range(b):
+        full[bb, pos[bb]:pos[bb] + c] = kv_new[bb]
+        k = full[bb, :, :f_kv].reshape(smax, kv_heads, head_dim)
+        v = full[bb, :, f_kv:].reshape(smax, kv_heads, head_dim)
+        k = np.repeat(k, rep, axis=1)
+        v = np.repeat(v, rep, axis=1)
+        for cc in range(c):
+            qr = q[bb, cc].reshape(n_head, head_dim)
+            scores = np.einsum("hd,shd->hs", qr, k) / np.sqrt(head_dim)
+            valid = np.arange(smax) <= pos[bb] + cc
+            scores = np.where(valid[None], scores, -1e30)
+            p = np.exp(scores - scores.max(-1, keepdims=True))
+            p /= p.sum(-1, keepdims=True)
+            ref[bb, cc] = np.einsum("hs,shd->hd", p, v).reshape(f)
+
+    out, new_cache = chunk_decode_attention(
+        jnp.asarray(q), jnp.asarray(kv_new), jnp.asarray(cache),
+        jnp.asarray(pos), n_head, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=2e-5)
+    nc = np.asarray(new_cache)
+    for bb in range(b):
+        np.testing.assert_allclose(nc[bb, pos[bb]:pos[bb] + c],
+                                   kv_new[bb], atol=1e-6)
+
+
 def test_early_positions_no_blocks():
     """pos < w: nothing to stream, pure tail attention."""
     rng = np.random.RandomState(3)

@@ -115,6 +115,28 @@ def test_kernel_mode_greedy_token_exact(model_type):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+@pytest.mark.slow
+def test_kernel_mode_gqa_greedy_token_exact():
+    """GQA draft/target through the chunk kernel (r5: lane-tiled kv like
+    the decode kernel) commit the same greedy tokens as plain generate."""
+    from llamagen_tpu.config import GPTConfig
+
+    cfg = GPTConfig(dim=512, n_layer=2, n_head=4, n_kv_head=2,
+                    block_size=64, vocab_size=512, num_classes=10)
+    params = gpt.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    draft_params = gpt.init_params(jax.random.PRNGKey(1), cfg,
+                                   dtype=jnp.float32)
+    cond = jnp.asarray([0, 7])
+    ref = generate(params, jax.random.PRNGKey(2), cond, cfg=cfg,
+                   max_new_tokens=16, cfg_scale=2.0, sample_logits=False,
+                   compute_dtype=jnp.float32, use_kernel=False)
+    got, _ = generate_speculative(
+        params, draft_params, jax.random.PRNGKey(2), cond, cfg=cfg,
+        draft_cfg=cfg, max_new_tokens=16, k=3, cfg_scale=2.0,
+        sample_logits=False, compute_dtype=jnp.float32, use_kernel=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_verify_step_matches_sequential_decode():
     """verify_step_slots logits == per-token decode_step logits at every
     chunk row (same cache trajectory), with per-element positions."""

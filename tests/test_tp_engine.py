@@ -61,6 +61,32 @@ def test_tp_engine_matches_generate_greedy(setup):
     np.testing.assert_array_equal(out, np.asarray(ref))
 
 
+def test_tp_engine_gqa_matches_generate_greedy():
+    """GQA over the TP engine (r5): 4 query heads / 2 kv heads sharded
+    over tp=2 — each chip owns 2 query + 1 kv head (128-lane kv shard).
+    Greedy tokens must equal the single-device generate() trajectory."""
+    cfg = GPTConfig(dim=512, n_layer=2, n_head=4, n_kv_head=2,
+                    block_size=16, num_classes=10, vocab_size=256,
+                    cls_token_num=1)
+    mesh = make_mesh(1, 1, NTP, devices=jax.devices()[:NTP])
+    params = gpt.init_params(jax.random.PRNGKey(4), cfg, dtype=jnp.float32)
+    params["output"] = jax.random.normal(jax.random.PRNGKey(5),
+                                         params["output"].shape) * 0.02
+    tp_params = shard_tp_params(params, cfg, mesh)
+    sp = SamplingParams(cfg_scale=2.0, temperature=1e-6)
+    eng = ServeEngine(tp_params, cfg, num_pairs=2,
+                      max_new_tokens=cfg.block_size, sampling_params=sp,
+                      chunk=4, compute_dtype=jnp.float32,
+                      cache_dtype=jnp.float32, mesh=mesh, tp=NTP)
+    labels = [3, 7]
+    out = eng.generate(labels)
+    ref = generate(params, jax.random.PRNGKey(0), jnp.asarray(labels),
+                   cfg=cfg, max_new_tokens=cfg.block_size, cfg_scale=2.0,
+                   sample_logits=False, compute_dtype=jnp.float32,
+                   cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(out, np.asarray(ref))
+
+
 def test_tp_engine_slot_reuse(setup):
     """Stale KV in a reused sharded slot must not leak into a new request."""
     eng = _tp_engine(setup, num_pairs=1)
