@@ -272,7 +272,7 @@ def _attention(p: Params, x: jnp.ndarray, freqs: jnp.ndarray,
     from llamagen_tpu.ops.train_attention import supported as _tk_supported
 
     if cache_kv is None and _use_train_kernel() \
-            and _tk_supported(cfg.n_head, cfg.head_dim):
+            and _tk_supported(cfg.n_head, cfg.head_dim, x.shape[1]):
         # training full-sequence attention: the layout-native Pallas
         # kernel keeps the [S, S] scores VMEM-resident per (batch, head)
         # (ops/train_attention.py) — no HBM score buffer at all, f32

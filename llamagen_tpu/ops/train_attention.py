@@ -47,9 +47,25 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e30  # python float: a jnp scalar would be a captured constant
 
 
-def supported(n_head: int, head_dim: int) -> bool:
-    """Every head_dim is kernel-eligible (padding wrapper below)."""
-    return True
+def supported(n_head: int, head_dim: int, seq: Optional[int] = None) -> bool:
+    """Kernel-PREFERRED check (the padding wrapper makes every geometry
+    kernel-ELIGIBLE). When `seq` is given, returns False for geometries
+    whose full [S, H*dp] row overflows scoped VMEM and would escalate to
+    head-group gridding — measured SLOWER than the bf16-scores einsum
+    SDPA there (3B b32 s577: grouped kernel 15.9 vs einsum 12.4
+    ms/layer fwd+bwd, BENCH.md r5: the pad-to-128 traffic plus the
+    per-group grid overhead exceeds the HBM score-buffer saving at
+    short sequences). The einsum fallback is the right default for
+    those; LLAMAGEN_TRAIN_ATTN_FORCE=1 overrides."""
+    import os
+
+    if os.environ.get("LLAMAGEN_TRAIN_ATTN_FORCE") == "1":
+        return True
+    if seq is None:
+        return True
+    align = int(os.environ.get("LLAMAGEN_TRAIN_ATTN_PAD", "8"))
+    dp = -(-head_dim // align) * align
+    return _plan_fits(seq, n_head, dp, n_ops=7)
 
 
 def _causal(s: int):
