@@ -127,7 +127,14 @@ def main(argv=None):
         lpips_params = lpips_lib.load_params(vgg_sd, lin_sd)
 
     logger = create_logger(args.results_dir)
-    mesh = make_mesh(dp=args.dp)
+    dp = args.dp if args.dp > 0 else len(jax.devices())
+    if args.global_batch_size % dp:
+        # the reference hard-asserts batch % world_size == 0
+        # (vq_train.py:44); we clamp to the largest dividing dp so smoke
+        # runs with tiny batches still work on big meshes
+        dp = max(d for d in range(1, dp + 1)
+                 if args.global_batch_size % d == 0)
+    mesh = make_mesh(dp=dp, devices=jax.devices()[:dp])
     logger.info(f"mesh: dp={mesh.shape['dp']} over {len(jax.devices())} "
                 f"device(s)")
     import jax.numpy as jnp
