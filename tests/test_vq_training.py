@@ -114,6 +114,33 @@ def test_lpips_math_vs_torch_oracle():
                                rtol=1e-4)
 
 
+def test_lpips_bf16_matches_f32():
+    """bf16 LPIPS (the autocast dtype the train step feeds it, matching the
+    reference's autocast(bf16) scope around VQLoss, vq_train.py:192) must
+    track the f32 value closely (measured 2e-4 relative on real weights)."""
+    rng = np.random.RandomState(3)
+    convs, cin = [], 3
+    for item in lpips_lib._VGG16_CFG:
+        if item == "M":
+            continue
+        convs.append({
+            "kernel": (rng.randn(3, 3, cin, item) * 0.05).astype(np.float32),
+            "bias": (rng.randn(item) * 0.01).astype(np.float32)})
+        cin = item
+    lin_w = [np.abs(rng.randn(c, 1)).astype(np.float32)
+             for c in lpips_lib.LPIPS_CHANNELS]
+    params = {"vgg": {"convs": convs}, "lins": [{"kernel": w} for w in lin_w]}
+
+    x = rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+    y = rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+    f32 = float(lpips_lib.lpips(params, jnp.asarray(x), jnp.asarray(y)).sum())
+    bf16 = float(lpips_lib.lpips(
+        params, jnp.asarray(x, jnp.bfloat16),
+        jnp.asarray(y, jnp.bfloat16)).astype(jnp.float32).sum())
+    assert f32 != 0.0
+    np.testing.assert_allclose(bf16, f32, rtol=2e-2)
+
+
 def test_lpips_lins_convert():
     sd = torch.load(
         "/root/reference/tokenizer/tokenizer_image/cache/vgg.pth",
