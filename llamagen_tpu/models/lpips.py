@@ -14,6 +14,7 @@ random backbone for architecture tests when no weights are available.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Dict, List, Mapping
 
 import jax
@@ -28,6 +29,9 @@ _VGG16_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
 # relu indices (in conv-counting space) after which a slice ends:
 # relu1_2, relu2_2, relu3_3, relu4_3, relu5_3
 _SLICE_ENDS = [2, 4, 7, 10, 13]
+# the same five slices as [lo, hi) ranges over _VGG16_CFG items, plus the
+# conv-index offset at each slice start (for per-slice remat)
+_SLICE_SEGMENTS = [(0, 2, 0), (2, 5, 2), (5, 9, 4), (9, 13, 7), (13, 17, 10)]
 LPIPS_CHANNELS = [64, 128, 256, 512, 512]
 
 _SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
@@ -46,34 +50,49 @@ def _maxpool(x):
         x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
 
 
-def vgg_features(params: Params, x: jnp.ndarray) -> List[jnp.ndarray]:
-    """NHWC input -> 5 relu-slice feature maps (ref: lpips.py:118-155)."""
-    feats = []
-    conv_i = 0
-    h = x
-    next_slice = 0
-    for item in _VGG16_CFG:
+def _vgg_segment(convs, h: jnp.ndarray, lo: int, hi: int,
+                 conv_i: int) -> jnp.ndarray:
+    """One relu slice: _VGG16_CFG items [lo, hi) starting at conv index conv_i."""
+    for item in _VGG16_CFG[lo:hi]:
         if item == "M":
             h = _maxpool(h)
         else:
-            h = jax.nn.relu(_conv(params["convs"][conv_i], h))
+            h = jax.nn.relu(_conv(convs[conv_i], h))
             conv_i += 1
-            if next_slice < len(_SLICE_ENDS) and conv_i == _SLICE_ENDS[next_slice]:
-                feats.append(h)
-                next_slice += 1
+    return h
+
+
+def vgg_features(params: Params, x: jnp.ndarray,
+                 remat: bool = False) -> List[jnp.ndarray]:
+    """NHWC input -> 5 relu-slice feature maps (ref: lpips.py:118-155).
+
+    remat=True checkpoints each relu slice, so a backward pass holds one
+    slice's conv/maxpool internals at a time instead of the whole VGG's
+    (the dominant HBM peak of the VQ-GAN train step at large batch: the
+    full-VGG backward region staged ~20 256MB temps at batch 64/256px).
+    Saved slice boundaries are exactly the 5 feature maps the loss needs
+    anyway; recompute is the same HLO, so values are bit-identical.
+    """
+    feats = []
+    h = x
+    for lo, hi, conv_i in _SLICE_SEGMENTS:
+        seg = partial(_vgg_segment, lo=lo, hi=hi, conv_i=conv_i)
+        h = (jax.checkpoint(seg) if remat else seg)(params["convs"], h)
+        feats.append(h)
     return feats
 
 
-def lpips(params: Params, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+def lpips(params: Params, x: jnp.ndarray, y: jnp.ndarray,
+          remat: bool = False) -> jnp.ndarray:
     """Perceptual distance per sample [B, 1, 1, 1] (ref: lpips.py:83-96).
 
-    x, y: NHWC images in [-1, 1].
+    x, y: NHWC images in [-1, 1]. remat: see vgg_features.
     """
     def scale_in(img):
         return (img - _SHIFT.astype(img.dtype)) / _SCALE.astype(img.dtype)
 
-    fx = vgg_features(params["vgg"], scale_in(x))
-    fy = vgg_features(params["vgg"], scale_in(y))
+    fx = vgg_features(params["vgg"], scale_in(x), remat=remat)
+    fy = vgg_features(params["vgg"], scale_in(y), remat=remat)
     total = 0.0
     for k in range(len(fx)):
         nx = fx[k] / (jnp.sqrt(jnp.sum(fx[k] ** 2, axis=-1, keepdims=True)) + 1e-10)
@@ -85,8 +104,9 @@ def lpips(params: Params, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return total
 
 
-def lpips_mean(params: Params, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    return jnp.mean(lpips(params, x, y))
+def lpips_mean(params: Params, x: jnp.ndarray, y: jnp.ndarray,
+               remat: bool = False) -> jnp.ndarray:
+    return jnp.mean(lpips(params, x, y, remat=remat))
 
 
 # ---------------------------------------------------------------------------

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
+from functools import partial
 from typing import Any, Dict, NamedTuple, Optional
 
 import jax
@@ -149,8 +150,16 @@ def make_train_step_fn(cfg: VQConfig, loss_cfg: VQLossConfig, tx_gen, tx_disc,
         dec["conv_out"] = {**dec["conv_out"], "kernel": kernel}
         return {**params, "decoder": dec}
 
-    lpips_mean = (jax.checkpoint(lpips_lib.lpips_mean) if remat
-                  else lpips_lib.lpips_mean)
+    # Per-SLICE checkpoints (lpips.vgg_features remat=True), NO outer
+    # whole-LPIPS checkpoint: the forward saves only the 10 slice-boundary
+    # feature maps and the backward recomputes one slice's internals at a
+    # time — the full-VGG backward region was the batch-64/256px HBM peak
+    # (~20 256MB maxpool/conv temps; OOM by 828 MB). Total recompute equals
+    # the old whole-LPIPS checkpoint (one extra VGG forward), so this is
+    # strictly better: measured batch-64 unlocked AND batch-32 unregressed,
+    # where nesting outer+inner (a second full recompute) cost -3.4%.
+    lpips_mean = (partial(lpips_lib.lpips_mean, remat=True)
+                  if remat else lpips_lib.lpips_mean)
 
     def _nll_and_adv(params, disc_params, imgs_f, recons, lp):
         recons_f = recons.astype(jnp.float32)

@@ -141,6 +141,28 @@ def test_lpips_bf16_matches_f32():
     np.testing.assert_allclose(bf16, f32, rtol=2e-2)
 
 
+def test_lpips_slice_remat_is_memory_only():
+    """Per-slice VGG checkpointing (vgg_features remat=True, the nested-remat
+    mode the train step uses to bound the LPIPS backward's working set) is a
+    memory optimization only: the value and the input gradient match the
+    un-checkpointed program to fusion-rounding level."""
+    params = lpips_lib.init_params(jax.random.PRNGKey(3))
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32))
+
+    def val_and_grad(remat):
+        f = lambda yy: lpips_lib.lpips_mean(params, x, yy, remat=remat)
+        return jax.jit(jax.value_and_grad(f))(y)
+
+    v0, g0 = val_and_grad(False)
+    v1, g1 = val_and_grad(True)
+    assert float(v0) != 0.0
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-4, atol=1e-7)
+
+
 def test_lpips_lins_convert():
     sd = torch.load(
         "/root/reference/tokenizer/tokenizer_image/cache/vgg.pth",
