@@ -16,6 +16,7 @@ import os
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from llamagen_tpu.config import vq_config
@@ -137,7 +138,6 @@ def main(argv=None):
     mesh = make_mesh(dp=dp, devices=jax.devices()[:dp])
     logger.info(f"mesh: dp={mesh.shape['dp']} over {len(jax.devices())} "
                 f"device(s)")
-    import jax.numpy as jnp
     state, step_fn = vq_train.build_trainer(
         cfg, loss_cfg, mesh, lr=args.lr, use_ema=args.ema,
         ema_decay=0.999, seed=args.seed, lpips_params=lpips_params,

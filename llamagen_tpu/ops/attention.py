@@ -59,6 +59,33 @@ def _seg_mask(n_head: int, head_dim: int) -> np.ndarray:
     return (seg[:, None] == np.arange(n_head)[None, :]).astype(np.float32)
 
 
+def expand_kv(x: jnp.ndarray, rep: int) -> jnp.ndarray:
+    """GQA in-kernel kv expansion: [rows, f_kv] cache half -> [rows, f] by
+    LANE-TILING `rep` copies (identity under MHA). Mosaic cannot lower a
+    per-head broadcast reshape ("unsupported shape cast"), but a static
+    lane concat of aligned tiles is legal — so the kernels work in TILED
+    head order (tiled head t reads kv head t % kv_heads) and their
+    wrappers permute q in / out of that order at the XLA level via
+    `tiled_head_perm`. ONE definition shared by the decode and chunk-verify
+    kernels: the tiling scheme and the wrapper permutation must agree, so
+    they must change together."""
+    if rep == 1:
+        return x
+    return jnp.concatenate([x] * rep, axis=-1)
+
+
+def tiled_head_perm(n_head: int, kv_heads: int):
+    """(tiled_to_model, model_to_tiled) head-index permutations for the
+    kernels' tiled head order: tiled head t = r*kv_heads + g attends kv
+    head g, while model order follows jnp.repeat (query head h reads kv
+    head h // rep — gpt._attention's convention). Wrappers gather q with
+    tiled_to_model on the way in and out with model_to_tiled."""
+    rep = n_head // kv_heads
+    tiled_to_model = np.array(
+        [(t % kv_heads) * rep + t // kv_heads for t in range(n_head)])
+    return tiled_to_model, np.argsort(tiled_to_model)
+
+
 def _decode_attn_kernel(
     # scalar prefetch
     pos_ref, pad_ref,
@@ -84,17 +111,7 @@ def _decode_attn_kernel(
     rep = n_head // kv_heads
     seg = seg_ref[:]
 
-    def expand_kv(x):
-        """[rows, f_kv] cache half -> [rows, f] by LANE-TILING `rep`
-        copies (GQA; identity under MHA). Mosaic cannot lower a
-        per-head broadcast reshape ("unsupported shape cast"), but a
-        static lane concat of aligned tiles is legal — so the kernel
-        works in TILED head order (tiled head t reads kv head t %
-        kv_heads) and the decode_attention wrapper permutes q in /
-        out of that order at the XLA level."""
-        if rep == 1:
-            return x
-        return jnp.concatenate([x] * rep, axis=-1)
+    exp_kv = functools.partial(expand_kv, rep=rep)  # module docstring above
     # Window staging (three modes):
     #   bulk  — stage ALL batch rows' windows into a [B, w, 2F_kv] scratch
     #           by 8-row chunks, PREFIX-ONLY (rows past max_b(pos % w)
@@ -230,8 +247,8 @@ def _decode_attn_kernel(
         win = win_read(b)
         rk_raw = win[:, :f_kv]   # unexpanded: the flush writes
         rv_raw = win[:, f_kv:]   # cache rows at f_kv lanes
-        rk = expand_kv(rk_raw)   # bf16; convert fuses into the q-mul
-        rv = expand_kv(rv_raw)
+        rk = exp_kv(rk_raw)   # bf16; convert fuses into the q-mul
+        rv = exp_kv(rv_raw)
         r_scores = jnp.dot(rk.astype(jnp.float32) * q_row, seg,
                            preferred_element_type=jnp.float32) * scale
         j = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
@@ -351,8 +368,8 @@ def _decode_attn_kernel(
             # convert+multiply into one VPU traversal, and the decode step
             # at XXL/3B scale is VPU-pass-bound, not DMA-bound (BENCH.md r4
             # step anatomies — attention is 2.67 of XXL's 4.46 ms)
-            kb = expand_kv(kv_scratch[slot][:, :f_kv])
-            vb = expand_kv(kv_scratch[slot][:, f_kv:])
+            kb = exp_kv(kv_scratch[slot][:, :f_kv])
+            vb = exp_kv(kv_scratch[slot][:, f_kv:])
             scores = jnp.dot(kb.astype(jnp.float32) * q_row, seg,
                              preferred_element_type=jnp.float32)
             if quantized:
@@ -464,13 +481,10 @@ def decode_attention(q: jnp.ndarray, kv_new: jnp.ndarray,
         f"cache lanes 2*{f_kv} must be 128-aligned")
     if rep > 1:
         # the kernel lane-TILES each kv half (Mosaic-legal), so it works
-        # in tiled head order: tiled head t = r*kv_heads + g attends kv
-        # head g. Permute the model-order heads (h -> kv h // rep, the
-        # jnp.repeat convention) in and out at the XLA level.
+        # in tiled head order (shared scheme: tiled_head_perm above);
+        # permute the model-order heads in and out at the XLA level.
         b_ = q.shape[0]
-        tiled_to_model = np.array(
-            [(t % kv_heads) * rep + t // kv_heads for t in range(n_head)])
-        model_to_tiled = np.argsort(tiled_to_model)
+        tiled_to_model, model_to_tiled = tiled_head_perm(n_head, kv_heads)
         q = q.reshape(b_, n_head, head_dim)[:, tiled_to_model, :] \
              .reshape(b_, f)
     block_s = min(block_s, smax)
@@ -498,11 +512,19 @@ def decode_attention(q: jnp.ndarray, kv_new: jnp.ndarray,
     # sweeps). LLAMAGEN_WINDOW_MODE=bulk|split|perb overrides.
     mode = _os.environ.get("LLAMAGEN_WINDOW_MODE", "auto")
     bulk_bytes = b * w * 2 * f_kv * recent.dtype.itemsize
+    # split scratch is ceil(b/2) rows, not b/2: odd batches pay half a row
+    # extra, so budget-check the REAL allocation
+    split_bytes = ((b + 1) // 2) * w * 2 * f_kv * recent.dtype.itemsize
     budget = 12.25 * 2 ** 20
     if mode == "auto":
         mode = ("bulk" if bulk_bytes <= budget
-                else ("split" if b > 1 and bulk_bytes / 2 <= budget
+                else ("split" if b > 1 and split_bytes <= budget
                       else "perb"))
+    elif mode == "split" and b < 2:
+        # split's two-phase midpoint swap needs two halves; at b=1 the swap
+        # never runs and the final writeback degenerates to a zero-row slice
+        # (env-forced A/B on a single request) — bulk is equivalent there
+        mode = "bulk"
     per_b_window = mode == "perb"
     split_window = mode == "split"
     win_scr_shape = ((w, 2 * f_kv) if per_b_window

@@ -44,7 +44,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from llamagen_tpu.ops.attention import BLOCK_S, RECENT, _seg_mask
+from llamagen_tpu.ops.attention import (BLOCK_S, RECENT, _seg_mask,
+                                        expand_kv, tiled_head_perm)
 
 CP = 8  # padded chunk rows (sublane tile)
 
@@ -69,14 +70,7 @@ def _chunk_attn_kernel(
     rep = n_head // kv_heads
     seg = seg_ref[:]
 
-    def expand_kv(x):
-        """[rows, f_kv] cache half -> [rows, f] by lane-tiling `rep`
-        copies (GQA; identity under MHA) — the decode kernel's scheme
-        (ops/attention.py): the kernel works in TILED head order and the
-        wrapper permutes q/out at the XLA level."""
-        if rep == 1:
-            return x
-        return jnp.concatenate([x] * rep, axis=-1)
+    exp_kv = functools.partial(expand_kv, rep=rep)  # shared w/ decode kernel
 
     def boundary_of(b):
         return (pos_ref[b] // w) * w
@@ -155,8 +149,8 @@ def _chunk_attn_kernel(
 
             wait_dma(slot, b, blk)
             kvb = kv_scratch[slot].astype(jnp.float32)  # [S_blk, 2F_kv]
-            kb = expand_kv(kvb[:, :f_kv])               # [S_blk, F]
-            vb = expand_kv(kvb[:, f_kv:])
+            kb = exp_kv(kvb[:, :f_kv])               # [S_blk, F]
+            vb = exp_kv(kvb[:, f_kv:])
             s_global = blk * block_s + jax.lax.broadcasted_iota(
                 jnp.int32, (block_s, 1), 0)
             valid = s_global < bnd
@@ -187,8 +181,8 @@ def _chunk_attn_kernel(
 
         # ---- tail: committed rows [bnd, pos) + chunk rows (causal) ----
         tail = recent2[:].astype(jnp.float32)  # [2w, 2F_kv]
-        tk = expand_kv(tail[:, :f_kv])         # [2w, F]
-        tv = expand_kv(tail[:, f_kv:])
+        tk = exp_kv(tail[:, :f_kv])         # [2w, F]
+        tv = exp_kv(tail[:, f_kv:])
         rows = []
         for c in range(n_chunk):
             scores = jnp.dot(tk * q_rows[c], seg,
@@ -274,12 +268,8 @@ def chunk_decode_attention(q: jnp.ndarray, kv_new: jnp.ndarray,
     assert f_kv % 128 == 0 or rep == 1, (
         f"GQA cache half {f_kv} must be 128-aligned (lane tiling)")
     if rep > 1:
-        # tiled head order (see ops/attention.decode_attention): tiled
-        # head t = r*kv_heads + g attends kv head g; permute the
-        # model-order q heads (h -> kv h // rep) in, and out back.
-        tiled_to_model = np.array(
-            [(t % kv_heads) * rep + t // kv_heads for t in range(n_head)])
-        model_to_tiled = np.argsort(tiled_to_model)
+        # tiled head order (shared scheme: ops/attention.tiled_head_perm)
+        tiled_to_model, model_to_tiled = tiled_head_perm(n_head, kv_heads)
         q = q.reshape(b, c, n_head, head_dim)[:, :, tiled_to_model, :] \
              .reshape(b, c, f)
     block_s = min(block_s, smax)

@@ -250,6 +250,18 @@ def causal_attention_padded(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         # no fitting (aligned) head grouping at this pad width —
         # escalate to 128 lanes, where every divisor of h aligns
         dp = -(-d // 128) * 128
+        if not _plan_fits(s, h, dp, n_ops=7):
+            # even 1 head/block overflows (the f32 [S,S] score temps alone
+            # can exceed the budget at long seq) — _pick_hg would hand the
+            # kernel a non-fitting plan and Mosaic would fail opaquely.
+            # Reachable only via LLAMAGEN_TRAIN_ATTN_FORCE=1 (supported()
+            # returns False for these geometries and callers fall back).
+            raise ValueError(
+                f"train-attention kernel cannot fit scoped VMEM at "
+                f"seq={s}, heads={h}, head_dim={d} (padded {dp}): even a "
+                f"1-head grid block overflows the {_VMEM_BUDGET >> 20} MB "
+                f"budget. Unset LLAMAGEN_TRAIN_ATTN_FORCE and use the "
+                f"einsum SDPA fallback for this geometry.")
     if dp == d:
         return causal_attention_bshd(q, k, v, scale, interpret)
     padw = ((0, 0),) * (q.ndim - 1) + ((0, dp - d),)

@@ -755,6 +755,16 @@ class ServeEngine:
         self.run_until_idle()
         return np.stack([r.result for r in reqs])
 
+    def reset_stats(self) -> None:
+        """Zero the stats() gauges (latency/TTFT samples, completion count,
+        throughput clock). For benches that warm up/compile through the
+        engine and then measure: keeps the gauge fields' names in ONE
+        place instead of each bench poking the private attributes."""
+        self._latencies = []
+        self._ttfts = []
+        self._completed = 0
+        self._started = time.time()
+
     def stats(self) -> Dict[str, Any]:
         """Engine gauges (the reference reuses vLLM's StatLogger,
         llm_engine.py:588-659: running/waiting counts, e2e latency,

@@ -55,8 +55,7 @@ def main(name="GPT-L", pairs=16, n_req=48, int8_weights=True, w4k=None,
     # warm: one full drain at small load (compiles chunk + harvest paths)
     eng.generate(list(range(4)))
     # reset gauges so stats() reflects only the measured run
-    eng._latencies, eng._ttfts = [], []
-    eng._completed, eng._started = 0, time.time()
+    eng.reset_stats()
 
     labels = list(np.arange(n_req) * 17 % 1000)
     t0 = time.time()

@@ -53,9 +53,7 @@ def main(int8_weights=True, w4k=None, image_size=256, n_req=24, pairs=8,
                       cache_dtype=jnp.int8, use_kernel=True)
     eng.generate_t2i(caps[:2], masks[:2])  # warm (chunk + admit compiles)
 
-    import time as _t
-    eng._latencies, eng._ttfts = [], []
-    eng._completed, eng._started = 0, _t.time()
+    eng.reset_stats()  # stats() should reflect only the measured run
     t0 = time.time()
     out = eng.generate_t2i(caps, masks)
     dt = time.time() - t0

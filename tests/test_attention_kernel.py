@@ -385,6 +385,33 @@ def test_kernel_split_window_mode(pos, monkeypatch):
                                    atol=1e-6)
 
 
+def test_kernel_split_batch1_falls_back(monkeypatch):
+    """Env-forced split mode at B=1 (a single-request A/B run) must not
+    reach the kernel: split's midpoint swap needs two halves — at B=1 the
+    swap never runs and the final writeback degenerates to a zero-row
+    slice. The wrapper clamps to bulk; output must still match the
+    oracle."""
+    monkeypatch.setenv("LLAMAGEN_WINDOW_MODE", "split")
+    pos = 100
+    rng = np.random.RandomState(5)
+    q = rng.randn(1, H, D).astype(np.float32)
+    k_hist = rng.randn(1, pos + 1, H, D).astype(np.float32)
+    v_hist = rng.randn(1, pos + 1, H, D).astype(np.float32)
+    boundary = (pos // RECENT) * RECENT
+    merged = _merge(k_hist, v_hist)
+    kv_cache = rng.randn(1, S, 2 * F).astype(np.float32)
+    kv_cache[:, :boundary] = merged[:, :boundary]
+    recent = rng.randn(1, RECENT, 2 * F).astype(np.float32)
+    recent[:, :pos - boundary] = merged[:, boundary:pos]
+    out, _, _ = decode_attention(
+        jnp.asarray(q.reshape(1, F)), jnp.asarray(merged[:, pos]),
+        jnp.asarray(recent), jnp.asarray(kv_cache), jnp.int32(pos), H,
+        block_s=64, interpret=True)
+    expected = _dense_oracle(q, k_hist, v_hist)
+    np.testing.assert_allclose(np.asarray(out).reshape(1, H, D), expected,
+                               atol=2e-5, rtol=1e-4)
+
+
 def test_kernel_split_per_slot_flush(monkeypatch):
     """split mode with ragged per-slot positions (engine shape): the two
     halves stage/retire independently with per-group live prefixes."""
