@@ -220,7 +220,14 @@ def generate(params, rng: jax.Array, cond: jnp.ndarray, *,
     i0 = 0
     while i0 < steps_total:
         n = min(seg, steps_total - i0)
-        extent = min(find_multiple(t + i0 + n - 1, seg), max_seq)
+        # the segment's LAST step writes kv at pos = t+i0+n-1 and must read
+        # it back (update-then-read, attend_cache_xla), so the extent must
+        # cover pos+1 = t+i0+n: rounding up from pos itself returned exactly
+        # pos when it sat on a 128 boundary (c2i t=1: every segment), and
+        # that step's query silently missed its own k/v (max |dlogit| 0.07
+        # at GPT-B random weights — measured; token-level impact rare but
+        # real). find_multiple(pos+1) is exact.
+        extent = min(find_multiple(t + i0 + n, seg), max_seq)
         carry, toks = jax.lax.scan(make_step(extent), carry,
                                    jnp.arange(i0, i0 + n))
         chunks.append(toks)

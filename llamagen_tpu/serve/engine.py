@@ -172,6 +172,93 @@ def _decode_step_slots_pallas(params, cfg: GPTConfig, emb: jnp.ndarray,
     return logits, acc.as_cache(cache.quantized), tuple(acc.recent)
 
 
+def build_step_embeddings(params, cfg: GPTConfig, state: "EngineState",
+                          compute_dtype):
+    """Per-slot input embeddings for one engine decode step.
+
+    c2i: branchless prefill-vs-decode select (the reference's
+    `pos.max()==0` embedding trick, serve/gpt_model.py:284-286) — new
+    slots (pos==0) read their class/null embeddings, everyone else the
+    sampled token's. t2i: caption prefill happened at admission, so every
+    step is token decode. Returns (emb [2P, D], pad2) — cond half
+    stacked on uncond half. Shared by the single-chip and TP engines
+    (their steps differ only in the decode call)."""
+    tok_emb = params["tok_embeddings"][state.cur_token].astype(compute_dtype)
+    if cfg.model_type == "t2i":
+        emb = jnp.concatenate([tok_emb, tok_emb], axis=0)  # [2P, D]
+        pad2 = jnp.concatenate([state.prefix_pad, state.prefix_pad])
+    else:
+        is_prefill = state.active & (state.pos == 0)
+        emb_table = params["cls_embedding"]["embedding_table"]
+        cond_emb = emb_table[state.labels].astype(compute_dtype)
+        null_emb = emb_table[jnp.full_like(state.labels, cfg.num_classes)
+                             ].astype(compute_dtype)
+        emb_cond = jnp.where(is_prefill[:, None], cond_emb, tok_emb)
+        emb_uncond = jnp.where(is_prefill[:, None], null_emb, tok_emb)
+        emb = jnp.concatenate([emb_cond, emb_uncond], axis=0)  # [2P, D]
+        pad2 = None
+    return emb, pad2
+
+
+def sample_and_advance(state: "EngineState", logits, cache, recent,
+                       max_new_tokens: int) -> "EngineState":
+    """Post-decode tail of one engine step: CFG-mix with per-slot traced
+    params, penalties, sample, and slot bookkeeping (write the token for
+    active unfinished slots, advance pos/n_generated, retire finished
+    slots). Shared by the single-chip and TP engines."""
+    ss = state.sp_slots
+    mixed = sampling.cfg_mix_per_slot(logits, ss.cfg_scale)
+    counts = state.output_counts
+    if counts is not None:
+        mixed = sampling.apply_penalties_per_slot(
+            mixed, counts, presence=ss.presence,
+            frequency=ss.frequency, repetition=ss.repetition)
+
+    rng, step_rng = jax.random.split(state.rng)
+    nxt = sampling.sample_per_slot(step_rng, mixed, ss.temperature,
+                                   ss.top_k, ss.top_p)  # [P]
+
+    still_going = state.active & (state.n_generated < max_new_tokens)
+    write_idx = jnp.clip(state.n_generated, 0, max_new_tokens - 1)
+    tokens_out = jnp.where(
+        still_going[:, None]
+        & (jnp.arange(max_new_tokens)[None, :] == write_idx[:, None]),
+        nxt[:, None], state.tokens_out)
+    n_generated = jnp.where(still_going, state.n_generated + 1,
+                            state.n_generated)
+    cur_token = jnp.where(still_going, nxt, state.cur_token)
+    pos = jnp.where(state.active, state.pos + 1, state.pos)
+    active = state.active & (n_generated < max_new_tokens)
+
+    if counts is not None:
+        counts = jnp.where(
+            still_going[:, None],
+            sampling.update_output_counts(counts, nxt), counts)
+    return state._replace(cache=cache, pos=pos, active=active,
+                          cur_token=cur_token, n_generated=n_generated,
+                          tokens_out=tokens_out, rng=rng, recent=recent,
+                          output_counts=counts)
+
+
+def apply_admission(state: "EngineState", admit_mask, admit_labels,
+                    admit_sp: SlotSampling) -> "EngineState":
+    """Reset admitted slots' bookkeeping (cache rows get overwritten by
+    their prefill); per-request sampling params land in the traced
+    per-slot arrays. Shared by the single-chip and TP engine chunks."""
+    pos = jnp.where(admit_mask, 0, state.pos)
+    active = state.active | admit_mask
+    labels = jnp.where(admit_mask, admit_labels, state.labels)
+    n_generated = jnp.where(admit_mask, 0, state.n_generated)
+    sp_slots = SlotSampling(*(jnp.where(admit_mask, a, s) for a, s
+                              in zip(admit_sp, state.sp_slots)))
+    counts = state.output_counts
+    if counts is not None:
+        counts = jnp.where(admit_mask[:, None], 0, counts)
+    return state._replace(pos=pos, active=active, labels=labels,
+                          n_generated=n_generated, output_counts=counts,
+                          sp_slots=sp_slots)
+
+
 def make_engine_step(params, cfg: GPTConfig, max_new_tokens: int,
                      chunk: int = 64, compute_dtype=jnp.bfloat16,
                      use_kernel: bool = False, track_counts: bool = False):
@@ -188,30 +275,9 @@ def make_engine_step(params, cfg: GPTConfig, max_new_tokens: int,
     band (make_admit_pair + make_scatter_pair run the 120-token caption
     prefill once per request) so every in-chunk step is pure decode.
     """
-    is_t2i = cfg.model_type == "t2i"
-
     def one_step(params, state: EngineState) -> EngineState:
-        p = state.pos  # [P]
-        pair_tok = state.cur_token
-        tok_emb = params["tok_embeddings"][pair_tok].astype(compute_dtype)
-
-        if is_t2i:
-            # prefill happened at admission; every step is token decode
-            emb = jnp.concatenate([tok_emb, tok_emb], axis=0)  # [2P, D]
-            pad2 = jnp.concatenate([state.prefix_pad, state.prefix_pad])
-        else:
-            is_prefill = state.active & (p == 0)
-            # build per-slot input embeddings: cond half + uncond half
-            emb_table = params["cls_embedding"]["embedding_table"]
-            cond_emb = emb_table[state.labels].astype(compute_dtype)
-            null_emb = emb_table[jnp.full_like(state.labels, cfg.num_classes)
-                                 ].astype(compute_dtype)
-            emb_cond = jnp.where(is_prefill[:, None], cond_emb, tok_emb)
-            emb_uncond = jnp.where(is_prefill[:, None], null_emb, tok_emb)
-            emb = jnp.concatenate([emb_cond, emb_uncond], axis=0)  # [2P, D]
-            pad2 = None
-
-        pos2 = jnp.concatenate([p, p], axis=0)
+        emb, pad2 = build_step_embeddings(params, cfg, state, compute_dtype)
+        pos2 = jnp.concatenate([state.pos, state.pos], axis=0)
         if use_kernel:
             logits, cache, recent = _decode_step_slots_pallas(
                 params, cfg, emb, pos2, state.cache, state.recent,
@@ -221,55 +287,12 @@ def make_engine_step(params, cfg: GPTConfig, max_new_tokens: int,
                                                state.cache, compute_dtype,
                                                prefix_pad=pad2)
             recent = state.recent
-        ss = state.sp_slots
-        mixed = sampling.cfg_mix_per_slot(logits, ss.cfg_scale)
-        counts = state.output_counts
-        if counts is not None:
-            mixed = sampling.apply_penalties_per_slot(
-                mixed, counts, presence=ss.presence,
-                frequency=ss.frequency, repetition=ss.repetition)
-
-        rng, step_rng = jax.random.split(state.rng)
-        nxt = sampling.sample_per_slot(step_rng, mixed, ss.temperature,
-                                       ss.top_k, ss.top_p)  # [P]
-
-        # write sampled token for active unfinished slots
-        still_going = state.active & (state.n_generated < max_new_tokens)
-        write_idx = jnp.clip(state.n_generated, 0, max_new_tokens - 1)
-        tokens_out = jnp.where(
-            still_going[:, None]
-            & (jnp.arange(max_new_tokens)[None, :] == write_idx[:, None]),
-            nxt[:, None], state.tokens_out)
-        n_generated = jnp.where(still_going, state.n_generated + 1,
-                                state.n_generated)
-        cur_token = jnp.where(still_going, nxt, state.cur_token)
-        pos = jnp.where(state.active, p + 1, p)
-        active = state.active & (n_generated < max_new_tokens)
-
-        if counts is not None:
-            counts = jnp.where(
-                still_going[:, None],
-                sampling.update_output_counts(counts, nxt), counts)
-        return state._replace(cache=cache, pos=pos, active=active,
-                              cur_token=cur_token, n_generated=n_generated,
-                              tokens_out=tokens_out, rng=rng, recent=recent,
-                              output_counts=counts)
+        return sample_and_advance(state, logits, cache, recent,
+                                  max_new_tokens)
 
     def engine_chunk(params, state: EngineState, admit_mask, admit_labels,
                      admit_sp: SlotSampling, n_steps) -> EngineState:
-        # admission: reset slot bookkeeping (cache slots get overwritten)
-        pos = jnp.where(admit_mask, 0, state.pos)
-        active = state.active | admit_mask
-        labels = jnp.where(admit_mask, admit_labels, state.labels)
-        n_generated = jnp.where(admit_mask, 0, state.n_generated)
-        sp_slots = SlotSampling(*(jnp.where(admit_mask, a, s) for a, s
-                                  in zip(admit_sp, state.sp_slots)))
-        counts = state.output_counts
-        if counts is not None:
-            counts = jnp.where(admit_mask[:, None], 0, counts)
-        state = state._replace(pos=pos, active=active, labels=labels,
-                               n_generated=n_generated, output_counts=counts,
-                               sp_slots=sp_slots)
+        state = apply_admission(state, admit_mask, admit_labels, admit_sp)
         state = jax.lax.fori_loop(0, jnp.minimum(n_steps, chunk),
                                   lambda i, s: one_step(params, s), state)
         return state

@@ -116,18 +116,12 @@ def spec_accept_per_slot(rng: jax.Array, proposals: jnp.ndarray,
     positive temperature is monotone and preserves tie order), so the
     greedy path needs no separate logits input.
     """
-    b, k = proposals.shape
-    jpos = jnp.arange(k + 1)[None, :]
     tokens_s, n_s = spec_accept(rng, proposals, q_probs, p_probs,
                                 sample_logits=True)
-    tgt = jnp.argmax(p_probs, axis=-1)                        # [B, k+1]
-    acc = tgt[:, :k] == proposals
-    n_acc = jnp.sum(jnp.cumprod(acc.astype(jnp.int32), axis=1), axis=1)
-    final = jnp.take_along_axis(tgt, n_acc[:, None], axis=1)[:, 0]
-    prop_pad = jnp.pad(proposals, ((0, 0), (0, 1)))
-    tokens_g = jnp.where(jpos < n_acc[:, None], prop_pad, final[:, None])
+    tokens_g, n_g = spec_accept(rng, proposals, q_probs, p_probs,
+                                sample_logits=False)
     return (jnp.where(greedy[:, None], tokens_g, tokens_s),
-            jnp.where(greedy, n_acc + 1, n_s))
+            jnp.where(greedy, n_g, n_s))
 
 
 def make_spec_engine_step(cfg: GPTConfig, draft_cfg: GPTConfig,
@@ -211,6 +205,14 @@ def make_spec_engine_step(cfg: GPTConfig, draft_cfg: GPTConfig,
 
         going = state.active & (state.n_generated < max_new_tokens)
         n_new = jnp.where(going, n_new, 0)
+        # cap by the remaining quota BEFORE pos advances (the batch path
+        # derives pos from the clamped n_out, ops/speculative.py:348,412 —
+        # same invariant): an unclamped finishing slot would freeze at up
+        # to pos = t+max_new+k, and its dead draft steps at pos..pos+k
+        # would push the chunk kernel's aligned epoch-tile write-backs
+        # past the smax = t+max_new+k+17 cache allocation at large k
+        # (in-kernel DMA is not bounds-checked on TPU).
+        n_new = jnp.minimum(n_new, max_new_tokens - state.n_generated)
         widx = state.n_generated[:, None] + jnp.arange(c)[None, :]
         valid = ((jnp.arange(c)[None, :] < n_new[:, None])
                  & (widx < max_new_tokens))

@@ -47,7 +47,10 @@ from llamagen_tpu.models import gpt
 from llamagen_tpu.ops import sampling
 from llamagen_tpu.parallel.tp_decode import shard_tp_params, tp_param_specs
 from llamagen_tpu.serve.engine import (EngineState, SamplingParams,
-                                       SlotSampling, slot_sampling_full)
+                                       SlotSampling, apply_admission,
+                                       build_step_embeddings,
+                                       sample_and_advance,
+                                       slot_sampling_full)
 
 
 def _slot_sp_specs() -> SlotSampling:
@@ -159,7 +162,6 @@ def make_tp_engine_step(cfg: GPTConfig,
     sampling params. Params must be placed with
     parallel.tp_decode.shard_tp_params.
     """
-    is_t2i = cfg.model_type == "t2i"
     assert cfg.n_head % ntp == 0
     assert cfg.kv_heads % ntp == 0, (
         "GQA TP serving requires kv_heads % tp == 0 (each chip owns "
@@ -174,75 +176,19 @@ def make_tp_engine_step(cfg: GPTConfig,
             "(ops.attention lane-tiling)")
 
     def one_step(params, state: EngineState) -> EngineState:
-        p = state.pos
-        tok_emb = params["tok_embeddings"][state.cur_token].astype(
-            compute_dtype)
-        if is_t2i:
-            # caption prefill happened at admission (make_tp_admit_pair);
-            # every in-chunk step is pure token decode
-            emb = jnp.concatenate([tok_emb, tok_emb], axis=0)  # [2P, D]
-            pad2 = jnp.concatenate([state.prefix_pad, state.prefix_pad])
-        else:
-            is_prefill = state.active & (p == 0)
-            emb_table = params["cls_embedding"]["embedding_table"]
-            cond_emb = emb_table[state.labels].astype(compute_dtype)
-            null_emb = emb_table[jnp.full_like(state.labels, cfg.num_classes)
-                                 ].astype(compute_dtype)
-            emb_cond = jnp.where(is_prefill[:, None], cond_emb, tok_emb)
-            emb_uncond = jnp.where(is_prefill[:, None], null_emb, tok_emb)
-            emb = jnp.concatenate([emb_cond, emb_uncond], axis=0)  # [2P, D]
-            pad2 = None
-        pos2 = jnp.concatenate([p, p], axis=0)
-
+        # the engine step differs from serve.engine's ONLY in the decode
+        # call (TP-local heads, row-parallel psums); prologue/tail shared
+        emb, pad2 = build_step_embeddings(params, cfg, state, compute_dtype)
+        pos2 = jnp.concatenate([state.pos, state.pos], axis=0)
         logits, cache, recent = _local_decode_step(
             params, cfg, h_local, emb, pos2, state.cache, state.recent,
             compute_dtype, prefix_pad=pad2)
-        ss = state.sp_slots
-        mixed = sampling.cfg_mix_per_slot(logits, ss.cfg_scale)
-        counts = state.output_counts
-        if counts is not None:
-            mixed = sampling.apply_penalties_per_slot(
-                mixed, counts, presence=ss.presence,
-                frequency=ss.frequency, repetition=ss.repetition)
-
-        rng, step_rng = jax.random.split(state.rng)
-        nxt = sampling.sample_per_slot(step_rng, mixed, ss.temperature,
-                                       ss.top_k, ss.top_p)
-
-        still_going = state.active & (state.n_generated < max_new_tokens)
-        write_idx = jnp.clip(state.n_generated, 0, max_new_tokens - 1)
-        tokens_out = jnp.where(
-            still_going[:, None]
-            & (jnp.arange(max_new_tokens)[None, :] == write_idx[:, None]),
-            nxt[:, None], state.tokens_out)
-        n_generated = jnp.where(still_going, state.n_generated + 1,
-                                state.n_generated)
-        cur_token = jnp.where(still_going, nxt, state.cur_token)
-        pos = jnp.where(state.active, p + 1, p)
-        active = state.active & (n_generated < max_new_tokens)
-        if counts is not None:
-            counts = jnp.where(
-                still_going[:, None],
-                sampling.update_output_counts(counts, nxt), counts)
-        return state._replace(cache=cache, pos=pos, active=active,
-                              cur_token=cur_token, n_generated=n_generated,
-                              tokens_out=tokens_out, rng=rng, recent=recent,
-                              output_counts=counts)
+        return sample_and_advance(state, logits, cache, recent,
+                                  max_new_tokens)
 
     def local_chunk(params, state: EngineState, admit_mask, admit_labels,
                     admit_sp: SlotSampling, n_steps) -> EngineState:
-        pos = jnp.where(admit_mask, 0, state.pos)
-        active = state.active | admit_mask
-        labels = jnp.where(admit_mask, admit_labels, state.labels)
-        n_generated = jnp.where(admit_mask, 0, state.n_generated)
-        sp_slots = SlotSampling(*(jnp.where(admit_mask, a, s) for a, s
-                                  in zip(admit_sp, state.sp_slots)))
-        counts = state.output_counts
-        if counts is not None:
-            counts = jnp.where(admit_mask[:, None], 0, counts)
-        state = state._replace(pos=pos, active=active, labels=labels,
-                               n_generated=n_generated,
-                               output_counts=counts, sp_slots=sp_slots)
+        state = apply_admission(state, admit_mask, admit_labels, admit_sp)
         return jax.lax.fori_loop(0, jnp.minimum(n_steps, chunk),
                                  lambda i, s: one_step(params, s), state)
 

@@ -138,6 +138,79 @@ def test_greedy_cfg_generation_token_parity(ref_and_ours):
     assert match == 1.0, f"greedy token parity {match} != 1.0"
 
 
+def test_decode_step_extent_covers_current_position():
+    """The XLA decode path writes kv at `pos` then reads [:extent], so any
+    extent the sampling loop picks must cover pos+1. Regression for the
+    off-by-one where a 128-step segment's last step got extent == pos
+    (c2i t=1: every segment boundary) and silently missed its own k/v —
+    logit-level, since the greedy flip is seed-dependent."""
+    cfg = GPTConfig(dim=64, n_layer=2, n_head=4, block_size=144,
+                    num_classes=10, vocab_size=256, cls_token_num=1,
+                    token_dropout_p=0.0, resid_dropout_p=0.0,
+                    ffn_dropout_p=0.0)
+    params = gpt.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    params["output"] = jax.random.normal(
+        jax.random.PRNGKey(7), params["output"].shape) * 0.02
+    rng = np.random.RandomState(0)
+    cache = gpt.init_cache(cfg, 2, find_multiple(1 + 144, 8),
+                           dtype=jnp.float32)
+    for p in range(128):
+        _, cache = gpt.decode_step(
+            params, cfg, jnp.asarray(rng.randint(0, cfg.vocab_size, (2,))),
+            jnp.int32(p), cache, compute_dtype=jnp.float32)
+    tok = jnp.asarray(np.array([5, 9]))
+    full, _ = gpt.decode_step(params, cfg, tok, jnp.int32(128), cache,
+                              compute_dtype=jnp.float32)
+    # the loop's bucketed extent for the segment ending at pos=128
+    # (t=1, i0=0, n=128): find_multiple(t + i0 + n, 128) = 256
+    bucketed, _ = gpt.decode_step(params, cfg, tok, jnp.int32(128), cache,
+                                  compute_dtype=jnp.float32, read_extent=256)
+    np.testing.assert_array_equal(np.asarray(bucketed), np.asarray(full))
+    # the pre-fix formula returned extent == pos == 128: must differ —
+    # proves the probe is sensitive to the missing self-attention row
+    stale, _ = gpt.decode_step(params, cfg, tok, jnp.int32(128), cache,
+                               compute_dtype=jnp.float32, read_extent=128)
+    assert float(jnp.max(jnp.abs(stale - full))) > 1e-4
+
+
+def test_greedy_parity_across_extent_boundary():
+    """Greedy parity on a grid LONG enough to cross the XLA fallback's
+    128-step read-extent segmentation (c2i t=1: the segment's last step
+    sits exactly on the 128 boundary; block_size=16 above never reaches
+    it). Token-level is seed-dependent for the extent off-by-one (the
+    logit test above is the sharp regression), but this pins the whole
+    segmented loop against the reference at a multi-segment length."""
+    from autoregressive.models.gpt import ModelArgs, Transformer
+    from autoregressive.models import generate as ref_generate
+
+    cfg = GPTConfig(dim=64, n_layer=2, n_head=4, block_size=144,
+                    num_classes=10, vocab_size=256, cls_token_num=1,
+                    token_dropout_p=0.0, resid_dropout_p=0.0,
+                    ffn_dropout_p=0.0)
+    torch.manual_seed(3)
+    ref = Transformer(ModelArgs(
+        dim=cfg.dim, n_layer=cfg.n_layer, n_head=cfg.n_head,
+        block_size=cfg.block_size, num_classes=cfg.num_classes,
+        vocab_size=cfg.vocab_size, cls_token_num=cfg.cls_token_num,
+        token_dropout_p=0.0, resid_dropout_p=0.0, ffn_dropout_p=0.0))
+    torch.nn.init.normal_(ref.output.weight, std=0.02)
+    ref.eval()
+    params = convert_gpt(
+        {k: v.detach().numpy() for k, v in ref.state_dict().items()}, cfg)
+
+    labels = np.array([3, 8])
+    with torch.no_grad():
+        ref_seq = ref_generate.generate(
+            ref, torch.from_numpy(labels).long(), cfg.block_size,
+            cfg_scale=2.0, sample_logits=False)
+    seq = generate(params, jax.random.PRNGKey(0), jnp.asarray(labels),
+                   cfg=cfg, max_new_tokens=cfg.block_size, cfg_scale=2.0,
+                   sample_logits=False, compute_dtype=jnp.float32,
+                   cache_dtype=jnp.float32, use_kernel=False)
+    match = (np.asarray(seq) == ref_seq.numpy()).mean()
+    assert match == 1.0, f"greedy parity across 128 boundary: {match} != 1.0"
+
+
 def test_greedy_cfg_interval(ref_and_ours):
     from autoregressive.models import generate as ref_generate
 
