@@ -40,6 +40,11 @@ def main(argv=None):
     p.add_argument("--image-size", type=int, default=256)
     p.add_argument("--downsample-size", type=int, default=16)
     p.add_argument("--class-dropout-prob", type=float, default=0.1)
+    p.add_argument("--dropout-p", type=float, default=0.1,
+                   help="resid/ffn dropout (ref train_c2i.py:271)")
+    p.add_argument("--token-dropout-p", type=float, default=0.1)
+    p.add_argument("--drop-path-rate", type=float, default=0.0,
+                   help="stochastic depth; >0 zeroes dropout-p (ref :97-100)")
     p.add_argument("--global-batch-size", type=int, default=256)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--weight-decay", type=float, default=5e-2)
@@ -77,9 +82,14 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     latent = args.image_size // args.downsample_size
+    # drop-path replaces resid/ffn dropout (ref train_c2i.py:97-100)
+    dropout_p = 0.0 if args.drop_path_rate > 0.0 else args.dropout_p
     cfg = gpt_config(args.gpt_model, block_size=latent * latent,
                      cls_token_num=1,
-                     class_dropout_prob=args.class_dropout_prob)
+                     class_dropout_prob=args.class_dropout_prob,
+                     resid_dropout_p=dropout_p, ffn_dropout_p=dropout_p,
+                     token_dropout_p=args.token_dropout_p,
+                     drop_path_rate=args.drop_path_rate)
 
     mesh = make_mesh(args.dp, args.fsdp, args.tp)
     if args.exp_auto:

@@ -63,6 +63,11 @@ def main(argv=None):
     p.add_argument("--cls-token-num", type=int, default=120)
     p.add_argument("--caption-dim", type=int, default=2048)
     p.add_argument("--class-dropout-prob", type=float, default=0.1)
+    p.add_argument("--dropout-p", type=float, default=0.1,
+                   help="resid/ffn dropout (ref train_t2i.py:242)")
+    p.add_argument("--token-dropout-p", type=float, default=0.1)
+    p.add_argument("--drop-path", type=float, default=0.0,
+                   help="stochastic depth; >0 zeroes dropout-p")
     p.add_argument("--global-batch-size", type=int, default=256)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--weight-decay", type=float, default=5e-2)
@@ -93,10 +98,14 @@ def main(argv=None):
         # shrink the caption window so the smoke run stays fast
         args.cls_token_num = min(args.cls_token_num, 8)
         args.caption_dim = min(args.caption_dim, 64)
+    dropout_p = 0.0 if args.drop_path > 0.0 else args.dropout_p
     cfg = gpt_config(args.gpt_model, block_size=latent * latent,
                      cls_token_num=args.cls_token_num, model_type="t2i",
                      caption_dim=args.caption_dim,
-                     class_dropout_prob=args.class_dropout_prob)
+                     class_dropout_prob=args.class_dropout_prob,
+                     resid_dropout_p=dropout_p, ffn_dropout_p=dropout_p,
+                     token_dropout_p=args.token_dropout_p,
+                     drop_path_rate=args.drop_path)
     vq_params, vq_cfg = load_vq(args.vq_ckpt, args.vq_model)
 
     mesh = make_mesh(args.dp, args.fsdp, args.tp)

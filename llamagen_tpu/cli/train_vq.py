@@ -85,6 +85,8 @@ def main(argv=None):
     p.add_argument("--gen-loss", default="hinge",
                    choices=["hinge", "non-saturating"])
     p.add_argument("--rec-loss", default="l2", choices=["l1", "l2"])
+    p.add_argument("--dropout-p", type=float, default=0.0,
+                   help="res-block dropout (ref vq_train.py --dropout-p)")
     p.add_argument("--perceptual-weight", type=float, default=1.0)
     p.add_argument("--vgg-weights", default=None,
                    help="torchvision vgg16 state dict (.pt) for LPIPS")
@@ -108,7 +110,8 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     cfg = vq_config(args.vq_model, codebook_size=args.codebook_size,
-                    codebook_embed_dim=args.codebook_embed_dim)
+                    codebook_embed_dim=args.codebook_embed_dim,
+                    dropout_p=args.dropout_p)
     loss_cfg = vq_train.VQLossConfig(
         disc_start=args.disc_start, disc_weight=args.disc_weight,
         disc_type=args.disc_type, disc_loss=args.disc_loss,

@@ -213,7 +213,8 @@ def _use_train_kernel() -> bool:
 
 def _sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
           mask: Optional[jnp.ndarray], cfg: GPTConfig,
-          bf16_scores: bool = False) -> jnp.ndarray:
+          bf16_scores: bool = False,
+          dropout_rng=None) -> jnp.ndarray:
     """Masked multi-head attention. q: [B,Sq,H,D], k/v: [B,Sk,Hkv,D].
 
     bf16_scores (training full-seq path under bf16 compute): materialize
@@ -242,6 +243,10 @@ def _sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         if mask is not None:
             scores = jnp.where(mask, scores, jnp.float32(-1e30))
         probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    if dropout_rng is not None and cfg.attn_dropout_p > 0:
+        # attention-probability dropout, torch SDPA semantics (ref
+        # gpt.py:232-236 passes attn_dropout_p during training)
+        probs = _dropout(dropout_rng, probs, cfg.attn_dropout_p)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
     return out.reshape(*q.shape[:2], cfg.n_head * cfg.head_dim)
 
@@ -249,8 +254,13 @@ def _sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 def _attention(p: Params, x: jnp.ndarray, freqs: jnp.ndarray,
                mask: Optional[jnp.ndarray], cfg: GPTConfig,
                cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
-               pos: Optional[jnp.ndarray] = None):
-    """One attention layer. Returns (out, new_cache_kv or None)."""
+               pos: Optional[jnp.ndarray] = None,
+               attn_dropout_rng=None):
+    """One attention layer. Returns (out, new_cache_kv or None).
+
+    attn_dropout_rng: when set (training with attn_dropout_p > 0),
+    attention-probability dropout runs in the einsum path — the Pallas
+    training kernel never materializes probs, so it is gated off."""
     q, k, v = _split_qkv(p, x, cfg)
     q = apply_rope(q, freqs)
     k = apply_rope(k, freqs)
@@ -271,7 +281,8 @@ def _attention(p: Params, x: jnp.ndarray, freqs: jnp.ndarray,
 
     from llamagen_tpu.ops.train_attention import supported as _tk_supported
 
-    if cache_kv is None and _use_train_kernel() \
+    if cache_kv is None and attn_dropout_rng is None \
+            and _use_train_kernel() \
             and _tk_supported(cfg.n_head, cfg.head_dim, x.shape[1]):
         # training full-sequence attention: the layout-native Pallas
         # kernel keeps the [S, S] scores VMEM-resident per (batch, head)
@@ -292,7 +303,8 @@ def _attention(p: Params, x: jnp.ndarray, freqs: jnp.ndarray,
     else:
         # cache-less einsum fallback: under bf16 compute, keep the S^2
         # score buffer bf16 too
-        out = _sdpa(q, k, v, mask, cfg, bf16_scores=cache_kv is None)
+        out = _sdpa(q, k, v, mask, cfg, bf16_scores=cache_kv is None,
+                    dropout_rng=attn_dropout_rng)
     if cache_kv is None:
         # selective-remat anchor: under remat="save_attn" this [B, S, F]
         # tensor is the ONLY saved residual per layer — the attention
@@ -327,7 +339,13 @@ def _block(p: Params, h: jnp.ndarray, freqs: jnp.ndarray,
            mask: Optional[jnp.ndarray], cfg: GPTConfig,
            cache_kv=None, pos=None, dropout_rng=None, drop_path_rate=None):
     attn_in = rms_norm(h, p["attention_norm"], cfg.norm_eps)
-    attn_out, new_cache = _attention(p, attn_in, freqs, mask, cfg, cache_kv, pos)
+    # fold_in (not a wider split) keeps the r1-r4 streams identical to
+    # attn_dropout_p == 0 runs
+    attn_rng = (jax.random.fold_in(dropout_rng, 5)
+                if dropout_rng is not None and cfg.attn_dropout_p > 0
+                else None)
+    attn_out, new_cache = _attention(p, attn_in, freqs, mask, cfg, cache_kv,
+                                     pos, attn_dropout_rng=attn_rng)
     if dropout_rng is not None:
         r1, r2, r3, r4 = jax.random.split(dropout_rng, 4)
         if cfg.resid_dropout_p > 0:
@@ -511,10 +529,8 @@ def prefill(params: Params, cfg: GPTConfig, cond: jnp.ndarray,
 
     # during prefill only the first T cache slots are populated; attend there
     smax = cache.max_seq_len
-    pad_cols = jnp.arange(smax) < t
     full_mask = jnp.zeros((b, 1, t, smax), bool)
     full_mask = full_mask.at[:, :, :, :t].set(mask)
-    del pad_cols
 
     h, cache = _run_layers(params, h, freqs, full_mask, cfg, cache=cache, pos=0)
     logits = _logits(params, h[:, -1:, :], cfg)[:, 0]

@@ -78,13 +78,22 @@ def swish(x: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def resnet_block(params: Params, x: jnp.ndarray) -> jnp.ndarray:
-    """Pre-norm residual conv block (ref: vq_model.py:279-314)."""
+def resnet_block(params: Params, x: jnp.ndarray, dropout_p: float = 0.0,
+                 rng=None) -> jnp.ndarray:
+    """Pre-norm residual conv block (ref: vq_model.py:279-314).
+
+    rng + dropout_p > 0 (training): dropout between the second swish and
+    conv2, exactly the reference's placement (vq_model.py:306). The rng
+    is a deterministic fold of the step rng, so a remat recompute
+    regenerates the identical mask."""
     h = group_norm(params["norm1"], x)
     h = swish(h)
     h = conv2d(params["conv1"], h)
     h = group_norm(params["norm2"], h)
     h = swish(h)
+    if rng is not None and dropout_p > 0:
+        keep = jax.random.bernoulli(rng, 1.0 - dropout_p, h.shape)
+        h = jnp.where(keep, h / (1.0 - dropout_p), 0.0).astype(h.dtype)
     h = conv2d(params["conv2"], h)
     if "nin_shortcut" in params:
         x = dense(params["nin_shortcut"], x)
@@ -127,8 +136,29 @@ def upsample(params: Params, x: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _res_runner(cfg: VQConfig, remat: bool, rng):
+    """(res_f, attn_f) with per-call dropout-rng folding: call i of res_f
+    derives fold_in(rng, i) so every block gets an independent,
+    deterministic mask (remat replays the same operands -> same mask).
+    dropout_p is bound STATICALLY (partial, not an operand) — a traced
+    p would fail resnet_block's `> 0` gate under jax.checkpoint."""
+    p_drop = cfg.dropout_p if rng is not None else 0.0
+    block = partial(resnet_block, dropout_p=p_drop)
+    res_0 = jax.checkpoint(block) if remat else block
+    attn_f = jax.checkpoint(attn_block) if remat else attn_block
+    counter = [0]
+
+    def res_f(p, h):
+        i = counter[0]
+        counter[0] += 1
+        r = None if rng is None else jax.random.fold_in(rng, i)
+        return res_0(p, h, rng=r)
+
+    return res_f, attn_f
+
+
 def encoder_apply(params: Params, x: jnp.ndarray, cfg: VQConfig,
-                  remat: bool = False) -> jnp.ndarray:
+                  remat: bool = False, rng=None) -> jnp.ndarray:
     """Conv encoder NHWC [B,H,W,3] -> [B,h,w,z_channels] (ref: vq_model.py:64-124).
 
     remat=True checkpoints each resnet/attn block for training: only block
@@ -136,9 +166,9 @@ def encoder_apply(params: Params, x: jnp.ndarray, cfg: VQConfig,
     full-resolution temps per block (the 256px f32 step OOMs 16 GB HBM at
     batch 32 without this). Recompute is deterministic — same HLO — so
     losses are bit-identical to the no-remat program.
+    rng: training dropout key (cfg.dropout_p inside each res block).
     """
-    res_f = jax.checkpoint(resnet_block) if remat else resnet_block
-    attn_f = jax.checkpoint(attn_block) if remat else attn_block
+    res_f, attn_f = _res_runner(cfg, remat, rng)
     num_res = len(cfg.encoder_ch_mult)
     h = conv2d(params["conv_in"], x)
     for i_level in range(num_res):
@@ -158,12 +188,11 @@ def encoder_apply(params: Params, x: jnp.ndarray, cfg: VQConfig,
 
 
 def decoder_apply(params: Params, z: jnp.ndarray, cfg: VQConfig,
-                  remat: bool = False) -> jnp.ndarray:
+                  remat: bool = False, rng=None) -> jnp.ndarray:
     """Conv decoder NHWC [B,h,w,z_channels] -> [B,H,W,3] (ref: vq_model.py:128-194).
 
-    remat: checkpoint each block (see encoder_apply)."""
-    res_f = jax.checkpoint(resnet_block) if remat else resnet_block
-    attn_f = jax.checkpoint(attn_block) if remat else attn_block
+    remat: checkpoint each block; rng: training dropout (see encoder_apply)."""
+    res_f, attn_f = _res_runner(cfg, remat, rng)
     num_res = len(cfg.decoder_ch_mult)
     h = conv2d(params["conv_in"], z)
     h = res_f(params["mid"][0], h)
@@ -256,18 +285,24 @@ def codebook_lookup(params: Params, indices: jnp.ndarray, cfg: VQConfig) -> jnp.
 
 
 def encode(params: Params, x: jnp.ndarray, cfg: VQConfig, train: bool = False,
-           remat: bool = False):
-    """Image NHWC [B,H,W,3] in [-1,1] -> (z_q, losses, indices [B,h,w])."""
-    h = encoder_apply(params["encoder"], x, cfg, remat=remat)
+           remat: bool = False, rng=None):
+    """Image NHWC [B,H,W,3] in [-1,1] -> (z_q, losses, indices [B,h,w]).
+
+    rng: training dropout key (used only when cfg.dropout_p > 0)."""
+    h = encoder_apply(params["encoder"], x, cfg, remat=remat,
+                      rng=rng if train and cfg.dropout_p > 0 else None)
     h = conv2d(params["quant_conv"], h)
     return quantize(params["quantize"], h, cfg, train=train)
 
 
 def decode(params: Params, z_q: jnp.ndarray, cfg: VQConfig,
-           remat: bool = False) -> jnp.ndarray:
-    """Quantized latents [B,h,w,e_dim] -> image NHWC [B,H,W,3]."""
+           remat: bool = False, rng=None) -> jnp.ndarray:
+    """Quantized latents [B,h,w,e_dim] -> image NHWC [B,H,W,3].
+
+    rng: training dropout key (training steps only; samplers omit it)."""
     h = conv2d(params["post_quant_conv"], z_q)
-    return decoder_apply(params["decoder"], h, cfg, remat=remat)
+    return decoder_apply(params["decoder"], h, cfg, remat=remat,
+                         rng=rng if cfg.dropout_p > 0 else None)
 
 
 def decode_code(params: Params, indices: jnp.ndarray, cfg: VQConfig) -> jnp.ndarray:

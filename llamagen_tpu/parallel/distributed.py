@@ -24,14 +24,17 @@ def init_distributed(coordinator_address: Optional[str] = None,
     includes SLURM single-task and plain CLI runs) it is a no-op — the
     reference's fallback branch (distributed.py:41-47).
     """
-    env_hints = ("COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS",
-                 "SLURM_NTASKS", "TPU_WORKER_HOSTNAMES")
-    multi = (coordinator_address is not None
-             or any(os.environ.get(k) for k in env_hints))
-    if not multi:
-        return False
-    if int(os.environ.get("SLURM_NTASKS", "2")) <= 1:
-        return False
+    strong_hints = ("COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS",
+                    "TPU_WORKER_HOSTNAMES")
+    strong = (coordinator_address is not None
+              or any(os.environ.get(k) for k in strong_hints))
+    if not strong:
+        # SLURM is only a hint when it actually describes >1 task: a
+        # single-task SLURM wrapper around a one-host run must NOT gate
+        # out an explicit coordinator_address / TPU pod env (each worker
+        # would silently train as an independent single-host job)
+        if int(os.environ.get("SLURM_NTASKS", "1")) <= 1:
+            return False
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)

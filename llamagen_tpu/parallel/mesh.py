@@ -46,6 +46,26 @@ def data_spec() -> P:
     return P(("dp", "fsdp"))
 
 
+def put_batch(tree, mesh: Mesh):
+    """Split a batch pytree across (dp, fsdp) — `data_spec()`.
+
+    Single-process: leaves are the GLOBAL batch (device_put sharded).
+    Multi-host: each leaf holds THIS PROCESS's rows (the per-host stride
+    the data loaders produce) and the global array is assembled from the
+    process-local shards — the reference's DistributedSampler semantics
+    (train_c2i.py:125-140) without any gather. None leaves pass through
+    (jax.tree.map treats None as an empty subtree). One implementation
+    for the c2i / t2i / VQ trainers' batch placement.
+    """
+    sharding = NamedSharding(mesh, data_spec())
+    if jax.process_count() > 1:
+        put = lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x))
+    else:
+        put = lambda x: jax.device_put(x, sharding)
+    return jax.tree.map(put, tree)
+
+
 def shard_pytree(tree, mesh: Mesh, specs):
     """Place a pytree on the mesh according to a matching pytree of specs."""
     return jax.tree.map(

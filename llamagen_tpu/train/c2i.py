@@ -79,20 +79,15 @@ def _opt_state_shardings(opt_abstract, params_abstract, param_sharding, mesh):
     return jax.tree.map(map_leaf, opt_abstract)
 
 
-def build_trainer(cfg: GPTConfig, mesh: Mesh, *, lr: float = 1e-4,
-                  weight_decay: float = 5e-2, beta1: float = 0.9,
-                  beta2: float = 0.95, max_grad_norm: float = 1.0,
-                  warmup_steps: int = 0, use_ema: bool = True,
-                  ema_decay: float = 0.9999, seed: int = 0,
-                  param_dtype=jnp.float32, compute_dtype=jnp.bfloat16,
-                  remat=True):
-    """Initialize a mesh-sharded train state and the jitted step function.
+def init_sharded_gpt_state(cfg: GPTConfig, tx, mesh: Mesh, *,
+                           use_ema: bool, seed: int,
+                           param_dtype=jnp.float32) -> TrainState:
+    """Initialize a GPT TrainState directly into its mesh shards.
 
-    Parameters are initialized directly into their FSDP/TP shards (no
-    host-side full materialization — matters for GPT-3B+).
-    """
-    tx = make_optimizer(lr, weight_decay, beta1, beta2, max_grad_norm,
-                        warmup_steps)
+    Parameters are initialized INTO their FSDP/TP shards (no host-side
+    full materialization — matters for GPT-3B+); Adam moments take the
+    param shardings, scalars replicate. Shared by the c2i and t2i
+    trainers (they differ only in the step function)."""
     pspecs = partition.gpt_param_specs(cfg)
     param_sharding = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs,
                                   is_leaf=lambda x: isinstance(x, P))
@@ -109,32 +104,30 @@ def build_trainer(cfg: GPTConfig, mesh: Mesh, *, lr: float = 1e-4,
                                        param_sharding, mesh),
         ema_params=param_sharding if use_ema else None,
     )
-    state = jax.jit(init_fn, out_shardings=out_shardings)(
+    return jax.jit(init_fn, out_shardings=out_shardings)(
         jax.random.PRNGKey(seed))
 
+
+def build_trainer(cfg: GPTConfig, mesh: Mesh, *, lr: float = 1e-4,
+                  weight_decay: float = 5e-2, beta1: float = 0.9,
+                  beta2: float = 0.95, max_grad_norm: float = 1.0,
+                  warmup_steps: int = 0, use_ema: bool = True,
+                  ema_decay: float = 0.9999, seed: int = 0,
+                  param_dtype=jnp.float32, compute_dtype=jnp.bfloat16,
+                  remat=True):
+    """Initialize a mesh-sharded train state and the jitted step function."""
+    tx = make_optimizer(lr, weight_decay, beta1, beta2, max_grad_norm,
+                        warmup_steps)
+    state = init_sharded_gpt_state(cfg, tx, mesh, use_ema=use_ema,
+                                   seed=seed, param_dtype=param_dtype)
     step_fn = make_train_step(cfg, tx, ema_decay if use_ema else None,
                               compute_dtype, remat)
     return state, step_fn
 
 
 def shard_batch(batch: Batch, mesh: Mesh) -> Batch:
-    """Split the batch across (dp, fsdp).
+    """Split the batch across (dp, fsdp) — see parallel.mesh.put_batch
+    (global batch single-process; per-host rows multi-host)."""
+    from llamagen_tpu.parallel.mesh import put_batch
 
-    Single-process: `batch` is the global batch (device_put sharded).
-    Multi-host: `batch` holds THIS PROCESS's rows (the per-host stride the
-    data loaders produce) and the global array is assembled from the
-    process-local shards — the reference's DistributedSampler semantics
-    (train_c2i.py:125-140) without any gather.
-    """
-    import numpy as np
-
-    spec = P(("dp", "fsdp"))
-    if jax.process_count() > 1:
-        put = lambda x: (None if x is None
-                         else jax.make_array_from_process_local_data(
-                             NamedSharding(mesh, spec), np.asarray(x)))
-    else:
-        put = lambda x: (None if x is None
-                         else jax.device_put(x, NamedSharding(mesh, spec)))
-    return Batch(labels=put(batch.labels), tokens=put(batch.tokens),
-                 valid=put(batch.valid))
+    return put_batch(batch, mesh)

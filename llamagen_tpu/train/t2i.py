@@ -55,14 +55,18 @@ def make_t2i_train_step(gpt_cfg: GPTConfig, vq_cfg: VQConfig,
                         tx: optax.GradientTransformation, vq_params,
                         ema_decay: Optional[float] = 0.9999,
                         compute_dtype=jnp.bfloat16, remat=True):
-    """vq_params are closure constants (frozen tokenizer)."""
+    """The frozen ~72M-param VQ tree travels as a runtime ARGUMENT of the
+    jitted step (bound once in the returned wrapper), not a closure
+    constant — captured arrays embed as HLO constants in the compile
+    payload (train/vq.py passes its 4x-smaller LPIPS tree the same way
+    for the same reason)."""
 
-    def train_step(state: TrainState, batch: T2IBatch, rng):
+    def train_step(state: TrainState, batch: T2IBatch, rng, vq_p):
         from llamagen_tpu.train.train_state import as_dropout_key
         # rbg keys: hardware-RNG dropout masks (train_state.as_dropout_key)
         rng = jax.random.fold_in(as_dropout_key(rng), state.step)
         loss, grads = jax.value_and_grad(t2i_loss_fn)(
-            state.params, vq_params, gpt_cfg, vq_cfg, batch, rng,
+            state.params, vq_p, gpt_cfg, vq_cfg, batch, rng,
             compute_dtype, remat)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -73,7 +77,13 @@ def make_t2i_train_step(gpt_cfg: GPTConfig, vq_cfg: VQConfig,
                           opt_state=opt_state, ema_params=ema), {
             "loss": loss, "grad_norm": optax.global_norm(grads)}
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    jfn = jax.jit(train_step, donate_argnums=(0,))
+    vq_p = jax.tree.map(jnp.asarray, vq_params)
+
+    def step(state, batch, rng):
+        return jfn(state, batch, rng, vq_p)
+
+    return step
 
 
 def build_trainer(gpt_cfg: GPTConfig, vq_cfg: VQConfig, vq_params, mesh, *,
@@ -88,34 +98,16 @@ def build_trainer(gpt_cfg: GPTConfig, vq_cfg: VQConfig, vq_params, mesh, *,
     autoregressive/train/train_t2i.py:154-164."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from llamagen_tpu.models import gpt as gpt_mod
-    from llamagen_tpu.parallel import partition
-    from llamagen_tpu.train.c2i import _opt_state_shardings
-    from llamagen_tpu.train.train_state import init_train_state, make_optimizer
+    from llamagen_tpu.train.c2i import init_sharded_gpt_state
+    from llamagen_tpu.train.train_state import make_optimizer
 
     tx = make_optimizer(lr, weight_decay, beta1, beta2, max_grad_norm,
                         warmup_steps)
-    pspecs = partition.gpt_param_specs(gpt_cfg)
-    param_sharding = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs,
-                                  is_leaf=lambda x: isinstance(x, P))
     vq_params = jax.device_put(
         vq_params, jax.tree.map(lambda _: NamedSharding(mesh, P()),
                                 vq_params))
-
-    def init_fn(rng):
-        params = gpt_mod.init_params(rng, gpt_cfg, dtype=param_dtype)
-        return init_train_state(params, tx, use_ema=use_ema)
-
-    abstract = jax.eval_shape(init_fn, jax.random.PRNGKey(seed))
-    out_shardings = TrainState(
-        step=NamedSharding(mesh, P()),
-        params=param_sharding,
-        opt_state=_opt_state_shardings(abstract.opt_state, abstract.params,
-                                       param_sharding, mesh),
-        ema_params=param_sharding if use_ema else None,
-    )
-    state = jax.jit(init_fn, out_shardings=out_shardings)(
-        jax.random.PRNGKey(seed))
+    state = init_sharded_gpt_state(gpt_cfg, tx, mesh, use_ema=use_ema,
+                                   seed=seed, param_dtype=param_dtype)
     step_fn = make_t2i_train_step(gpt_cfg, vq_cfg, tx, vq_params,
                                   ema_decay if use_ema else None,
                                   compute_dtype, remat)
@@ -123,18 +115,7 @@ def build_trainer(gpt_cfg: GPTConfig, vq_cfg: VQConfig, vq_params, mesh, *,
 
 
 def shard_batch(batch: T2IBatch, mesh) -> T2IBatch:
-    """Split the batch across (dp, fsdp); multi-host processes pass their
-    own rows (see train.c2i.shard_batch)."""
-    import numpy as np
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    """Split the batch across (dp, fsdp) — see parallel.mesh.put_batch."""
+    from llamagen_tpu.parallel.mesh import put_batch
 
-    spec = P(("dp", "fsdp"))
-    if jax.process_count() > 1:
-        put = lambda x: (None if x is None
-                         else jax.make_array_from_process_local_data(
-                             NamedSharding(mesh, spec), np.asarray(x)))
-    else:
-        put = lambda x: (None if x is None
-                         else jax.device_put(x, NamedSharding(mesh, spec)))
-    return T2IBatch(images=put(batch.images), captions=put(batch.captions),
-                    emb_masks=put(batch.emb_masks), valid=put(batch.valid))
+    return put_batch(batch, mesh)

@@ -182,35 +182,49 @@ def make_train_step_fn(cfg: VQConfig, loss_cfg: VQLossConfig, tx_gen, tx_disc,
         return rec, p, adv
 
     def gen_loss(params, disc_params, imgs, step, lp):
+        # dropout keys (cfg.dropout_p, reference --dropout-p): derived
+        # from the step counter — deterministic, so remat recomputes and
+        # multi-host SPMD see identical masks. None when dropout is off
+        # (the reference recipe), keeping those programs unchanged.
+        if cfg.dropout_p > 0:
+            drng = jax.random.fold_in(jax.random.PRNGKey(23), step)
+            enc_rng = jax.random.fold_in(drng, 0)
+            dec_rng = jax.random.fold_in(drng, 1)
+        else:
+            enc_rng = dec_rng = None
         z_q, cb, indices = vq.encode(params, imgs.astype(compute_dtype),
-                                     cfg, train=True, remat=remat)
-        recons = vq.decode(params, z_q, cfg, remat=remat)
+                                     cfg, train=True, remat=remat,
+                                     rng=enc_rng)
+        recons = vq.decode(params, z_q, cfg, remat=remat, rng=dec_rng)
         imgs_f = imgs.astype(jnp.float32)
         rec, p, adv = _nll_and_adv(params, disc_params, imgs_f, recons, lp)
         dw = disc_gate(step)
 
         if loss_cfg.disc_adaptive_weight:
             # grad-norm-ratio adaptive GAN weight (ref: vq_loss.py:109-115,
-            # 132-137): d = ||d(nll)/dW_last|| / (||d(adv)/dW_last|| + 1e-4)
+            # 132-137): d = ||d(nll)/dW_last|| / (||d(adv)/dW_last|| + 1e-4).
+            # ONE decoder forward via jax.vjp, two pullbacks — both loss
+            # terms differentiate through the identical decode(kernel, z_sg),
+            # so separate jax.grad closures would pay the decoder forward
+            # (the step's most expensive op) twice.
             z_sg = jax.lax.stop_gradient(z_q)
+            kernel = jax.lax.stop_gradient(
+                params["decoder"]["conv_out"]["kernel"])
+            r2, pull = jax.vjp(
+                lambda kk: vq.decode(_swap_last(params, kk), z_sg, cfg,
+                                     remat=remat, rng=dec_rng), kernel)
 
-            def nll_of(kernel):
-                r2 = vq.decode(_swap_last(params, kernel), z_sg, cfg,
-                               remat=remat)
-                rec2, p2, _ = _nll_and_adv(params, disc_params, imgs_f, r2,
+            def nll_of(r):
+                rec2, p2, _ = _nll_and_adv(params, disc_params, imgs_f, r,
                                            lp)
                 return (loss_cfg.reconstruction_weight * rec2
                         + loss_cfg.perceptual_weight * p2)
 
-            def adv_of(kernel):
-                r2 = vq.decode(_swap_last(params, kernel), z_sg, cfg,
-                               remat=remat)
-                return _nll_and_adv(params, disc_params, imgs_f, r2, lp)[2]
+            def adv_of(r):
+                return _nll_and_adv(params, disc_params, imgs_f, r, lp)[2]
 
-            kernel = jax.lax.stop_gradient(
-                params["decoder"]["conv_out"]["kernel"])
-            g_nll = jax.grad(nll_of)(kernel)
-            g_adv_grad = jax.grad(adv_of)(kernel)
+            g_nll = pull(jax.grad(nll_of)(r2))[0]
+            g_adv_grad = pull(jax.grad(adv_of)(r2))[0]
             d_adapt = jnp.linalg.norm(g_nll.reshape(-1)) / (
                 jnp.linalg.norm(g_adv_grad.reshape(-1)) + 1e-4)
             d_adapt = jax.lax.stop_gradient(jnp.clip(d_adapt, 0.0, 1e4))
@@ -349,19 +363,12 @@ def build_trainer(cfg: VQConfig, loss_cfg: VQLossConfig, mesh: Mesh, *,
 
 
 def shard_vq_batch(imgs, mesh: Mesh):
-    """Split an image batch [B, H, W, 3] across (dp, fsdp).
-
-    Single-process: `imgs` is the global batch (device_put sharded).
-    Multi-host: `imgs` holds THIS PROCESS's rows and the global array is
-    assembled from process-local shards (the reference's DistributedSampler
+    """Split an image batch [B, H, W, 3] across (dp, fsdp) — see
+    parallel.mesh.put_batch (the reference's DistributedSampler
     semantics, vq_train.py:120-133, without any gather)."""
-    import numpy as np
+    from llamagen_tpu.parallel.mesh import put_batch
 
-    spec = P(("dp", "fsdp"))
-    if jax.process_count() > 1:
-        return jax.make_array_from_process_local_data(
-            NamedSharding(mesh, spec), np.asarray(imgs))
-    return jax.device_put(imgs, NamedSharding(mesh, spec))
+    return put_batch(imgs, mesh)
 
 
 def codebook_usage(indices: jnp.ndarray, codebook_size: int) -> jnp.ndarray:

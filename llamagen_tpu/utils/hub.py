@@ -70,10 +70,15 @@ def save_pretrained(save_dir: str, params, config, *,
     os.makedirs(save_dir, exist_ok=True)
     cfg_dict = dataclasses.asdict(config)
     cfg_dict["model_kind"] = model_kind
+    flat = _flatten(params)
+    # safetensors has no bf16-numpy interop below 2.x numpy: bf16 tensors
+    # are stored as f32 and their keys recorded so load_pretrained can
+    # restore the original dtype (a silent f32 roundtrip doubles a
+    # GPT-3B's HBM footprint)
+    bf16_keys = [k for k, v in flat.items() if str(v.dtype) == "bfloat16"]
+    cfg_dict["_bf16_keys"] = bf16_keys
     with open(os.path.join(save_dir, CONFIG_NAME), "w") as f:
         json.dump(cfg_dict, f, indent=2, default=str)
-    flat = _flatten(params)
-    # safetensors has no bf16-numpy interop below 2.x numpy; store raw
     flat = {k: (np.asarray(v, np.float32)
                 if str(v.dtype) == "bfloat16" else np.asarray(v))
             for k, v in flat.items()}
@@ -98,6 +103,7 @@ def load_pretrained(repo_or_dir: str, *, dtype=None,
     with open(os.path.join(path, CONFIG_NAME)) as f:
         cfg_dict = json.load(f)
     kind = cfg_dict.pop("model_kind")
+    bf16_keys = set(cfg_dict.pop("_bf16_keys", []))
     from llamagen_tpu.config import GPTConfig, VQConfig
 
     cfg_cls = GPTConfig if kind == "gpt" else VQConfig
@@ -113,11 +119,18 @@ def load_pretrained(repo_or_dir: str, *, dtype=None,
             v = tuple(int(x) for x in v.strip("()").split(",") if x.strip())
         clean[k] = v
     config = cfg_cls(**clean)
-    params = _unflatten(load_file(os.path.join(path, WEIGHTS_NAME)))
+    flat = load_file(os.path.join(path, WEIGHTS_NAME))
+    if dtype is None and bf16_keys:
+        # restore the dtype the tree was SAVED with (bf16 is stored as
+        # f32 in the safetensors file; see save_pretrained)
+        flat = {k: (jnp.asarray(v, jnp.bfloat16) if k in bf16_keys else v)
+                for k, v in flat.items()}
+    params = _unflatten(flat)
     if dtype is not None:
         params = jax.tree.map(
             lambda x: x.astype(dtype)
-            if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+            params)
     return params, config
 
 

@@ -14,20 +14,30 @@ import jax
 
 def create_experiment_dir(results_dir: str, model_name: str) -> str:
     """Auto-numbered experiment subdir `{index:03d}-{model}` (ref:
-    train_c2i.py:71-84). Only process 0 creates; others discover the
-    latest index (single-host callers just get the new dir)."""
+    train_c2i.py:71-84). Process 0 picks the index and creates the dir;
+    other processes receive the index via an on-device broadcast — a
+    directory listing on their side would race process 0's mkdir (and
+    non-shared filesystems would never see it), scattering one run's
+    logs/checkpoints over different experiment dirs. Same mechanism as
+    the reference's timestamp broadcast (train_c2i_fsdp.py:122-131)."""
     os.makedirs(results_dir, exist_ok=True)
     safe = model_name.replace("/", "-")
-    existing = [d for d in os.listdir(results_dir)
-                if os.path.isdir(os.path.join(results_dir, d))
-                and d[:3].isdigit()]
     if jax.process_index() == 0:
+        existing = [d for d in os.listdir(results_dir)
+                    if os.path.isdir(os.path.join(results_dir, d))
+                    and d[:3].isdigit()]
         index = 1 + max((int(d[:3]) for d in existing), default=-1)
-        exp = os.path.join(results_dir, f"{index:03d}-{safe}")
-        os.makedirs(exp, exist_ok=True)
     else:
-        index = max((int(d[:3]) for d in existing), default=0)
-        exp = os.path.join(results_dir, f"{index:03d}-{safe}")
+        index = 0
+    if jax.process_count() > 1:
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        index = int(multihost_utils.broadcast_one_to_all(
+            np.int32(index)))
+    exp = os.path.join(results_dir, f"{index:03d}-{safe}")
+    if jax.process_index() == 0:
+        os.makedirs(exp, exist_ok=True)
     return exp
 
 

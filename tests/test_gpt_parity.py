@@ -260,3 +260,44 @@ def test_topk_topp_filter_semantics():
                                       err_msg=f"top_k={top_k} top_p={top_p}")
         np.testing.assert_allclose(np.where(ours_mask, ours, 0),
                                    np.where(ref_mask, ref, 0), atol=1e-6)
+
+
+def test_attn_dropout_active_in_training():
+    """attn_dropout_p (ref gpt.py:232-236: SDPA's dropout_p while
+    training) must actually change the training forward — it was
+    previously a silently-ignored config field. Contract: loss with
+    attn_dropout_p=0.5 differs across rng keys AND from the p=0 loss;
+    eval (rng=None) is unaffected by the setting."""
+    base = dict(dim=64, n_layer=2, n_head=4, block_size=16, num_classes=10,
+                vocab_size=256, cls_token_num=1, token_dropout_p=0.0,
+                resid_dropout_p=0.0, ffn_dropout_p=0.0,
+                class_dropout_prob=0.0)
+    cfg0 = GPTConfig(**base)
+    cfg_d = GPTConfig(**base, attn_dropout_p=0.5)
+    params = gpt.init_params(jax.random.PRNGKey(0), cfg0, dtype=jnp.float32)
+    params["output"] = jax.random.normal(
+        jax.random.PRNGKey(7), params["output"].shape) * 0.02
+    rng = np.random.RandomState(0)
+    labels = jnp.asarray(rng.randint(0, 10, (2,)))
+    tokens = jnp.asarray(rng.randint(0, 256, (2, 16)))
+
+    def loss(cfg, key):
+        _, l = gpt.forward_train(params, cfg, labels, tokens[:, :-1],
+                                 targets=tokens, rng=key, train=True,
+                                 compute_dtype=jnp.float32)
+        return float(l)
+
+    l0 = loss(cfg0, jax.random.PRNGKey(1))
+    ld1 = loss(cfg_d, jax.random.PRNGKey(1))
+    ld2 = loss(cfg_d, jax.random.PRNGKey(2))
+    assert ld1 != l0, "attn dropout did not change the training loss"
+    assert ld1 != ld2, "attn dropout mask did not vary with the rng"
+    # the non-attn rng streams are fold_in-derived, so p=0 runs are
+    # bit-identical to the pre-attn-dropout implementation
+    e0, _ = gpt.forward_train(params, cfg0, labels, tokens[:, :-1],
+                              targets=tokens, rng=None, train=False,
+                              compute_dtype=jnp.float32)
+    e1, _ = gpt.forward_train(params, cfg_d, labels, tokens[:, :-1],
+                              targets=tokens, rng=None, train=False,
+                              compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(e0), np.asarray(e1))

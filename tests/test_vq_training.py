@@ -1,5 +1,6 @@
 """VQ-GAN loss stack tests: discriminator parity, LPIPS math, train step."""
 
+import dataclasses
 import os
 
 import numpy as np
@@ -393,3 +394,41 @@ def test_rolling_codebook_usage():
     win, u3 = vq_train.rolling_codebook_usage(
         win, jnp.asarray([1, 1, 1, 1, 1, 1, 1, 1, 2]), 8)
     np.testing.assert_allclose(float(u3), 2 / 8)  # {1, 2}
+
+
+def test_vq_resblock_dropout_active_in_training():
+    """VQConfig.dropout_p (ref vq_model.py:306: dropout between the second
+    swish and conv2 of every res block) must actually act in training —
+    it was previously a silently-ignored config field. Contract: training
+    encode/decode vary with the rng at p>0, are deterministic for a fixed
+    rng, and the eval path (no rng) is byte-identical to p=0."""
+    from llamagen_tpu.models import vq
+
+    cfg0 = vq_config("VQ-8", codebook_size=64, codebook_embed_dim=4)
+    cfg_d = dataclasses.replace(cfg0, dropout_p=0.5)
+    params = vq.init_params(jax.random.PRNGKey(0), cfg0)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32))
+
+    z0, _, _ = vq.encode(params, x, cfg0, train=True)
+    k1, k2 = jax.random.PRNGKey(1), jax.random.PRNGKey(2)
+    za, _, _ = vq.encode(params, x, cfg_d, train=True, rng=k1)
+    zb, _, _ = vq.encode(params, x, cfg_d, train=True, rng=k2)
+    za2, _, _ = vq.encode(params, x, cfg_d, train=True, rng=k1)
+    assert not np.array_equal(np.asarray(za), np.asarray(z0)), \
+        "dropout_p>0 did not change the training encode"
+    assert not np.array_equal(np.asarray(za), np.asarray(zb)), \
+        "dropout mask did not vary with the rng"
+    np.testing.assert_array_equal(np.asarray(za), np.asarray(za2))
+
+    # eval (train=False / no rng): p is irrelevant, outputs identical
+    e0 = vq.encode(params, x, cfg0, train=False)[0]
+    e1 = vq.encode(params, x, cfg_d, train=False)[0]
+    np.testing.assert_array_equal(np.asarray(e0), np.asarray(e1))
+
+    # decode: rng only acts when dropout_p > 0
+    d0 = vq.decode(params, e0, cfg0, rng=k1)
+    d1 = vq.decode(params, e0, cfg0)
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+    dd = vq.decode(params, e0, cfg_d, rng=k1)
+    assert not np.array_equal(np.asarray(dd), np.asarray(d1))
