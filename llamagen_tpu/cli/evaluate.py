@@ -94,7 +94,10 @@ def main(argv=None):
         f"Recall: {recall:.5f}",
     ]
     print("\n".join(lines))
-    txt_path = args.sample_batch.replace(".npz", ".txt")
+    # splitext, NOT .replace(".npz", ...): on a .npy sample batch the
+    # replace is a no-op and the open('w') would TRUNCATE the 50k-sample
+    # dump itself
+    txt_path = os.path.splitext(args.sample_batch)[0] + ".txt"
     with open(txt_path, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {txt_path}")

@@ -165,7 +165,7 @@ def _diffusers_roundtrip(kind, ckpt):
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--backend", required=True,
-                   choices=["taming", "sd-vae", "consistency"])
+                   choices=["taming", "sd-vae", "cd"])
     p.add_argument("--ckpt", required=True)
     p.add_argument("--taming-config", default="vqgan_imagenet_f16_16384")
     p.add_argument("--taming-overrides", default=None,

@@ -77,8 +77,12 @@ def main(argv=None):
                 t = args.cls_token_num
                 emb = np.zeros((len(texts), t, cap_dim), np.float32)
                 mask = np.zeros((len(texts), t), np.int32)
+                import zlib
                 for i, s in enumerate(texts):
-                    r = np.random.RandomState(abs(hash(s)) % (2 ** 31))
+                    # crc32, NOT hash(): str hashing is salted per process
+                    # (PYTHONHASHSEED), which would break the documented
+                    # run-to-run determinism
+                    r = np.random.RandomState(zlib.crc32(s.encode()))
                     n = max(1, min(len(s.split()) + 2, t))
                     emb[i, :n] = r.randn(n, cap_dim)
                     mask[i, :n] = 1

@@ -307,15 +307,21 @@ def cmd_validate_release(args):
     print(f"[3/4 sample ] PASS  {png}")
 
     # -- 4. FID protocol --------------------------------------------------
+    # the printed commands must match sample_c2i_fid's REAL interface:
+    # --npz is a store_true flag and the sampler names its own output
+    # {sample_dir}/{model}-{size}-size-{eval}-cfg-{cfg}-seed-{seed}.npy/.npz
+    sample_name = (f"{args.gpt_model}-{args.image_size}-size-256"
+                   f"-cfg-{args.cfg_scale}-seed-0")
     print("[4/4 FID protocol] run:")
     print(f"  python -m llamagen_tpu.cli.sample_c2i_fid \\\n"
           f"      --vq-ckpt {vq_dir} --gpt-ckpt {gpt_dir} "
           f"--gpt-model {args.gpt_model} \\\n"
           f"      --image-size {args.image_size} --image-size-eval 256 "
           f"--cfg-scale {args.cfg_scale} \\\n"
-          f"      --num-samples 50000 --npz {args.out}/samples.npz")
+          f"      --num-samples 50000 --sample-dir {args.out} --npz")
     print(f"  python -m llamagen_tpu.cli.evaluate "
-          f"VIRTUAL_imagenet256_labeled.npz {args.out}/samples.npz")
+          f"VIRTUAL_imagenet256_labeled.npz \\\n"
+          f"      {args.out}/{sample_name}.npz")
     if not ran_oracle and not args.skip_oracle:
         print("NOTE: oracle gate did not run — conversion is UNGATED "
               "against the reference implementation.")

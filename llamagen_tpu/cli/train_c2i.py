@@ -135,7 +135,13 @@ def main(argv=None):
         from llamagen_tpu.data.native import NativeCodeLoader
         it = NativeCodeLoader(args.code_path, host_batch, seed=args.seed,
                               num_hosts=num_hosts, host_id=host_id)
+        # the loader reshuffles forever, so honor --epochs by converting
+        # it to a step bound (the other branches bound their iterators)
         max_steps = args.max_steps
+        if max_steps <= 0 and args.epochs > 0:
+            # num_samples counts THIS host's shard subset
+            steps_per_epoch = it.num_samples // host_batch
+            max_steps = args.epochs * max(steps_per_epoch, 1)
     elif args.code_path and os.path.isdir(args.code_path) and any(
             f.endswith((".npz", ".codes.npy"))
             for f in os.listdir(args.code_path)):

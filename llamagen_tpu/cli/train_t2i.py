@@ -147,8 +147,10 @@ def main(argv=None):
         ds = T2IDataset(args.jsonl, args.t5_feature_dir, args.image_size,
                         caption_dim=cfg.caption_dim,
                         t5_len=cfg.cls_token_num)
-        it = ds.batches(host_batch, seed=args.seed + host_id,
-                        epochs=args.epochs)
+        # SAME seed on every host: hosts permute identically and stride
+        # disjoint subsets (per-host seeds would duplicate data globally)
+        it = ds.batches(host_batch, seed=args.seed, epochs=args.epochs,
+                        num_hosts=num_hosts, host_id=host_id)
         max_steps = args.max_steps
     else:
         raise SystemExit("need --jsonl + --t5-feature-dir, or "

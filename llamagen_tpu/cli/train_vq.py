@@ -44,9 +44,18 @@ def image_batches(root, image_size, batch_size, seed=0):
                 img = Image.open(paths[i]).convert("RGB")
             except OSError:
                 continue
+            # short-side resize to 1.25x, aspect PRESERVED (torchvision
+            # Resize(int) semantics, ref vq_train.py:114-119) — a square
+            # squash would geometrically distort every non-square image
             r = int(image_size * 1.25)
-            img = img.resize((r, r), Image.BICUBIC)
-            y, x = rng.randint(0, r - image_size + 1, size=2)
+            w0, h0 = img.size
+            if w0 <= h0:
+                w1, h1 = r, max(r, round(r * h0 / w0))
+            else:
+                w1, h1 = max(r, round(r * w0 / h0)), r
+            img = img.resize((w1, h1), Image.BICUBIC)
+            y = rng.randint(0, h1 - image_size + 1)
+            x = rng.randint(0, w1 - image_size + 1)
             arr = np.array(img)[y:y + image_size, x:x + image_size]
             if rng.rand() < 0.5:
                 arr = arr[:, ::-1]

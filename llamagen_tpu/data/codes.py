@@ -119,14 +119,27 @@ class PackedCodeDataset:
     def __len__(self) -> int:
         return int(self._offsets[-1])
 
-    def _gather(self, sel: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    def _gather(self, sel: np.ndarray,
+                rng: Optional[np.random.RandomState] = None
+                ) -> Tuple[np.ndarray, np.ndarray]:
         shard = np.searchsorted(self._offsets, sel, side="right") - 1
         local = sel - self._offsets[shard]
-        codes = np.empty((len(sel), self._codes[0].shape[1]), np.int32)
+        codes = np.empty((len(sel), self._codes[0].shape[-1]), np.int32)
         labels = np.empty((len(sel),), np.int32)
         for s in np.unique(shard):
             m = shard == s
-            codes[m] = self._codes[s][local[m]]
+            picked = self._codes[s][local[m]]
+            if picked.ndim == 3:
+                # augmented shard [N, naug, L] (extract_codes --flip-aug /
+                # --ten-crop): draw one augmentation per sample per access,
+                # the reference's convention (dataset/imagenet.py:33-38
+                # torch.randint over the aug axis). rng=None (no shuffle
+                # rng supplied) deterministically takes aug 0.
+                k, naug, _ = picked.shape
+                ai = (rng.randint(0, naug, k) if rng is not None
+                      else np.zeros(k, np.int64))
+                picked = picked[np.arange(k), ai]
+            codes[m] = picked
             labels[m] = self._labels[s][local[m]]
         return codes, labels
 
@@ -140,7 +153,8 @@ class PackedCodeDataset:
         n = len(self)
         epoch = 0
         while epochs < 0 or epoch < epochs:
-            order = np.random.RandomState(seed + epoch).permutation(n)
+            rng = np.random.RandomState(seed + epoch)
+            order = rng.permutation(n)
             order = order[self.host_id::self.num_hosts]
             hn = len(order)
             for start in range(0, hn - (batch_size - 1 if drop_remainder else 0),
@@ -148,7 +162,7 @@ class PackedCodeDataset:
                 sel = order[start:start + batch_size]
                 if len(sel) < batch_size and drop_remainder:
                     break
-                yield self._gather(sel)
+                yield self._gather(sel, rng)
             epoch += 1
 
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 import os
+import zipfile
 from typing import Iterator, Tuple
 
 import numpy as np
@@ -81,7 +82,11 @@ class T2IDataset:
             with np.load(feat_path) as z:
                 feat = z["feature"].astype(np.float32)
                 mask = z["mask"].astype(np.int32)
-        except (OSError, KeyError, FileNotFoundError):
+        except (OSError, KeyError, ValueError, zipfile.BadZipFile):
+            # OSError covers unreadable files (FileNotFoundError included);
+            # BadZipFile/ValueError cover truncated/corrupt .npz members —
+            # all must fall to the dummy/retry path (the module contract),
+            # not kill a long training run
             return None
 
         t = self.t5_len
@@ -94,13 +99,19 @@ class T2IDataset:
             feat, mask = feat[0], mask[0]
         return arr, feat, mask, np.float32(1.0)
 
-    def batches(self, batch_size: int, seed: int = 0, epochs: int = -1
+    def batches(self, batch_size: int, seed: int = 0, epochs: int = -1,
+                num_hosts: int = 1, host_id: int = 0
                 ) -> Iterator[Tuple[np.ndarray, ...]]:
+        """batch_size is PER-HOST; with num_hosts > 1 every host permutes
+        identically (same seed) and takes its host_id stride — disjoint
+        global coverage per epoch, the reference's DistributedSampler
+        semantics (train_t2i.py's sampler)."""
         n = len(self)
         epoch = 0
         while epochs < 0 or epoch < epochs:
             order = np.random.RandomState(seed + epoch).permutation(n)
-            for start in range(0, n - batch_size + 1, batch_size):
+            order = order[host_id::num_hosts]
+            for start in range(0, len(order) - batch_size + 1, batch_size):
                 rows = [self[i] for i in order[start:start + batch_size]]
                 imgs, feats, masks, valids = zip(*rows)
                 yield (np.stack(imgs), np.stack(feats), np.stack(masks),

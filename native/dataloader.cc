@@ -133,6 +133,10 @@ bool map_shard(const std::string& path, uint32_t* seq_len, Shard* out) {
     close(fd);
     return false;
   }
+  if (st.st_size < 24) {  // smaller than the header: corrupt/truncated
+    close(fd);
+    return false;
+  }
   void* map = mmap(nullptr, st.st_size, PROT_READ, MAP_PRIVATE, fd, 0);
   close(fd);
   if (map == MAP_FAILED) return false;
@@ -149,6 +153,15 @@ bool map_shard(const std::string& path, uint32_t* seq_len, Shard* out) {
   }
   if (*seq_len == 0) *seq_len = slen;
   if (slen != *seq_len) {
+    munmap(map, st.st_size);
+    return false;
+  }
+  // the header's num_samples must be backed by real bytes — a shard
+  // truncated mid-write (packer killed, disk full) would otherwise send
+  // the reader walking off the mapping (SIGSEGV, no Python traceback)
+  const uint64_t need =
+      24 + num * static_cast<uint64_t>(slen) * 2 + num * 2;
+  if (static_cast<uint64_t>(st.st_size) < need) {
     munmap(map, st.st_size);
     return false;
   }

@@ -130,3 +130,35 @@ def test_features_from_batches_matches_features():
     streamed = ex.features_from_batches([images[:4], images[4:]])
     for a, b in zip(full, streamed):
         np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_packed_dataset_augmented_shards(tmp_path):
+    """[N, naug, L] shards (extract_codes --ten-crop/--flip-aug) must load:
+    the gather draws one augmentation per sample per access (the
+    reference's convention, dataset/imagenet.py:33-38). Regression: this
+    previously raised a broadcast ValueError on the first batch."""
+    from llamagen_tpu.data.codes import PackedCodeDataset
+
+    rng = np.random.RandomState(0)
+    naug, L = 3, 16
+    codes = rng.randint(0, 64, (40, naug, L)).astype(np.int16)
+    # make augs distinguishable: aug a of sample i has constant value
+    for i in range(40):
+        for a in range(naug):
+            codes[i, a] = i * naug + a
+    labels = np.arange(40).astype(np.int16)
+    np.save(tmp_path / "000.codes.npy", codes)
+    np.save(tmp_path / "000.labels.npy", labels)
+
+    ds = PackedCodeDataset(str(tmp_path))
+    assert len(ds) == 40
+    got_c, got_l = next(ds.batches(32, seed=0))
+    assert got_c.shape == (32, L)
+    # every row must be exactly ONE of its sample's augmentations
+    augs_seen = set()
+    for row, lab in zip(got_c, got_l):
+        assert (row == row[0]).all()
+        a = int(row[0]) - int(lab) * naug
+        assert 0 <= a < naug, (int(row[0]), int(lab))
+        augs_seen.add(a)
+    assert len(augs_seen) > 1, "aug selection never varied"

@@ -90,3 +90,25 @@ def test_native_loader_host_striding(tmp_path):
         totals.append(dl.num_samples)
         dl.close()
     assert sum(totals) == 24
+
+
+def test_native_loader_rejects_truncated_shard(tmp_path):
+    """A shard whose header promises more samples than the file holds
+    (packer killed mid-write, disk full) must be REJECTED at open — the
+    reader would otherwise walk off the mapping (SIGSEGV, no traceback)."""
+    import os
+
+    ds = SyntheticCodeDataset(64, 8, seed=3)
+    pack_shards_raw(ds, str(tmp_path), shard_size=64)
+    shard = next(str(p) for p in tmp_path.iterdir()
+                 if str(p).endswith(".codes"))
+    size = os.path.getsize(shard)
+    with open(shard, "r+b") as f:
+        f.truncate(size - 100)  # chop the tail, keep the header intact
+    with pytest.raises(RuntimeError):
+        NativeCodeLoader(str(tmp_path), batch_size=16, seed=0)
+    # sub-header files are rejected too (not a crash)
+    with open(shard, "r+b") as f:
+        f.truncate(10)
+    with pytest.raises(RuntimeError):
+        NativeCodeLoader(str(tmp_path), batch_size=16, seed=0)
